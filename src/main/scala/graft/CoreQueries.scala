@@ -1,0 +1,397 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The relational operator surface (SURVEY.md §2.2): everything the
+  * reference delegates to its host engine, expressed Spark-first with
+  * the DataFrame API and verified against a DuckDB oracle.
+  *
+  * Determinism rules (the driver hash-compares values):
+  *   - Aggregated doubles are cast to DECIMAL before SUM so partial-sum
+  *     ordering across partitions cannot change the result, then cast
+  *     back to DOUBLE for a stable schema. Identical expressions appear
+  *     in the oracle SQL.
+  *   - Every result has a total ORDER BY on a unique key set.
+  *   - Column aliases match the oracle SQL exactly.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** SUM over an exact decimal image of a double column, returned as
+    * double: deterministic under any partitioning / AQE re-ordering. */
+  private def dsum(c: Column, p: Int = 25, s: Int = 6): Column =
+    sum(c.cast(DecimalType(p, s))).cast(DoubleType)
+
+  private def davg(c: Column, p: Int = 25, s: Int = 6): Column =
+    sum(c.cast(DecimalType(p, s))).cast(DoubleType) / count(lit(1))
+
+  // Oracle-side equivalents (DuckDB SQL)
+  private def sqlDsum(e: String, p: Int = 25, s: Int = 6): String =
+    s"CAST(sum(CAST($e AS DECIMAL($p,$s))) AS DOUBLE)"
+  private def sqlDavg(e: String, p: Int = 25, s: Int = 6): String =
+    s"CAST(sum(CAST($e AS DECIMAL($p,$s))) AS DOUBLE) / count(*)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation (hash agg, partial+final) ------------------------
+    "q01_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 30, 8).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- filter + projection (parquet pushdown) -----------------------
+    "q02_filter_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") >= to_timestamp(lit("1994-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- 3-way join + agg + top-k (broadcast dims) --------------------
+    "q03_join_topk" -> ((s, dir) => {
+      val cu = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15")))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15")))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(cu), o("o_custkey") === cu("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- window functions ---------------------------------------------
+    "q04_window" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_suppkey") < 20)
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      li.select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"),
+          sum(col("l_quantity").cast(DecimalType(25, 6)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("running_qty"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
+    // ---- global sort + limit (TakeOrderedAndProject) ------------------
+    "q05_topk" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+        .limit(100)),
+
+    // ---- set operations ------------------------------------------------
+    "q06_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val big = o.filter(col("o_totalprice") > 150000.0).select(col("o_custkey"))
+      val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      open.intersect(big).except(done).orderBy(col("o_custkey"))
+    }),
+
+    // ---- distinct aggregation ------------------------------------------
+    "q07_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderstatus"))),
+
+    // ---- scalar functions (string/math/date) ---------------------------
+    "q08_scalar" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 8).as("pfx"),
+          length(col("p_name")).as("nlen"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("bt"),
+          floor(col("p_retailprice")).cast(LongType).as("fl_price"),
+          ceil(col("p_retailprice")).cast(LongType).as("cl_price"),
+          abs(col("p_size") - lit(25)).as("size_dist"))
+        .orderBy(col("p_partkey"))
+        .limit(500)),
+
+    "q09_datefns" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("oy"),
+          month(col("o_orderdate")).as("om"),
+          dayofmonth(col("o_orderdate")).as("od"),
+          col("o_orderdate").cast(DateType).as("odate"))
+        .orderBy(col("o_orderkey"))
+        .limit(1000)),
+
+    // ---- conditional aggregation ---------------------------------------
+    "q10_case_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_totalprice") > 100000.0, 1).otherwise(0)).as("n_big"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
+    // ---- rollup / grouping sets ----------------------------------------
+    "q11_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+          grouping(col("l_returnflag")).as("g1"),
+          grouping(col("l_linestatus")).as("g2"))
+        .orderBy(col("g1"), col("g2"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ---- semi / anti joins (EXISTS / NOT EXISTS) -----------------------
+    "q12_semijoin" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q13_antijoin" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- outer join + agg ----------------------------------------------
+    "q14_outerjoin" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val cu = t(s, dir, "customer")
+      n.join(cu, col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(col("c_custkey")).as("n_cust"),
+          dsum(coalesce(col("c_acctbal"), lit(0.0))).as("bal"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // ---- events: date_trunc agg (ns-ts handled via day granularity) ----
+    "q15_events_day" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast(DateType).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("day"), col("event_type"))),
+
+    // ---- scalar subquery (filter vs global aggregate) -------------------
+    "q16_subquery" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val thr = p.agg(davg(col("p_retailprice")).as("a"))
+      p.join(broadcast(thr))
+        .filter(col("p_retailprice") > col("a") + 30.0)
+        .select(col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- 6-way join through region (TPC-H Q5 shape) ---------------------
+    "q17_join6" -> ((s, dir) => {
+      val re = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val na = t(s, dir, "nation")
+      val cu = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- union all + dedup ----------------------------------------------
+    "q18_unionall" -> ((s, dir) => {
+      val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      cu.unionAll(su).groupBy(col("nk")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nk"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q01_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${sqlDsum("l_quantity")} AS sum_qty,
+         | ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         | ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         | ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 30, 8)} AS sum_charge,
+         | ${sqlDavg("l_quantity")} AS avg_qty,
+         | ${sqlDavg("l_extendedprice")} AS avg_price,
+         | ${sqlDavg("l_discount")} AS avg_disc,
+         | count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_agg" ->
+      s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue,
+         | count(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+         |  AND l_shipdate < TIMESTAMP '1995-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "q03_join_topk" ->
+      s"""SELECT l_orderkey,
+         | ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | row_number() OVER w AS rn,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(25,6)))
+        |   OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty,
+        | lag(l_quantity, 1) OVER w AS prev_qty
+        |FROM lineitem WHERE l_suppkey < 20
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q05_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q06_setops" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0)
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q07_distinct" ->
+      """SELECT o_orderstatus,
+        | count(DISTINCT o_custkey) AS n_cust,
+        | count(DISTINCT o_orderpriority) AS n_prio,
+        | count(*) AS n_rows
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q08_scalar" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        | substring(p_name, 1, 8) AS pfx, length(p_name) AS nlen,
+        | concat_ws('/', p_brand, p_type) AS bt,
+        | CAST(floor(p_retailprice) AS BIGINT) AS fl_price,
+        | CAST(ceil(p_retailprice) AS BIGINT) AS cl_price,
+        | abs(p_size - 25) AS size_dist
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+
+    "q09_datefns" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS oy,
+        | CAST(month(o_orderdate) AS INT) AS om,
+        | CAST(day(o_orderdate) AS INT) AS od,
+        | CAST(o_orderdate AS DATE) AS odate
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "q10_case_agg" ->
+      """SELECT o_orderpriority,
+        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        | sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_big,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q11_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         | ${sqlDsum("l_quantity")} AS qty,
+         | CAST(grouping(l_returnflag) AS TINYINT) AS g1,
+         | CAST(grouping(l_linestatus) AS TINYINT) AS g2
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY g1, g2, l_returnflag NULLS FIRST,
+         | l_linestatus NULLS FIRST""".stripMargin,
+
+    "q12_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_antijoin" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q14_outerjoin" ->
+      s"""SELECT n_nationkey, n_name, count(c_custkey) AS n_cust,
+         | ${sqlDsum("coalesce(c_acctbal, 0.0)")} AS bal
+         |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+
+    "q15_events_day" ->
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         | count(*) AS n, ${sqlDsum("value")} AS total
+         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q16_subquery" ->
+      s"""SELECT p_partkey, p_retailprice FROM part
+         |WHERE p_retailprice > (SELECT ${sqlDavg("p_retailprice")}
+         |                       FROM part) + 30.0
+         |ORDER BY p_partkey""".stripMargin,
+
+    "q17_join6" ->
+      s"""SELECT n_name,
+         | ${sqlDsum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q18_unionall" ->
+      """SELECT nk, count(*) AS n FROM (
+        | SELECT c_nationkey AS nk FROM customer
+        | UNION ALL
+        | SELECT s_nationkey AS nk FROM supplier) u
+        |GROUP BY nk ORDER BY nk""".stripMargin)
+}
