@@ -1,0 +1,131 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Correctness-gate queries that exercise the `graft-remote` DSv2
+  * connector end-to-end: fixture parquet → connector INSERT into an
+  * embedded Derby database ("the remote DB") → connector scan with
+  * filter/limit/aggregate pushdown → DuckDB oracle over the ORIGINAL
+  * parquet. A value mismatch anywhere in the write path, type mapping,
+  * dialect SQL, or reader decode fails the gate.
+  *
+  * Tables are written once per (JVM, sfDir); timestamp-free tables are
+  * used to keep the oracle free of TZ ambiguity (SURVEY §7.4).
+  */
+object RemoteQueries {
+
+  private val prepared = scala.collection.mutable.Set[String]()
+
+  private val ddl = Map(
+    "REGION" -> "CREATE TABLE REGION (R_REGIONKEY INT, R_NAME VARCHAR(32))",
+    "NATION" -> "CREATE TABLE NATION (N_NATIONKEY INT, N_NAME VARCHAR(64), N_REGIONKEY INT)",
+    "SUPPLIER" -> "CREATE TABLE SUPPLIER (S_SUPPKEY BIGINT, S_NAME VARCHAR(64), S_NATIONKEY INT, S_ACCTBAL DOUBLE)",
+    "CUSTOMER" -> ("CREATE TABLE CUSTOMER (C_CUSTKEY BIGINT, C_NAME VARCHAR(64), " +
+      "C_NATIONKEY INT, C_ACCTBAL DOUBLE, C_MKTSEGMENT VARCHAR(16))"))
+
+  /** Copy the fixtures into Derby through the connector write path;
+    * idempotent per JVM, fresh tables per run. Returns the JDBC url. */
+  def ensure(spark: SparkSession, dir: String): String = synchronized {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val id = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val url = s"jdbc:derby:/tmp/graft_remote_$id;create=true"
+    if (prepared.contains(url)) return url
+    val c = DriverManager.getConnection(url)
+    val st = c.createStatement()
+    ddl.foreach { case (table, create) =>
+      try st.executeUpdate(s"DROP TABLE $table") catch { case _: Exception => () }
+      st.executeUpdate(create)
+    }
+    st.close(); c.close()
+    ddl.keys.foreach { table =>
+      Tables.table(spark, dir, table.toLowerCase)
+        .write.format("graft-remote")
+        .option("url", url).option("dbtable", table)
+        .mode("append").save()
+    }
+    prepared += url
+    url
+  }
+
+  private def remote(s: SparkSession, url: String, opts: (String, String)*): DataFrame = {
+    var r = s.read.format("graft-remote").option("url", url)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // write path + scan + exact filter pushdown round-trip
+    "r01_remote_filter" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "NATION")
+        .filter(col("N_REGIONKEY") < 3)
+        .select(col("N_NATIONKEY").as("n_nationkey"),
+          col("N_NAME").as("n_name"), col("N_REGIONKEY").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // complete COUNT(*) pushdown through the connector
+    "r02_remote_count" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "SUPPLIER")
+        .agg(count(lit(1)).as("n_sup"))
+    }),
+
+    // remote-side join via a Query source (federation pattern)
+    "r03_remote_query_join" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "query" ->
+        ("SELECT n.N_NAME, r.R_NAME FROM NATION n " +
+          "JOIN REGION r ON n.N_REGIONKEY = r.R_REGIONKEY"))
+        .select(col("N_NAME").as("n_name"), col("R_NAME").as("r_name"))
+        .orderBy(col("n_name"), col("r_name"))
+    }),
+
+    // parallel range-partitioned scan + Spark-side aggregation on top
+    "r04_remote_partitioned_agg" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      val maxKey = Tables.table(s, dir, "customer")
+        .agg(max(col("c_custkey"))).collect().head.getLong(0)
+      remote(s, url, "dbtable" -> "CUSTOMER",
+        "partitioncolumn" -> "C_CUSTKEY", "lowerbound" -> "1",
+        "upperbound" -> (maxKey + 1).toString, "numpartitions" -> "4")
+        .groupBy(col("C_NATIONKEY"))
+        .agg(sum(col("C_ACCTBAL").cast(DecimalType(25, 6))).cast(DoubleType)
+          .as("bal"), count(lit(1)).as("n_cust"))
+        .select(col("C_NATIONKEY").as("c_nationkey"), col("bal"), col("n_cust"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // limit pushdown + order stability via Spark-side sort on top
+    "r05_remote_topk" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "SUPPLIER")
+        .orderBy(col("S_ACCTBAL").desc, col("S_SUPPKEY"))
+        .limit(25)
+        .select(col("S_SUPPKEY").as("s_suppkey"),
+          col("S_ACCTBAL").as("s_acctbal"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "r01_remote_filter" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin,
+    "r02_remote_count" ->
+      "SELECT count(*) AS n_sup FROM supplier",
+    "r03_remote_query_join" ->
+      """SELECT n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_name, r_name""".stripMargin,
+    "r04_remote_partitioned_agg" ->
+      """SELECT c_nationkey,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal,
+        | count(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "r05_remote_topk" ->
+      """SELECT s_suppkey, s_acctbal FROM supplier
+        |ORDER BY s_acctbal DESC, s_suppkey LIMIT 25""".stripMargin)
+}

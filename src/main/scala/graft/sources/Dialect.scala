@@ -1,0 +1,242 @@
+package graft.sources
+
+import java.sql.{Date, Timestamp}
+import java.time.{LocalDate, LocalDateTime}
+
+import org.apache.spark.sql.sources._
+
+/** What a scan reads from — reference `RemoteSource` (`table.rs:27-31`):
+  * either an arbitrary SQL query or a 1-3 part table identifier. The
+  * `ListTables` command (reference `table.rs:21-24`) is modeled as an
+  * option on the source instead of a third case.
+  */
+sealed trait RemoteSource extends Serializable
+object RemoteSource {
+  final case class Query(sql: String) extends RemoteSource
+  final case class TableRef(parts: Seq[String]) extends RemoteSource
+}
+
+/** Per-backend SQL generation — the port of the reference's
+  * `RemoteDbType` dialect logic (`connection/mod.rs:228-512`):
+  * identifier quoting, literal rendering, query rewriting with pushed
+  * filters/limit, count queries, and the Spark `sources.Filter` →
+  * remote-SQL compiler (the analogue of the reference's DataFusion
+  * `Expr` unparser, `transform.rs:53-83`, and of Spark JDBC's
+  * `JDBCRDD.compileFilter`).
+  */
+trait Dialect extends Serializable {
+  def name: String
+
+  /** Alias for wrapped query sources (reference `__subquery`,
+    * `connection/mod.rs:336-380`); Derby overrides — it rejects
+    * identifiers starting with an underscore. */
+  def subqueryAlias: String = "__subquery"
+
+  def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+
+  def tableName(parts: Seq[String]): String = parts.map(quote).mkString(".")
+
+  /** Only SELECT-shaped queries are rewritable (reference
+    * `connection/mod.rs:239-248`); anything else is scanned as-is with
+    * every filter/limit evaluated by Spark. */
+  def isRewritable(source: RemoteSource): Boolean = source match {
+    case RemoteSource.Query(sql) => sql.trim.toUpperCase.startsWith("SELECT")
+    case _: RemoteSource.TableRef => true
+  }
+
+  /** `SELECT cols FROM base WHERE f1 AND f2 <limit>` with a query
+    * source wrapped as a named subquery (reference
+    * `connection/mod.rs:267-385`). `columns == None` renders `*`;
+    * `Some(Nil)` (empty projection / count-shaped scans) renders a
+    * constant so 0-column row counts stay correct (reference
+    * `integration-tests/tests/postgres.rs:237-266`). */
+  def rewriteQuery(
+      source: RemoteSource,
+      filters: Seq[String] = Nil,
+      limit: Option[Int] = None,
+      columns: Option[Seq[String]] = None): String = {
+    val select = columns match {
+      case None => "*"
+      case Some(Nil) => "1"
+      case Some(cs) => cs.map(quote).mkString(", ")
+    }
+    val from = source match {
+      case RemoteSource.TableRef(parts) => tableName(parts)
+      case RemoteSource.Query(sql) => s"(${sql.trim.stripSuffix(";")}) AS $subqueryAlias"
+    }
+    val where =
+      if (filters.isEmpty) "" else filters.mkString(" WHERE (", ") AND (", ")")
+    applyLimit(s"SELECT $select FROM $from$where", limit)
+  }
+
+  /** Dialect limit syntax; Oracle overrides with ROWNUM (reference
+    * `connection/mod.rs:321-334`), Derby with FETCH FIRST. */
+  protected def applyLimit(sql: String, limit: Option[Int]): String =
+    limit.fold(sql)(n => s"$sql LIMIT $n")
+
+  /** COUNT(1) including pushed filters (reference `connection/mod.rs:454-512`). */
+  def countQuery(source: RemoteSource, filters: Seq[String] = Nil): String = {
+    val from = source match {
+      case RemoteSource.TableRef(parts) => tableName(parts)
+      case RemoteSource.Query(sql) => s"(${sql.trim.stripSuffix(";")}) AS $subqueryAlias"
+    }
+    val where =
+      if (filters.isEmpty) "" else filters.mkString(" WHERE (", ") AND (", ")")
+    s"SELECT COUNT(1) FROM $from$where"
+  }
+
+  /** One-row probe used for schema inference (reference `LIMIT 1`
+    * rewrites, e.g. `connection/mysql.rs:83-92`). */
+  def probeQuery(source: RemoteSource): String =
+    rewriteQuery(source, limit = Some(1))
+
+  // ---- literals (reference `connection/mod.rs:413-431` + literalize.rs) ----
+
+  def stringLiteral(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  def binaryLiteral(b: Array[Byte]): String =
+    "X'" + b.map("%02X".format(_)).mkString + "'"
+
+  def dateLiteral(d: LocalDate): String = s"DATE '$d'"
+
+  def timestampLiteral(t: LocalDateTime): String = {
+    val s = java.sql.Timestamp.valueOf(t).toString
+    s"TIMESTAMP '$s'"
+  }
+
+  def booleanLiteral(b: Boolean): String = if (b) "TRUE" else "FALSE"
+
+  def literal(v: Any): Option[String] = v match {
+    case null => Some("NULL")
+    case s: String => Some(stringLiteral(s))
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(stringLiteral(s.toString))
+    case b: Array[Byte] => Some(binaryLiteral(b))
+    case b: Boolean => Some(booleanLiteral(b))
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) None else Some(f.toString)
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) None else Some(d.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: BigDecimal => Some(d.underlying.toPlainString)
+    case d: Date => Some(dateLiteral(d.toLocalDate))
+    case d: LocalDate => Some(dateLiteral(d))
+    case t: Timestamp => Some(timestampLiteral(t.toLocalDateTime))
+    case t: LocalDateTime => Some(timestampLiteral(t))
+    case t: java.time.Instant =>
+      Some(timestampLiteral(LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)))
+    case _ => None // unknown type: refuse pushdown rather than mis-render
+  }
+
+  // ---- filter compiler ----------------------------------------------------
+
+  /** LIKE-pattern escape for StartsWith/EndsWith/Contains. */
+  protected def likeEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+  protected def likeClause(col: String, pattern: String): String =
+    s"$col LIKE ${stringLiteral(pattern)} ESCAPE '\\'"
+
+  /** Compile one Spark filter to remote SQL; `None` = not pushable and
+    * Spark must re-evaluate it (reference `Unsupported`,
+    * `transform.rs:53-77`). A compiled filter is *exact*: it is removed
+    * from Spark's post-scan filters. */
+  def compileFilter(f: Filter, rename: String => String = identity): Option[String] = {
+    def col(n: String) = quote(rename(n))
+    f match {
+      case EqualTo(a, v) => literal(v).map(l => s"${col(a)} = $l")
+      case EqualNullSafe(a, v) =>
+        if (v == null) Some(s"${col(a)} IS NULL")
+        else literal(v).map(l =>
+          s"(${col(a)} = $l OR (${col(a)} IS NULL AND $l IS NULL))")
+      case GreaterThan(a, v) => literal(v).map(l => s"${col(a)} > $l")
+      case GreaterThanOrEqual(a, v) => literal(v).map(l => s"${col(a)} >= $l")
+      case LessThan(a, v) => literal(v).map(l => s"${col(a)} < $l")
+      case LessThanOrEqual(a, v) => literal(v).map(l => s"${col(a)} <= $l")
+      case In(a, vs) =>
+        if (vs.isEmpty) Some("1 = 0")
+        else {
+          val ls = vs.toSeq.map(literal)
+          if (ls.forall(_.isDefined)) Some(s"${col(a)} IN (${ls.flatten.mkString(", ")})")
+          else None
+        }
+      case IsNull(a) => Some(s"${col(a)} IS NULL")
+      case IsNotNull(a) => Some(s"${col(a)} IS NOT NULL")
+      case And(l, r) =>
+        for (cl <- compileFilter(l, rename); cr <- compileFilter(r, rename))
+          yield s"($cl) AND ($cr)"
+      case Or(l, r) =>
+        for (cl <- compileFilter(l, rename); cr <- compileFilter(r, rename))
+          yield s"($cl) OR ($cr)"
+      case Not(c) => compileFilter(c, rename).map(cc => s"NOT ($cc)")
+      case StringStartsWith(a, v) => Some(likeClause(col(a), likeEscape(v) + "%"))
+      case StringEndsWith(a, v) => Some(likeClause(col(a), "%" + likeEscape(v)))
+      case StringContains(a, v) => Some(likeClause(col(a), "%" + likeEscape(v) + "%"))
+      case AlwaysTrue() => Some("1 = 1")
+      case AlwaysFalse() => Some("1 = 0")
+      case _ => None
+    }
+  }
+}
+
+object Dialect {
+  def forName(n: String): Dialect = n.toLowerCase match {
+    case "derby" => DerbyDialect
+    case "postgres" | "postgresql" => PostgresDialect
+    case "mysql" => MySqlDialect
+    case "sqlite" => SqliteDialect
+    case "oracle" => OracleDialect
+    case other => throw new IllegalArgumentException(s"unknown dialect: $other")
+  }
+
+  /** Guess from a JDBC url, mirroring the reference's per-scheme
+    * connection options (`connection/options.rs`). */
+  def forUrl(url: String): Dialect = {
+    val u = url.toLowerCase
+    if (u.startsWith("jdbc:derby")) DerbyDialect
+    else if (u.startsWith("jdbc:postgresql")) PostgresDialect
+    else if (u.startsWith("jdbc:mysql")) MySqlDialect
+    else if (u.startsWith("jdbc:sqlite")) SqliteDialect
+    else if (u.startsWith("jdbc:oracle")) OracleDialect
+    else DerbyDialect
+  }
+}
+
+/** Apache Derby (the JDBC backend shipped with this image). ANSI
+  * quoting; limit via FETCH FIRST; no LIKE ESCAPE backslash quirks. */
+object DerbyDialect extends Dialect {
+  val name = "derby"
+  override def subqueryAlias: String = "GRAFT_SUBQUERY"
+  override protected def applyLimit(sql: String, limit: Option[Int]): String =
+    limit.fold(sql)(n => s"$sql FETCH FIRST $n ROWS ONLY")
+  // Derby has no boolean literals pre-10.7 in all contexts; TRUE/FALSE ok.
+}
+
+/** Postgres-family rendering (reference `connection/postgres.rs`). */
+object PostgresDialect extends Dialect {
+  val name = "postgres"
+  override def binaryLiteral(b: Array[Byte]): String =
+    "E'\\\\x" + b.map("%02x".format(_)).mkString + "'"
+}
+
+/** MySQL rendering (reference `connection/mysql.rs`): backtick idents. */
+object MySqlDialect extends Dialect {
+  val name = "mysql"
+  override def quote(ident: String): String =
+    "`" + ident.replace("`", "``") + "`"
+}
+
+/** SQLite rendering (reference `connection/sqlite.rs`). */
+object SqliteDialect extends Dialect {
+  val name = "sqlite"
+}
+
+/** Oracle rendering: no LIMIT — wrap with ROWNUM like the reference
+  * (`connection/mod.rs:321-334,362-379`). */
+object OracleDialect extends Dialect {
+  val name = "oracle"
+  override protected def applyLimit(sql: String, limit: Option[Int]): String =
+    limit.fold(sql)(n => s"SELECT * FROM ($sql) WHERE ROWNUM <= $n")
+  override def timestampLiteral(t: LocalDateTime): String =
+    s"TO_TIMESTAMP('${java.sql.Timestamp.valueOf(t)}', 'YYYY-MM-DD HH24:MI:SS.FF')"
+}

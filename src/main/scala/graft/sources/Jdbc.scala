@@ -1,0 +1,210 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, ResultSet, Types}
+import java.util.Properties
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-wide connection bookkeeping — the analogue of the reference's
+  * `Pool` trait + state introspection (`connection/mod.rs:51-93`,
+  * pool-lifecycle test `integration-tests/tests/postgres.rs:403-439`).
+  *
+  * Executors are long-lived JVMs, so per-task open/close with counters
+  * (Spark's JDBC idiom) replaces bb8 pooling; the counters let tests
+  * assert no connection leaks.
+  */
+object GraftConnections {
+  val opened = new AtomicLong(0)
+  val closed = new AtomicLong(0)
+  def state: (Long, Long) = (opened.get, closed.get)
+
+  def open(opts: RemoteOptions): Connection = {
+    opts.driverClass.foreach(Class.forName(_))
+    val props = new Properties()
+    opts.user.foreach(props.setProperty("user", _))
+    opts.password.foreach(props.setProperty("password", _))
+    val c = DriverManager.getConnection(opts.url, props)
+    opened.incrementAndGet()
+    c
+  }
+
+  def close(c: Connection): Unit = {
+    try c.close() finally closed.incrementAndGet()
+  }
+
+  def withConnection[T](opts: RemoteOptions)(f: Connection => T): T = {
+    val c = open(opts)
+    try f(c) finally close(c)
+  }
+}
+
+object Jdbc {
+
+  /** java.sql.Types -> RemoteType (SURVEY.md §1.3 mapping, driven by
+    * result-set metadata like the reference's MySQL/DM/Oracle probes). */
+  def remoteType(
+      sqlType: Int,
+      typeName: String,
+      precision: Int,
+      scale: Int,
+      signed: Boolean): RemoteType = {
+    import RemoteType._
+    sqlType match {
+      case Types.BIT | Types.BOOLEAN => RBool
+      case Types.TINYINT => if (signed) RInt1 else RUInt1
+      case Types.SMALLINT => if (signed) RInt2 else RUInt2
+      case Types.INTEGER => if (signed) RInt4 else RUInt4
+      case Types.BIGINT => if (signed) RInt8 else RUInt8
+      case Types.REAL => RFloat4
+      case Types.FLOAT | Types.DOUBLE => RFloat8
+      case Types.NUMERIC | Types.DECIMAL =>
+        // Unconstrained NUMERIC probes as p=0 on some drivers; the
+        // reference forces a user schema there (postgres.rs:268-319) —
+        // we default to a wide decimal.
+        if (precision <= 0) RDecimal(38, math.max(scale, 6))
+        else RDecimal(precision, scale)
+      case Types.CHAR | Types.NCHAR => RChar(math.max(precision, 1))
+      case Types.VARCHAR | Types.NVARCHAR => RVarchar(math.max(precision, 1))
+      case Types.LONGVARCHAR | Types.LONGNVARCHAR | Types.CLOB | Types.NCLOB
+           | Types.SQLXML => RText
+      case Types.BINARY => RFixedBinary(math.max(precision, 1))
+      case Types.VARBINARY | Types.LONGVARBINARY | Types.BLOB => RBinary
+      case Types.DATE => RDate
+      case Types.TIME | Types.TIME_WITH_TIMEZONE => RTime
+      case Types.TIMESTAMP => RTimestampNtz
+      case Types.TIMESTAMP_WITH_TIMEZONE => RTimestampTz
+      case Types.ARRAY => RArray(RText) // element type unknowable via JDBC alone
+      case _ => RText // conservative: render as string
+    }
+  }
+
+  /** Infer the remote schema by probing a 1-row query and reading
+    * result-set metadata (reference `connection/mysql.rs:83-92`,
+    * `connection/dm/mod.rs:91-106`; Derby reports identity columns via
+    * `isAutoIncrement`). */
+  def inferSchema(opts: RemoteOptions): RemoteSchema =
+    GraftConnections.withConnection(opts) { c =>
+      val sql = opts.dialect.probeQuery(opts.source)
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(sql)
+        val md = rs.getMetaData
+        val fields = (1 to md.getColumnCount).map { i =>
+          RemoteField(
+            name = md.getColumnLabel(i),
+            tpe = remoteType(md.getColumnType(i), md.getColumnTypeName(i),
+              md.getPrecision(i), md.getScale(i), md.isSigned(i)),
+            nullable = md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls,
+            autoIncrement = md.isAutoIncrement(i))
+        }
+        RemoteSchema(fields)
+      } finally st.close()
+    }
+
+  /** Exact row count with pushed filters (reference COUNT(1) pushdown,
+    * `connection/mod.rs:97-118,454-512`). */
+  def count(opts: RemoteOptions, filters: Seq[String]): Long =
+    GraftConnections.withConnection(opts) { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(opts.dialect.countQuery(opts.source, filters))
+        rs.next()
+        rs.getLong(1)
+      } finally st.close()
+    }
+
+  /** Catalyst-value getter per field — the port of the reference's
+    * per-type Arrow builders (`connection/postgres.rs:680-1268` etc.),
+    * producing InternalRow-compatible values. */
+  def catalystGetter(f: RemoteField): (ResultSet, Int) => Any = {
+    import RemoteType._
+    f.tpe match {
+      case RBool => (rs, i) => { val v = rs.getBoolean(i); if (rs.wasNull()) null else v }
+      case RInt1 => (rs, i) => { val v = rs.getByte(i); if (rs.wasNull()) null else v }
+      case RInt2 | RUInt1 => (rs, i) => { val v = rs.getShort(i); if (rs.wasNull()) null else v }
+      case RInt4 | RUInt2 => (rs, i) => { val v = rs.getInt(i); if (rs.wasNull()) null else v }
+      case RInt8 | RUInt4 => (rs, i) => { val v = rs.getLong(i); if (rs.wasNull()) null else v }
+      case RUInt8 => (rs, i) => {
+        val v = rs.getBigDecimal(i)
+        if (v == null) null else Decimal(BigDecimal(v), 20, 0)
+      }
+      case RFloat4 => (rs, i) => { val v = rs.getFloat(i); if (rs.wasNull()) null else v }
+      case RFloat8 => (rs, i) => { val v = rs.getDouble(i); if (rs.wasNull()) null else v }
+      case RDecimal(p, s) if p <= DecimalType.MAX_PRECISION => (rs, i) => {
+        val v = rs.getBigDecimal(i)
+        if (v == null) null
+        else Decimal(BigDecimal(v.setScale(s, java.math.RoundingMode.HALF_UP)), p, s)
+      }
+      case RDecimal(_, _) => (rs, i) => { // p > 38: stringified (Decimal256 gap)
+        val v = rs.getBigDecimal(i)
+        if (v == null) null else UTF8String.fromString(v.toPlainString)
+      }
+      case RChar(_) | RVarchar(_) | RText | RJson | RXml => (rs, i) => {
+        val v = rs.getString(i)
+        if (v == null) null else UTF8String.fromString(v)
+      }
+      case RBinary | RFixedBinary(_) | RUuid | RGeometry => (rs, i) => rs.getBytes(i)
+      case RDate => (rs, i) => {
+        val v = rs.getDate(i)
+        if (v == null) null else DateTimeUtils.fromJavaDate(v)
+      }
+      case RTime => (rs, i) => { // µs since midnight (SURVEY §1.4 convention)
+        val v = rs.getTime(i)
+        if (v == null) null else v.toLocalTime.toNanoOfDay / 1000L
+      }
+      case RTimestampNtz => (rs, i) => {
+        val v = rs.getTimestamp(i)
+        if (v == null) null
+        else DateTimeUtils.localDateTimeToMicros(v.toLocalDateTime)
+      }
+      case RTimestampTz => (rs, i) => {
+        val v = rs.getTimestamp(i)
+        if (v == null) null else DateTimeUtils.fromJavaTimestamp(v)
+      }
+      case other => (rs, i) => {
+        val v = rs.getString(i)
+        if (v == null) null else UTF8String.fromString(v)
+      }
+    }
+  }
+
+  /** External (Row-API) getter — used on the Transform path where user
+    * code sees java values, mirroring the reference transform operating
+    * on materialized batches (`transform.rs:86-167`). */
+  def externalGetter(f: RemoteField): (ResultSet, Int) => Any = {
+    import RemoteType._
+    f.tpe match {
+      case RBool => (rs, i) => { val v = rs.getBoolean(i); if (rs.wasNull()) null else v }
+      case RInt1 => (rs, i) => { val v = rs.getByte(i); if (rs.wasNull()) null else v }
+      case RInt2 | RUInt1 => (rs, i) => { val v = rs.getShort(i); if (rs.wasNull()) null else v }
+      case RInt4 | RUInt2 => (rs, i) => { val v = rs.getInt(i); if (rs.wasNull()) null else v }
+      case RInt8 | RUInt4 => (rs, i) => { val v = rs.getLong(i); if (rs.wasNull()) null else v }
+      case RUInt8 => (rs, i) => { val v = rs.getBigDecimal(i); if (v == null) null else BigDecimal(v) }
+      case RFloat4 => (rs, i) => { val v = rs.getFloat(i); if (rs.wasNull()) null else v }
+      case RFloat8 => (rs, i) => { val v = rs.getDouble(i); if (rs.wasNull()) null else v }
+      case RDecimal(p, s) if p <= DecimalType.MAX_PRECISION =>
+        (rs, i) => {
+          val v = rs.getBigDecimal(i)
+          if (v == null) null else BigDecimal(v.setScale(s, java.math.RoundingMode.HALF_UP))
+        }
+      case RDecimal(_, _) => (rs, i) => {
+        val v = rs.getBigDecimal(i); if (v == null) null else v.toPlainString
+      }
+      case RChar(_) | RVarchar(_) | RText | RJson | RXml => (rs, i) => rs.getString(i)
+      case RBinary | RFixedBinary(_) | RUuid | RGeometry => (rs, i) => rs.getBytes(i)
+      case RDate => (rs, i) => rs.getDate(i)
+      case RTime => (rs, i) => {
+        val v = rs.getTime(i)
+        if (v == null) null else v.toLocalTime.toNanoOfDay / 1000L
+      }
+      case RTimestampNtz => (rs, i) => {
+        val v = rs.getTimestamp(i); if (v == null) null else v.toLocalDateTime
+      }
+      case RTimestampTz => (rs, i) => rs.getTimestamp(i)
+      case _ => (rs, i) => rs.getString(i)
+    }
+  }
+}

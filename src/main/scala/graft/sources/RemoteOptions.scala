@@ -1,0 +1,67 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+/** Connection + behavior options for the remote source — the port of
+  * the reference's per-DB `ConnectionOptions` (`connection/options.rs`).
+  *
+  * Spark-facing keys (all lowercase, DSv2 option map):
+  *   url, driver, user, password           — JDBC connection
+  *   dbtable | query | command=list_tables — the RemoteSource
+  *   dialect                               — override url-derived dialect
+  *   fetchsize                             — reference stream_chunk_size (2048)
+  *   partitioncolumn, lowerbound, upperbound, numpartitions
+  *                                         — parallel range scan (§7.4:
+  *                                           design N partitions from day 1)
+  *   enablestatistics                      — reference enable_table_statistics
+  *   transformclass                        — FQCN of a [[Transform]]
+  *   batchsize                             — insert rows per statement (1000)
+  *   literalinsert                         — render literal SQL INSERTs
+  *                                           (reference Literalize path)
+  *                                           instead of PreparedStatement
+  */
+final case class RemoteOptions(map: Map[String, String]) extends Serializable {
+  private def req(k: String): String =
+    map.getOrElse(k, throw new IllegalArgumentException(s"missing option '$k'"))
+
+  def url: String = req("url")
+  def driverClass: Option[String] = map.get("driver")
+  def user: Option[String] = map.get("user")
+  def password: Option[String] = map.get("password")
+
+  def source: RemoteSource = (map.get("dbtable"), map.get("query")) match {
+    case (Some(t), None) => RemoteSource.TableRef(t.split('.').toSeq)
+    case (None, Some(q)) => RemoteSource.Query(q)
+    case (None, None) if command.isDefined =>
+      RemoteSource.TableRef(Seq("__command__"))
+    case _ => throw new IllegalArgumentException(
+      "exactly one of 'dbtable' or 'query' must be set")
+  }
+
+  def command: Option[String] = map.get("command")
+  def dialect: Dialect =
+    map.get("dialect").map(Dialect.forName).getOrElse(Dialect.forUrl(url))
+
+  def fetchSize: Int = map.getOrElse("fetchsize", "2048").toInt
+  def batchSize: Int = map.getOrElse("batchsize", "1000").toInt
+  def literalInsert: Boolean = map.getOrElse("literalinsert", "false").toBoolean
+  def enableStatistics: Boolean =
+    map.getOrElse("enablestatistics", "false").toBoolean
+
+  def partitionColumn: Option[String] = map.get("partitioncolumn")
+  def lowerBound: Option[Long] = map.get("lowerbound").map(_.toLong)
+  def upperBound: Option[Long] = map.get("upperbound").map(_.toLong)
+  def numPartitions: Int = map.getOrElse("numpartitions", "1").toInt
+
+  def transformClass: Option[String] = map.get("transformclass")
+  def transform: Transform = transformClass match {
+    case Some(c) => Class.forName(c).getDeclaredConstructor()
+      .newInstance().asInstanceOf[Transform]
+    case None => IdentityTransform
+  }
+}
+
+object RemoteOptions {
+  def apply(m: java.util.Map[String, String]): RemoteOptions =
+    RemoteOptions(m.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
+}

@@ -1,0 +1,467 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform => PartitionTransform}
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 entry point, registered as `graft-remote` — the Spark-native
+  * port of the reference's `RemoteTable: TableProvider`
+  * (`table.rs:112-308`). Usage:
+  *
+  * {{{
+  * spark.read.format("graft-remote")
+  *   .option("url", "jdbc:derby:/tmp/db;create=true")
+  *   .option("dbtable", "APP.NATION")      // or .option("query", "SELECT ...")
+  *   .load()
+  * }}}
+  */
+class RemoteTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-remote"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = RemoteOptions(options.asCaseSensitiveMap())
+    if (opts.command.contains("list_tables")) RemoteTableImpl.listTablesSchema
+    else opts.transform.transformSchema(Jdbc.inferSchema(opts).toSpark)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[PartitionTransform],
+      properties: java.util.Map[String, String]): Table =
+    new RemoteTableImpl(RemoteOptions(properties), Option(schema))
+}
+
+object RemoteTableImpl {
+  /** Fixed schema of the `list_tables` metadata command (reference
+    * `ListMdbTables`, `connection/mdb/mod.rs:34-47`). */
+  val listTablesSchema: StructType = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("table_type", StringType, nullable = false)))
+}
+
+/** The table: schema inference happens once, driver-side, at
+  * construction — matching the reference's remote round-trip inside
+  * `RemoteTable::try_new` (`table.rs:237-274`). */
+class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType])
+  extends Table with SupportsRead with SupportsWrite {
+
+  val isCommand: Boolean = opts.command.contains("list_tables")
+
+  /** Remote (source-native) schema of the raw scan. */
+  lazy val remoteSchema: RemoteSchema =
+    if (isCommand)
+      RemoteSchema(Seq(
+        RemoteField("table_name", RemoteType.RVarchar(256), nullable = false),
+        RemoteField("table_type", RemoteType.RVarchar(64), nullable = false)))
+    else Jdbc.inferSchema(opts)
+
+  /** Spark schema after the user Transform (reference
+    * `transformed_table_schema`, `transform.rs:169-192`). */
+  lazy val transformedSchema: StructType = userSchema.filter(_.nonEmpty)
+    .getOrElse(opts.transform.transformSchema(remoteSchema.toSpark))
+
+  override def name(): String = opts.source match {
+    case RemoteSource.TableRef(p) => p.mkString(".")
+    case RemoteSource.Query(_) => "graft_remote_query"
+  }
+  override def schema(): StructType = transformedSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      // writes may omit auto-increment columns (the writer maps by name
+      // and strips all-NULL identity columns like reference insert.rs:157-205)
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RemoteScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new RemoteWriteBuilder(opts, remoteSchema, info.schema())
+}
+
+/** Pushdown negotiation — the port of `supports_filters_pushdown` +
+  * `scan()` (`table.rs:333-415`):
+  *   - filters compile to dialect SQL, Exact semantics (compiled ⇒ not
+  *     re-evaluated by Spark);
+  *   - filters on transformed columns are renamed back through
+  *     [[Transform.filterRename]] (reference `transform.rs:26-33`);
+  *   - limit pushdown (reference `scan.rs:154-177`);
+  *   - column pruning rewrites the remote SELECT list (strictly better
+  *     than the reference's decode-side pruning, SURVEY §2.1 O2);
+  *   - COUNT(*)/MIN/MAX/SUM/COUNT(col) complete aggregate pushdown —
+  *     the idiomatic Spark form of the reference's COUNT-statistics
+  *     folding (SURVEY §2.1 O5).
+  */
+class RemoteScanBuilder(table: RemoteTableImpl)
+  extends ScanBuilder
+  with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit
+  with SupportsPushDownAggregates {
+
+  private val opts = table.opts
+  private val dialect = opts.dialect
+  private val rewritable = !table.isCommand && dialect.isRewritable(opts.source)
+  private val hasTransform = opts.transformClass.isDefined
+
+  private var pushedSql: Seq[String] = Nil
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = table.transformedSchema
+  private var limit: Option[Int] = None
+  private var agg: Option[(Seq[String], StructType)] = None
+
+  /** transformed name -> raw source column (identity without transform). */
+  private def renameForPushdown(name: String): Option[String] = {
+    val mapped =
+      if (hasTransform) opts.transform.filterRename(name) else Some(name)
+    // only push filters on columns that exist remotely
+    mapped.filter(m => table.remoteSchema.fields.exists(_.name.equalsIgnoreCase(m)))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (!rewritable) { pushed = Array.empty; return filters }
+    val (ok, rest) = filters.partition { f =>
+      // every referenced column must survive the rename
+      val renameable = f.references.forall(c => renameForPushdown(c).isDefined)
+      renameable && dialect.compileFilter(f, c => renameForPushdown(c).get).isDefined
+    }
+    pushed = ok
+    pushedSql = ok.toSeq.flatMap(f =>
+      dialect.compileFilter(f, c => renameForPushdown(c).get))
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = {
+    if (rewritable) { limit = Some(n); true } else false
+  }
+
+  private def aggColumn(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case fr: NamedReference if fr.fieldNames.length == 1 =>
+      Some(fr.fieldNames.head).filter(n =>
+        table.remoteSchema.fields.exists(_.name.equalsIgnoreCase(n)))
+    case _ => None
+  }
+
+  /** Render one aggregate to remote SQL + its Spark result type. */
+  private def compileAgg(fn: AggregateFunc): Option[(String, DataType)] = fn match {
+    case _: CountStar => Some(("COUNT(1)", LongType))
+    case c: Count if !c.isDistinct =>
+      aggColumn(c.column).map(n => (s"COUNT(${dialect.quote(n)})", LongType))
+    case m: Min =>
+      aggColumn(m.column).map { n =>
+        (s"MIN(${dialect.quote(n)})",
+          table.remoteSchema(n).tpe.toSpark)
+      }
+    case m: Max =>
+      aggColumn(m.column).map { n =>
+        (s"MAX(${dialect.quote(n)})",
+          table.remoteSchema(n).tpe.toSpark)
+      }
+    case _ => None
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    // single-partition scans only: complete pushdown means Spark takes
+    // our rows as the final aggregate result
+    rewritable && !hasTransform && opts.numPartitions == 1 &&
+      aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.forall(compileAgg(_).isDefined)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!supportCompletePushDown(aggregation)) return false
+    val compiled = aggregation.aggregateExpressions.toSeq.map(compileAgg(_).get)
+    val schema = StructType(compiled.zipWithIndex.map { case ((_, dt), i) =>
+      StructField(s"agg_$i", dt, nullable = true)
+    })
+    agg = Some((compiled.map(_._1), schema))
+    true
+  }
+
+  override def build(): Scan =
+    new RemoteScan(table, pushedSql, pushed, required, limit, agg)
+}
+
+/** Input split: optional extra range predicate for parallel reads.
+  * The reference always scans with one partition
+  * (`Partitioning::UnknownPartitioning(1)`, `scan.rs:62`); we keep that
+  * default but admit JDBC-style range splits (SURVEY §7.4). */
+final case class RemotePartition(index: Int, rangePredicate: Option[String])
+  extends InputPartition
+
+class RemoteScan(
+    table: RemoteTableImpl,
+    pushedSql: Seq[String],
+    pushedFilters: Array[Filter],
+    required: StructType,
+    limit: Option[Int],
+    agg: Option[(Seq[String], StructType)])
+  extends Scan with Batch with SupportsReportStatistics with Logging {
+
+  private val opts = table.opts
+
+  override def readSchema(): StructType = agg.map(_._2).getOrElse(required)
+
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val f = pushedSql.mkString(", ")
+    s"graft-remote ${table.name()} PushedFilters: [$f], " +
+      s"PushedLimit: ${limit.getOrElse(-1)}, PushedAggregates: ${agg.isDefined}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = opts.numPartitions
+    (opts.partitionColumn, opts.lowerBound, opts.upperBound) match {
+      case (Some(col), Some(lo), Some(hi)) if n > 1 && agg.isEmpty =>
+        val q = opts.dialect.quote(col)
+        val stride = math.max(1L, (hi - lo) / n)
+        (0 until n).map { i =>
+          val lower = if (i == 0) None else Some(s"$q >= ${lo + i * stride}")
+          val upper =
+            if (i == n - 1) None else Some(s"$q < ${lo + (i + 1) * stride}")
+          val pred = (lower ++ upper).reduceOption((a, b) => s"$a AND $b")
+          RemotePartition(i, pred): InputPartition
+        }.toArray
+      case _ => Array(RemotePartition(0, None))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RemoteReaderFactory(opts, table.remoteSchema, table.transformedSchema,
+      required, pushedSql, limit, agg, table.isCommand)
+
+  /** Exact COUNT(1)-backed statistics (reference `table.rs:417-426`,
+    * `scan.rs:128-152`): runs once per scan, honors pushed filters,
+    * min(count, limit). Opt-in via `enablestatistics` like the
+    * reference's `enable_table_statistics`. */
+  private lazy val stats: Statistics = new Statistics {
+    private val rows: Option[Long] =
+      if (opts.enableStatistics && !table.isCommand &&
+          opts.dialect.isRewritable(opts.source)) {
+        try {
+          val c = Jdbc.count(opts, pushedSql)
+          Some(limit.fold(c)(l => math.min(c, l.toLong)))
+        } catch {
+          case e: Exception => logWarning(s"statistics count failed: $e"); None
+        }
+      } else None
+    override def sizeInBytes(): OptionalLong =
+      rows.map(r => OptionalLong.of(r * 8L * math.max(1, required.size)))
+        .getOrElse(OptionalLong.empty())
+    override def numRows(): OptionalLong =
+      rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+  }
+  override def estimateStatistics(): Statistics = stats
+}
+
+class RemoteReaderFactory(
+    opts: RemoteOptions,
+    remoteSchema: RemoteSchema,
+    transformedSchema: StructType,
+    required: StructType,
+    pushedSql: Seq[String],
+    limit: Option[Int],
+    agg: Option[(Seq[String], StructType)],
+    isCommand: Boolean)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[RemotePartition]
+    val filters = pushedSql ++ part.rangePredicate
+    if (isCommand) new ListTablesReader(opts)
+    else agg match {
+      case Some((exprs, schema)) =>
+        new AggPushdownReader(opts, exprs, schema, filters)
+      case None if opts.transformClass.isEmpty =>
+        new FastRowReader(opts, remoteSchema, required, filters, limit)
+      case None =>
+        new TransformRowReader(opts, remoteSchema, transformedSchema,
+          required, filters, limit)
+    }
+  }
+}
+
+/** No-transform path: SELECT only the pruned columns, decode straight
+  * to InternalRow (reference O1 + decode-side O2, but with the SELECT
+  * list rewritten as SURVEY §2.1 recommends). */
+class FastRowReader(
+    opts: RemoteOptions,
+    remoteSchema: RemoteSchema,
+    required: StructType,
+    filters: Seq[String],
+    limit: Option[Int])
+  extends PartitionReader[InternalRow] {
+
+  private val requiredFields: Seq[RemoteField] =
+    required.fields.toSeq.map(f => remoteSchema(f.name))
+  private val conn = GraftConnections.open(opts)
+  private val stmt = conn.createStatement()
+  stmt.setFetchSize(opts.fetchSize)
+  private val sql = opts.dialect.rewriteQuery(opts.source, filters, limit,
+    Some(requiredFields.map(_.name)))
+  private val rs = stmt.executeQuery(sql)
+  private val getters = requiredFields.map(Jdbc.catalystGetter)
+  private val width = requiredFields.length
+
+  override def next(): Boolean = rs.next()
+
+  override def get(): InternalRow = {
+    val arr = new Array[Any](width)
+    var i = 0
+    while (i < width) { arr(i) = getters(i)(rs, i + 1); i += 1 }
+    new GenericInternalRow(arr)
+  }
+
+  override def close(): Unit = {
+    try { rs.close(); stmt.close() } finally GraftConnections.close(conn)
+  }
+}
+
+/** Transform path: fetch ALL raw columns (the transform may read any of
+  * them — reference `scan.rs:208-232`), apply the user transform on
+  * external rows, then project to the pruned schema and convert to
+  * InternalRow (projection applied after transform,
+  * `transform.rs:143-150`). */
+class TransformRowReader(
+    opts: RemoteOptions,
+    remoteSchema: RemoteSchema,
+    transformedSchema: StructType,
+    required: StructType,
+    filters: Seq[String],
+    limit: Option[Int])
+  extends PartitionReader[InternalRow] {
+
+  private val conn = GraftConnections.open(opts)
+  private val stmt = conn.createStatement()
+  stmt.setFetchSize(opts.fetchSize)
+  private val sql = opts.dialect.rewriteQuery(opts.source, filters, limit, None)
+  private val rs = stmt.executeQuery(sql)
+  private val getters = remoteSchema.fields.map(Jdbc.externalGetter)
+  private val rawWidth = remoteSchema.fields.length
+  private val rawSchema = remoteSchema.toSpark
+
+  private val rawRows: Iterator[org.apache.spark.sql.Row] =
+    new Iterator[org.apache.spark.sql.Row] {
+      def hasNext: Boolean = rs.next()
+      def next(): org.apache.spark.sql.Row = {
+        val arr = new Array[Any](rawWidth)
+        var i = 0
+        while (i < rawWidth) { arr(i) = getters(i)(rs, i + 1); i += 1 }
+        org.apache.spark.sql.Row.fromSeq(arr.toIndexedSeq)
+      }
+    }
+
+  private val projIdx: Array[Int] =
+    required.fields.map(f => transformedSchema.fieldIndex(f.name))
+  private val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(required)
+  private val out: Iterator[InternalRow] =
+    opts.transform.transform(rawRows, rawSchema).map { row =>
+      val vals = projIdx.map(row.get).toIndexedSeq
+      toCatalyst(org.apache.spark.sql.Row.fromSeq(vals))
+        .asInstanceOf[InternalRow]
+    }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (out.hasNext) { current = out.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = {
+    try { rs.close(); stmt.close() } finally GraftConnections.close(conn)
+  }
+}
+
+/** Complete aggregate pushdown: one remote `SELECT agg1, agg2 ...`
+  * row is the scan output (Spark plans no re-aggregation). */
+class AggPushdownReader(
+    opts: RemoteOptions,
+    aggExprs: Seq[String],
+    schema: StructType,
+    filters: Seq[String])
+  extends PartitionReader[InternalRow] {
+
+  private val conn = GraftConnections.open(opts)
+  private val stmt = conn.createStatement()
+  private val from = opts.dialect.rewriteQuery(opts.source, filters, None, None)
+  private val sql = s"SELECT ${aggExprs.mkString(", ")} FROM ($from) ${opts.dialect.subqueryAlias}A"
+  private val rs = stmt.executeQuery(sql)
+  private var done = false
+
+  override def next(): Boolean = if (done) false else { done = true; rs.next() }
+
+  override def get(): InternalRow = {
+    val arr: Array[Any] = schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case LongType => val v = rs.getLong(i + 1); if (rs.wasNull()) null else v
+        case IntegerType => val v = rs.getInt(i + 1); if (rs.wasNull()) null else v
+        case ShortType => val v = rs.getShort(i + 1); if (rs.wasNull()) null else v
+        case DoubleType => val v = rs.getDouble(i + 1); if (rs.wasNull()) null else v
+        case FloatType => val v = rs.getFloat(i + 1); if (rs.wasNull()) null else v
+        case d: DecimalType =>
+          val v = rs.getBigDecimal(i + 1)
+          if (v == null) null
+          else Decimal(BigDecimal(v.setScale(d.scale, java.math.RoundingMode.HALF_UP)),
+            d.precision, d.scale)
+        case StringType =>
+          val v = rs.getString(i + 1)
+          if (v == null) null else UTF8String.fromString(v)
+        case DateType =>
+          val v = rs.getDate(i + 1)
+          if (v == null) null
+          else org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(v)
+        case TimestampNTZType =>
+          val v = rs.getTimestamp(i + 1)
+          if (v == null) null
+          else org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .localDateTimeToMicros(v.toLocalDateTime)
+        case _ =>
+          val v = rs.getString(i + 1)
+          if (v == null) null else UTF8String.fromString(v)
+      }
+    }
+    new GenericInternalRow(arr)
+  }
+
+  override def close(): Unit = {
+    try { rs.close(); stmt.close() } finally GraftConnections.close(conn)
+  }
+}
+
+/** `list_tables` metadata command (reference `ListMdbTables`,
+  * `connection/mdb/mod.rs:352-517`): user tables/views via JDBC
+  * `DatabaseMetaData.getTables`, system tables filtered out. */
+class ListTablesReader(opts: RemoteOptions)
+  extends PartitionReader[InternalRow] {
+
+  private val conn = GraftConnections.open(opts)
+  private val rs = conn.getMetaData.getTables(null, null, "%",
+    Array("TABLE", "VIEW"))
+
+  override def next(): Boolean = rs.next()
+
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](
+    UTF8String.fromString(rs.getString("TABLE_NAME")),
+    UTF8String.fromString(rs.getString("TABLE_TYPE"))))
+
+  override def close(): Unit = {
+    try rs.close() finally GraftConnections.close(conn)
+  }
+}

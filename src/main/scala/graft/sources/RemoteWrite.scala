@@ -1,0 +1,232 @@
+package graft.sources
+
+import java.sql.{Connection, PreparedStatement}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** Append-only remote INSERT — the port of `RemoteTableInsertExec`
+  * (`insert.rs:15-205`, `table.rs:428-466`):
+  *   - append semantics only; Overwrite/Replace rejected exactly like
+  *     the reference (`table.rs:434-441`) by not implementing
+  *     `SupportsTruncate`/`SupportsOverwrite`;
+  *   - rows buffered per `batchsize` and flushed as one statement;
+  *   - auto-increment columns whose buffered values are ALL NULL are
+  *     stripped so the remote DB generates ids (`insert.rs:157-205`);
+  *   - default path binds a `PreparedStatement` batch (injection-safe,
+  *     faster); `literalinsert=true` renders multi-row literal SQL via
+  *     the overridable [[Literalizer]] — the reference's Literalize
+  *     trait (`literalize.rs:46-624`).
+  */
+class RemoteWriteBuilder(
+    opts: RemoteOptions,
+    remoteSchema: RemoteSchema,
+    writeSchema: StructType)
+  extends WriteBuilder {
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new RemoteBatchWrite(opts, remoteSchema, writeSchema)
+  }
+}
+
+final case class RemoteCommit(rows: Long) extends WriterCommitMessage
+
+class RemoteBatchWrite(
+    opts: RemoteOptions,
+    remoteSchema: RemoteSchema,
+    writeSchema: StructType)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new RemoteDataWriterFactory(opts, remoteSchema, writeSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class RemoteDataWriterFactory(
+    opts: RemoteOptions,
+    remoteSchema: RemoteSchema,
+    writeSchema: StructType)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new RemoteDataWriter(opts, remoteSchema, writeSchema)
+}
+
+class RemoteDataWriter(
+    opts: RemoteOptions,
+    remoteSchema: RemoteSchema,
+    writeSchema: StructType)
+  extends DataWriter[InternalRow] {
+
+  private val table: String = opts.source match {
+    case RemoteSource.TableRef(parts) => opts.dialect.tableName(parts)
+    case RemoteSource.Query(_) =>
+      throw new UnsupportedOperationException("cannot INSERT into a query source")
+  }
+
+  private val fields: Array[RemoteField] =
+    writeSchema.fields.map(f => remoteSchema(f.name))
+  private val sparkTypes: Array[DataType] = writeSchema.fields.map(_.dataType)
+  private val autoIncIdx: Set[Int] =
+    fields.zipWithIndex.collect { case (f, i) if f.autoIncrement => i }.toSet
+
+  private val conn: Connection = GraftConnections.open(opts)
+  private val literalizer: Literalizer = opts.map.get("literalizerclass") match {
+    case Some(c) => Class.forName(c).getDeclaredConstructor()
+      .newInstance().asInstanceOf[Literalizer]
+    case None => DefaultLiteralizer
+  }
+
+  private val buffer = new scala.collection.mutable.ArrayBuffer[Array[Any]]()
+  private var written = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val arr = new Array[Any](sparkTypes.length)
+    var i = 0
+    while (i < sparkTypes.length) {
+      arr(i) =
+        if (row.isNullAt(i)) null
+        else row.get(i, sparkTypes(i)) match {
+          // UnsafeRow values are views into a buffer Spark reuses across
+          // rows — copy anything reference-like before buffering
+          case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+          case other => other
+        }
+      i += 1
+    }
+    buffer += arr
+    if (buffer.length >= opts.batchSize) flush()
+  }
+
+  /** Columns to emit this batch: auto-increment columns with any
+    * non-NULL value stay; all-NULL auto-increment columns are stripped
+    * (reference `insert.rs:157-205`). */
+  private def liveColumns(): Array[Int] =
+    sparkTypes.indices.filter { i =>
+      !autoIncIdx.contains(i) || buffer.exists(_(i) != null)
+    }.toArray
+
+  private def flush(): Unit = {
+    if (buffer.isEmpty) return
+    val cols = liveColumns()
+    if (opts.literalInsert) flushLiteral(cols) else flushPrepared(cols)
+    written += buffer.length
+    buffer.clear()
+  }
+
+  private def insertPrefix(cols: Array[Int]): String = {
+    val names = cols.map(i => opts.dialect.quote(fields(i).name)).mkString(", ")
+    s"INSERT INTO $table ($names) VALUES "
+  }
+
+  private def flushPrepared(cols: Array[Int]): Unit = {
+    val placeholders = cols.map(_ => "?").mkString("(", ", ", ")")
+    val ps = conn.prepareStatement(insertPrefix(cols) + placeholders)
+    try {
+      buffer.foreach { row =>
+        cols.zipWithIndex.foreach { case (ci, pi) =>
+          bind(ps, pi + 1, row(ci), sparkTypes(ci))
+        }
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally ps.close()
+  }
+
+  /** Multi-row literal INSERT — reference `insert.rs:87-126`. */
+  private def flushLiteral(cols: Array[Int]): Unit = {
+    val rowsSql = buffer.map { row =>
+      cols.map(ci => literalizer.literal(row(ci), fields(ci), sparkTypes(ci),
+        opts.dialect)).mkString("(", ", ", ")")
+    }.mkString(", ")
+    val st = conn.createStatement()
+    try st.executeUpdate(insertPrefix(cols) + rowsSql)
+    finally st.close()
+  }
+
+  private def bind(ps: PreparedStatement, idx: Int, v: Any, dt: DataType): Unit = {
+    if (v == null) { ps.setObject(idx, null); return }
+    dt match {
+      case StringType => ps.setString(idx, v.toString)
+      case IntegerType => ps.setInt(idx, v.asInstanceOf[Int])
+      case LongType => ps.setLong(idx, v.asInstanceOf[Long])
+      case ShortType => ps.setShort(idx, v.asInstanceOf[Short])
+      case ByteType => ps.setByte(idx, v.asInstanceOf[Byte])
+      case BooleanType => ps.setBoolean(idx, v.asInstanceOf[Boolean])
+      case FloatType => ps.setFloat(idx, v.asInstanceOf[Float])
+      case DoubleType => ps.setDouble(idx, v.asInstanceOf[Double])
+      case _: DecimalType =>
+        ps.setBigDecimal(idx, v.asInstanceOf[Decimal].toJavaBigDecimal)
+      case BinaryType => ps.setBytes(idx, v.asInstanceOf[Array[Byte]])
+      case DateType =>
+        ps.setDate(idx, DateTimeUtils.toJavaDate(v.asInstanceOf[Int]))
+      case TimestampType =>
+        ps.setTimestamp(idx, DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long]))
+      case TimestampNTZType =>
+        ps.setTimestamp(idx, java.sql.Timestamp.valueOf(
+          DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[Long])))
+      case _ => ps.setString(idx, v.toString)
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    RemoteCommit(written)
+  }
+
+  override def abort(): Unit = ()
+
+  override def close(): Unit = GraftConnections.close(conn)
+}
+
+/** Catalyst value → SQL literal rendering — the port of the
+  * reference's user-overridable `Literalize` trait
+  * (`literalize.rs:46-489`): every method has a default, users override
+  * per type and register via option `literalizerclass`. */
+trait Literalizer extends Serializable {
+  def nullLiteral(field: RemoteField, dialect: Dialect): String = "NULL"
+  def booleanLiteral(v: Boolean, dialect: Dialect): String =
+    dialect.booleanLiteral(v)
+  def integralLiteral(v: Long, dialect: Dialect): String = v.toString
+  def floatingLiteral(v: Double, dialect: Dialect): String = v.toString
+  def decimalLiteral(v: java.math.BigDecimal, dialect: Dialect): String =
+    v.toPlainString
+  def stringLiteral(v: String, dialect: Dialect): String =
+    dialect.stringLiteral(v)
+  def binaryLiteral(v: Array[Byte], dialect: Dialect): String =
+    dialect.binaryLiteral(v)
+  def dateLiteral(days: Int, dialect: Dialect): String =
+    dialect.dateLiteral(DateTimeUtils.toJavaDate(days).toLocalDate)
+  def timestampLiteral(micros: Long, ntz: Boolean, dialect: Dialect): String =
+    if (ntz) dialect.timestampLiteral(DateTimeUtils.microsToLocalDateTime(micros))
+    else dialect.timestampLiteral(
+      DateTimeUtils.toJavaTimestamp(micros).toLocalDateTime)
+
+  /** Dispatcher (reference `literalize_array`, `literalize.rs:491-609`). */
+  def literal(v: Any, field: RemoteField, dt: DataType, dialect: Dialect): String = {
+    if (v == null) return nullLiteral(field, dialect)
+    dt match {
+      case BooleanType => booleanLiteral(v.asInstanceOf[Boolean], dialect)
+      case ByteType => integralLiteral(v.asInstanceOf[Byte].toLong, dialect)
+      case ShortType => integralLiteral(v.asInstanceOf[Short].toLong, dialect)
+      case IntegerType => integralLiteral(v.asInstanceOf[Int].toLong, dialect)
+      case LongType => integralLiteral(v.asInstanceOf[Long], dialect)
+      case FloatType => floatingLiteral(v.asInstanceOf[Float].toDouble, dialect)
+      case DoubleType => floatingLiteral(v.asInstanceOf[Double], dialect)
+      case _: DecimalType =>
+        decimalLiteral(v.asInstanceOf[Decimal].toJavaBigDecimal, dialect)
+      case StringType => stringLiteral(v.toString, dialect)
+      case BinaryType => binaryLiteral(v.asInstanceOf[Array[Byte]], dialect)
+      case DateType => dateLiteral(v.asInstanceOf[Int], dialect)
+      case TimestampType => timestampLiteral(v.asInstanceOf[Long], ntz = false, dialect)
+      case TimestampNTZType => timestampLiteral(v.asInstanceOf[Long], ntz = true, dialect)
+      case _ => stringLiteral(v.toString, dialect)
+    }
+  }
+}
+
+object DefaultLiteralizer extends Literalizer

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** User batch-rewrite hook — the port of the reference's `Transform`
+  * trait (`transform.rs:23-33`): rewrites every fetched row *inside the
+  * source* (so pushdown negotiation still sees it), may rename / add /
+  * remove / retype columns.
+  *
+  * Output schema is discovered by applying [[transformSchema]] to the
+  * raw table schema — the analogue of the reference's transform of an
+  * empty batch (`transform.rs:169-192`).
+  *
+  * [[filterRename]] maps a *transformed* column name back to the source
+  * column it derives from, letting filters written against transformed
+  * names still push down to the remote DB (reference `transform.rs:26-33`,
+  * exercised by `integration-tests/tests/common.rs:251-277`). Return
+  * None to veto pushdown of filters on that column.
+  *
+  * Implementations must have a no-arg constructor (instantiated from
+  * the option map on executors) and be pure row-level functions —
+  * they run once per partition per task.
+  */
+trait Transform extends Serializable {
+  def transformSchema(schema: StructType): StructType
+  def transform(rows: Iterator[Row], schema: StructType): Iterator[Row]
+  def filterRename(transformedColumn: String): Option[String] =
+    Some(transformedColumn)
+}
+
+/** Default no-op transform (reference `DefaultTransform`). */
+object IdentityTransform extends Transform {
+  def transformSchema(schema: StructType): StructType = schema
+  def transform(rows: Iterator[Row], schema: StructType): Iterator[Row] = rows
+}

@@ -1,0 +1,330 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Transform used by the transform tests: renames n_name -> name_up
+  * (values unchanged, filters on it map back to n_name — reference
+  * `integration-tests/tests/common.rs:251-277`) and appends a computed
+  * column name_len (never pushable). */
+class RenameTransform extends Transform {
+  override def transformSchema(schema: StructType): StructType = {
+    val renamed = schema.fields.map {
+      case f if f.name.equalsIgnoreCase("n_name") => f.copy(name = "name_up")
+      case f => f
+    }
+    StructType(renamed :+ StructField("name_len", IntegerType))
+  }
+  override def transform(rows: Iterator[Row], schema: StructType): Iterator[Row] = {
+    val nameIdx = schema.fieldIndex("N_NAME")
+    rows.map { r =>
+      val name = r.getString(nameIdx)
+      Row.fromSeq(r.toSeq :+ (if (name == null) null else name.length))
+    }
+  }
+  override def filterRename(c: String): Option[String] = c match {
+    case "name_up" => Some("N_NAME")
+    case "name_len" => None
+    case other => Some(other)
+  }
+}
+
+object DerbyFixture {
+  System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+  val dbPath = s"/tmp/graft_derby_${System.nanoTime()}"
+  val url = s"jdbc:derby:$dbPath;create=true"
+
+  lazy val init: Unit = {
+    val c = DriverManager.getConnection(url)
+    val st = c.createStatement()
+    st.executeUpdate(
+      """CREATE TABLE nation (
+        | n_nationkey INT NOT NULL,
+        | n_name VARCHAR(64) NOT NULL,
+        | n_regionkey INT NOT NULL)""".stripMargin)
+    val ins = c.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+    val names = Seq("ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT",
+      "ETHIOPIA", "FRANCE", "GERMANY", "INDIA", "INDONESIA")
+    names.zipWithIndex.foreach { case (n, i) =>
+      ins.setInt(1, i); ins.setString(2, n); ins.setInt(3, i % 5)
+      ins.addBatch()
+    }
+    ins.executeBatch()
+    // reference simple_table shape with an identity (auto-increment) id
+    st.executeUpdate(
+      """CREATE TABLE simple_table (
+        | id INT NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        | name VARCHAR(255) NOT NULL)""".stripMargin)
+    st.executeUpdate(
+      "INSERT INTO simple_table (name) VALUES ('Tom'), ('Jerry'), ('Spike')")
+    // all-types round-trip table (reference supported_data_types shape)
+    st.executeUpdate(
+      """CREATE TABLE all_types (
+        | c_int INT, c_bigint BIGINT, c_small SMALLINT,
+        | c_double DOUBLE, c_real REAL, c_dec DECIMAL(10,2),
+        | c_char CHAR(10), c_varchar VARCHAR(255), c_clob CLOB,
+        | c_blob BLOB, c_date DATE, c_time TIME, c_ts TIMESTAMP,
+        | c_bool BOOLEAN)""".stripMargin)
+    val pi = c.prepareStatement(
+      "INSERT INTO all_types VALUES (?,?,?,?,?,?,?,?,?,?,?,?,?,?)")
+    pi.setInt(1, 42); pi.setLong(2, 1234567890123L); pi.setShort(3, 7)
+    pi.setDouble(4, 3.25); pi.setFloat(5, 1.5f)
+    pi.setBigDecimal(6, new java.math.BigDecimal("12345.67"))
+    pi.setString(7, "chars"); pi.setString(8, "varchars")
+    pi.setString(9, "a clob value")
+    pi.setBytes(10, Array[Byte](1, 2, 3))
+    pi.setDate(11, java.sql.Date.valueOf("2024-03-15"))
+    pi.setTime(12, java.sql.Time.valueOf("10:30:45"))
+    pi.setTimestamp(13, java.sql.Timestamp.valueOf("2024-03-15 10:30:45.123456"))
+    pi.setBoolean(14, true)
+    pi.executeUpdate()
+    // all-NULL row (reference fixture always has one)
+    (1 to 14).foreach(i => pi.setObject(i, null))
+    pi.executeUpdate()
+    st.close(); c.close()
+  }
+}
+
+class RemoteSourceSpec extends AnyFunSuite {
+  private lazy val spark = { DerbyFixture.init; SparkTestSession.spark }
+
+  private def remote(extra: (String, String)*) = {
+    var r = spark.read.format("graft-remote").option("url", DerbyFixture.url)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("table-source scan reads all rows with inferred schema") {
+    val df = remote("dbtable" -> "NATION")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("N_NATIONKEY", "N_NAME", "N_REGIONKEY"))
+    assert(df.count() == 10)
+  }
+
+  test("query-source scan (reference RemoteSource::Query)") {
+    val df = remote("query" ->
+      "SELECT n_name, n_regionkey FROM nation WHERE n_regionkey < 3")
+    assert(df.schema.fieldNames.toSeq == Seq("N_NAME", "N_REGIONKEY"))
+    assert(df.count() == 6)
+  }
+
+  test("filter pushdown is exact: compiled into remote SQL, visible in plan") {
+    val df = remote("dbtable" -> "NATION")
+      .filter(col("N_REGIONKEY") === 1 && col("N_NAME").startsWith("A"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("N_REGIONKEY"), s"plan: $plan")
+    assert(df.collect().map(_.getString(1)).toSet == Set("ARGENTINA"))
+  }
+
+  test("unpushable filter still evaluated by Spark (scalar fn exclusion)") {
+    val df = remote("dbtable" -> "NATION")
+      .filter(length(col("N_NAME")) === 6) // function => not pushed
+    assert(df.collect().map(_.getString(1)).toSet ==
+      Set("BRAZIL", "CANADA", "FRANCE"))
+  }
+
+  test("limit pushdown") {
+    val df = remote("dbtable" -> "NATION").limit(4)
+    assert(df.count() == 4)
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PushedLimit: 4") || df.count() == 4)
+  }
+
+  test("column pruning rewrites remote SELECT list") {
+    val df = remote("dbtable" -> "NATION").select("N_NAME")
+    assert(df.schema.fieldNames.toSeq == Seq("N_NAME"))
+    assert(df.count() == 10)
+  }
+
+  test("empty projection keeps row counts correct (0-column scan)") {
+    val df = remote("dbtable" -> "NATION").groupBy().count()
+    assert(df.collect().head.getLong(0) == 10)
+  }
+
+  test("count(*) complete aggregate pushdown (reference count1_agg)") {
+    val df = remote("dbtable" -> "NATION").agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(df.collect().head.getLong(0) == 10)
+    assert(plan.contains("PushedAggregates: true"), s"plan: $plan")
+  }
+
+  test("min/max aggregate pushdown") {
+    val df = remote("dbtable" -> "NATION")
+      .agg(min(col("N_NATIONKEY")).as("lo"), max(col("N_NATIONKEY")).as("hi"))
+    val row = df.collect().head
+    assert(row.getInt(0) == 0 && row.getInt(1) == 9)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: true"))
+  }
+
+  test("multi-partition range scan returns the same rows") {
+    val df = remote("dbtable" -> "NATION",
+      "partitioncolumn" -> "N_NATIONKEY", "lowerbound" -> "0",
+      "upperbound" -> "10", "numpartitions" -> "3")
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 10)
+    assert(df.select("N_NATIONKEY").collect().map(_.getInt(0)).sorted.toSeq ==
+      (0 until 10))
+  }
+
+  test("all-types round trip incl. all-NULL row (reference fixture shape)") {
+    val df = remote("dbtable" -> "ALL_TYPES")
+    val rows = df.orderBy(col("C_INT").asc_nulls_last).collect()
+    assert(rows.length == 2)
+    val r = rows.head
+    assert(r.getAs[Int]("C_INT") == 42)
+    assert(r.getAs[Long]("C_BIGINT") == 1234567890123L)
+    assert(r.getAs[java.math.BigDecimal]("C_DEC")
+      .compareTo(new java.math.BigDecimal("12345.67")) == 0)
+    assert(r.getAs[String]("C_VARCHAR") == "varchars")
+    assert(r.getAs[String]("C_CLOB") == "a clob value")
+    assert(r.getAs[Array[Byte]]("C_BLOB").toSeq == Seq[Byte](1, 2, 3))
+    assert(r.getAs[java.sql.Date]("C_DATE").toString == "2024-03-15")
+    // TIME convention: µs since midnight as Long (SURVEY §1.4)
+    assert(r.getAs[Long]("C_TIME") ==
+      (10L * 3600 + 30 * 60 + 45) * 1000000L)
+    assert(r.getAs[Boolean]("C_BOOL"))
+    val nullRow = rows(1)
+    assert((0 until nullRow.length).forall(nullRow.isNullAt))
+  }
+
+  test("timestamp is TZ-naive (TimestampNTZType) like reference Timestamp(µs,None)") {
+    val df = remote("dbtable" -> "ALL_TYPES")
+    assert(df.schema("C_TS").dataType == TimestampNTZType)
+    val v = df.filter(col("C_INT").isNotNull).select("C_TS")
+      .collect().head.getAs[java.time.LocalDateTime](0)
+    assert(v == java.time.LocalDateTime.parse("2024-03-15T10:30:45.123456"))
+  }
+
+  test("append write via PreparedStatement batch, then read back") {
+    import spark.implicits._
+    val df = Seq((100, "ZAMBIA", 4), (101, "ZIMBABWE", 4))
+      .toDF("N_NATIONKEY", "N_NAME", "N_REGIONKEY")
+    df.write.format("graft-remote").option("url", DerbyFixture.url)
+      .option("dbtable", "NATION").mode("append").save()
+    val back = remote("dbtable" -> "NATION")
+      .filter(col("N_NATIONKEY") >= 100)
+    assert(back.count() == 2)
+  }
+
+  test("auto-increment stripping: writing NULL ids lets Derby generate them") {
+    // id is GENERATED ALWAYS: an INSERT naming it would fail — proof the
+    // writer strips all-NULL auto-increment columns (reference insert.rs:157-205)
+    val schema = StructType(Seq(
+      StructField("ID", IntegerType, nullable = true),
+      StructField("NAME", StringType, nullable = false)))
+    val data = spark.createDataFrame(
+      java.util.List.of(Row(null, "Tyke"), Row(null, "Quacker")), schema)
+    data.write.format("graft-remote").option("url", DerbyFixture.url)
+      .option("dbtable", "SIMPLE_TABLE").mode("append").save()
+    val back = remote("dbtable" -> "SIMPLE_TABLE")
+    assert(back.count() == 5)
+    assert(back.filter(col("NAME") === "Tyke").count() == 1)
+    // generated ids are distinct and non-null
+    assert(back.select("ID").collect().map(_.getInt(0)).distinct.length == 5)
+  }
+
+  test("literal-SQL insert mode (reference Literalize path)") {
+    import spark.implicits._
+    val df = Seq((200, "KENYA", 0)).toDF("N_NATIONKEY", "N_NAME", "N_REGIONKEY")
+    df.write.format("graft-remote").option("url", DerbyFixture.url)
+      .option("dbtable", "NATION").option("literalinsert", "true")
+      .mode("append").save()
+    assert(remote("dbtable" -> "NATION")
+      .filter(col("N_NAME") === "KENYA").count() == 1)
+  }
+
+  test("overwrite mode is rejected (reference table.rs:434-441)") {
+    import spark.implicits._
+    val df = Seq((1, "X", 0)).toDF("N_NATIONKEY", "N_NAME", "N_REGIONKEY")
+    val e = intercept[Exception] {
+      df.write.format("graft-remote").option("url", DerbyFixture.url)
+        .option("dbtable", "NATION").mode("overwrite").save()
+    }
+    assert(e.getMessage.toLowerCase.contains("truncate") ||
+      e.getMessage.toLowerCase.contains("overwrite"))
+  }
+
+  test("transform renames/adds columns; filters on renamed column still push down") {
+    val df = remote("dbtable" -> "NATION",
+      "transformclass" -> "graft.sources.RenameTransform")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("N_NATIONKEY", "name_up", "N_REGIONKEY", "name_len"))
+    val filtered = df.filter(col("name_up") === "BRAZIL")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("n_name") || plan.contains("N_NAME"), s"plan: $plan")
+    val row = filtered.collect().head
+    assert(row.getAs[String]("name_up") == "BRAZIL")
+    assert(row.getAs[Int]("name_len") == 6)
+  }
+
+  test("filter on computed transform column is NOT pushed but still correct") {
+    val df = remote("dbtable" -> "NATION",
+      "transformclass" -> "graft.sources.RenameTransform")
+      .filter(col("name_len") === 5 && col("N_NATIONKEY") < 100)
+    assert(df.collect().map(_.getAs[String]("name_up")).toSet ==
+      Set("EGYPT", "INDIA"))
+  }
+
+  test("list_tables metadata command (reference ListMdbTables)") {
+    val df = remote("command" -> "list_tables")
+    val names = df.collect().map(_.getString(0)).toSet
+    assert(names.contains("NATION") && names.contains("SIMPLE_TABLE"))
+    assert(df.schema.fieldNames.toSeq == Seq("table_name", "table_type"))
+  }
+
+  test("statistics: exact COUNT with pushed filters (reference O5)") {
+    val n = Jdbc.count(
+      RemoteOptions(Map("url" -> DerbyFixture.url, "dbtable" -> "NATION")),
+      Seq("\"N_REGIONKEY\" = 1"))
+    assert(n == 2)
+  }
+
+  test("no connection leaks across scans (reference pool lifecycle test)") {
+    remote("dbtable" -> "NATION").count()
+    remote("dbtable" -> "NATION").filter(col("N_REGIONKEY") === 0).collect()
+    val (opened, closed) = GraftConnections.state
+    assert(opened == closed, s"opened=$opened closed=$closed")
+  }
+
+  test("dialect SQL generation matches reference rewrite shapes") {
+    val d = PostgresDialect
+    val t = RemoteSource.TableRef(Seq("public", "t"))
+    assert(d.rewriteQuery(t, Seq("\"a\" > 1"), Some(5), Some(Seq("a", "b"))) ==
+      """SELECT "a", "b" FROM "public"."t" WHERE ("a" > 1) LIMIT 5""")
+    val q = RemoteSource.Query("SELECT * FROM t")
+    assert(d.rewriteQuery(q, Nil, None, None) ==
+      "SELECT * FROM (SELECT * FROM t) AS __subquery")
+    assert(OracleDialect.rewriteQuery(t, Nil, Some(3), None) ==
+      """SELECT * FROM (SELECT * FROM "public"."t") WHERE ROWNUM <= 3""")
+    assert(DerbyDialect.rewriteQuery(t, Nil, Some(3), None) ==
+      """SELECT * FROM "public"."t" FETCH FIRST 3 ROWS ONLY""")
+    assert(MySqlDialect.quote("we`ird") == "`we``ird`")
+    assert(d.countQuery(t, Seq("x = 1")) ==
+      """SELECT COUNT(1) FROM "public"."t" WHERE (x = 1)""")
+    // non-SELECT queries are not rewritable (reference mod.rs:239-248)
+    assert(!d.isRewritable(RemoteSource.Query("SHOW TABLES")))
+  }
+
+  test("filter compiler covers the sources.Filter algebra") {
+    import org.apache.spark.sql.sources._
+    val d = SqliteDialect
+    assert(d.compileFilter(EqualTo("a", 5)).contains("\"a\" = 5"))
+    assert(d.compileFilter(In("a", Array(1, 2))).contains("\"a\" IN (1, 2)"))
+    assert(d.compileFilter(And(IsNull("a"), GreaterThan("b", 1.5)))
+      .contains("(\"a\" IS NULL) AND (\"b\" > 1.5)"))
+    assert(d.compileFilter(StringContains("s", "x%y"))
+      .contains("\"s\" LIKE '%x\\%y%' ESCAPE '\\'"))
+    assert(d.compileFilter(Not(EqualTo("a", "it's")))
+      .contains("NOT (\"a\" = 'it''s')"))
+    // NaN can't be rendered portably -> refused
+    assert(d.compileFilter(EqualTo("a", Double.NaN)).isEmpty)
+  }
+}
