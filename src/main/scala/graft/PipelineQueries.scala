@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, TextOps, VectorOps}
+import graft.multimodal.MultimodalOps
+
+/** LLM-training-data pipeline operators over the `documents` and
+  * `embeddings` fixtures, wired into the driver's correctness gate.
+  * SQL-expressible operators carry a DuckDB oracle; purely hash-family
+  * dependent ones (SimHash, LSH bucketing) are rows-only.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis -------------------------------------------------
+    "p01_text_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.distinctTokenCount(col("text")).as("n_distinct"),
+        TextOps.subtokenCount(col("text")).as("n_subtokens"),
+        TextOps.avgTokenLength(col("text")).as("avg_tok_len"),
+        length(col("text")).as("n_chars_calc"))
+        .orderBy(col("doc_id"))),
+
+    "p02_exact_dedup" -> ((s, dir) =>
+      DedupOps.exactDedup(docs(s, dir), "doc_id", "text")
+        .orderBy(col("fp"))),
+
+    "p03_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.stopwordCount(col("text")).as("n_stop"),
+        TextOps.stopwordRatio(col("text")).as("stop_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "p04_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup ---------------------------------------------------------
+    "p05_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minhashLshPairs(docs(s, dir), "doc_id", "text", tau = 0.7)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "p06_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 2000), "doc_id", "text", tau = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "p07_simhash" -> ((s, dir) =>
+      DedupOps.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- similarity search --------------------------------------------
+    "p08_knn" -> ((s, dir) => {
+      val all = embs(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      VectorOps.bruteForceTopK(all.filter(col("id") < 10), all, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "p09_embed_neardup" -> ((s, dir) =>
+      VectorOps.bruteForcePairs(
+        embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        tau = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "p10_embed_lsh" -> ((s, dir) =>
+      VectorOps.lshNearDupPairs(
+        embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        tau = 0.4, nPlanes = 3, nTables = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- multimodal plumbing (stubbed decode) --------------------------
+    "m01_multimodal" -> ((s, dir) => {
+      val feats = MultimodalOps.extractFeatures(
+        MultimodalOps.documentsAsAssets(s, dir))
+      feats.toDF().select(col("asset_id"), col("n_bytes"), col("tag"))
+        .orderBy(col("asset_id"))
+    }))
+
+  /** DuckDB equivalents. p07/p10 are hash-family dependent → rows-only. */
+  val oracle: Map[String, String] = Map(
+    "p01_text_stats" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        | CAST(list_sum(list_transform(string_split(text, ' '),
+        |   t -> (length(t) + 3) // 4)) AS INT) AS n_subtokens,
+        | CAST(list_sum(list_transform(string_split(text, ' '),
+        |   t -> length(t))) AS DOUBLE) / len(string_split(text, ' '))
+        |   AS avg_tok_len,
+        | length(text) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p02_exact_dedup" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        | min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "p03_quality" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS n_tok
+        | FROM documents)
+        |SELECT doc_id,
+        | len(list_filter(toks, x -> x IN
+        |   ('the','a','and','of','to','in','is'))) AS n_stop,
+        | CAST(len(list_filter(toks, x -> x IN
+        |   ('the','a','and','of','to','in','is'))) AS DOUBLE) / n_tok
+        |   AS stop_ratio,
+        | ((CASE WHEN n_tok BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+        |  + (CASE WHEN CAST(len(list_filter(toks, x -> x IN
+        |       ('the','a','and','of','to','in','is'))) AS DOUBLE) / n_tok
+        |       BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+        |  + CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok) / 3.0
+        |   AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "p04_langid" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sc AS (
+        | SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','nicht','das'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','que','una','por'))) AS s_es
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |      ELSE 'es' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "p05_minhash_lsh" ->
+      """WITH t AS (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "p06_ngram_jaccard" ->
+      """WITH t AS (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents
+        |       WHERE doc_id < 2000))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "p08_knn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |    i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * c.embedding[i]))))
+        |   AS cosine
+        | FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "p09_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |       i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))
+        |    * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |       i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))
+        |  AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |       i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))
+        |    * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |       i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))
+        |  >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "m01_multimodal" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        | md5(text) AS tag
+        |FROM documents ORDER BY asset_id""".stripMargin)
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization
+  * metrics, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs): at 100 TB these run inside whole-stage codegen directly
+  * over the parquet scan, shuffle-free (all per-row).
+  */
+object TextOps {
+
+  /** Whitespace tokens of a single-space-separated text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** BPE-ish subword piece count: each word contributes
+    * ceil(len/4) pieces — a cheap, deterministic stand-in for a real
+    * BPE vocab that preserves the "long words cost more tokens" shape. */
+  def subtokenCount(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => ((length(t) + lit(3)) / lit(4)).cast("int")),
+      lit(0), (acc, x) => acc + x)
+
+  /** Average token length over the document (double). */
+  def avgTokenLength(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / tokenCount(text)
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Count of stopword tokens (quality signal: too few ⇒ keyword spam,
+    * too many ⇒ boilerplate). */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(lit(_)): _*)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: length band + stopword band +
+    * lexical diversity, equally weighted. Deterministic integer/double
+    * arithmetic only, so it is exactly reproducible in any engine. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lengthOk = when(nTok.between(20, 200), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text).between(0.01, 0.5), 1.0).otherwise(0.0)
+    val diversity = distinctTokenCount(text).cast("double") / nTok
+    (lengthOk + stopOk + diversity) / lit(3.0)
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Real pipelines plug fastText-style models in at the
+    * same call site; the heuristic keeps this fully in codegen. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "que", "una", "por"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
+  }
+
+  /** Predicted language = argmax marker count, ties broken by the
+    * fixed language order, 'und' when no marker hits. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => (l, langScore(text, l)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s === best && best > 0, lit(l)).otherwise(els)
+    }
+    pick
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lowercase,
+    * collapsed whitespace) — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, VectorOps}
+
+class PipelineSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("minhash LSH finds exactly the brute-force near-dup pairs") {
+    val docs = Tables.table(spark, sf, "documents")
+    val brute = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", tau = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLshPairs(docs, "doc_id", "text", tau = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == brute,
+      s"LSH missed ${brute.diff(lsh)} / extra ${lsh.diff(brute)}")
+  }
+
+  test("simhash recalls the planted near-dups (hamming<=3)") {
+    val docs = Tables.table(spark, sf, "documents")
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", tau = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    // SimHash is approximate in both directions; on this small shared
+    // vocabulary it may admit lookalike false positives. Require
+    // good recall of the planted dups and a sane output size.
+    val recalled = planted.intersect(pairs)
+    assert(recalled.size * 2 >= planted.size,
+      s"recall too low: ${recalled.size}/${planted.size}")
+    assert(pairs.size < 500, s"implausibly many pairs: ${pairs.size}")
+  }
+
+  test("embedding LSH buckets preserve high-cosine pairs (recall check)") {
+    val vecs = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val brute = VectorOps.bruteForcePairs(vecs, tau = 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.lshNearDupPairs(vecs, tau = 0.45, nPlanes = 3, nTables = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sign-LSH with 4 planes: recall is probabilistic; assert no false
+    // positives and recall above 1/2 on this data
+    assert(lsh.subsetOf(brute))
+    if (brute.nonEmpty)
+      assert(lsh.size * 2 >= brute.size, s"recall too low: ${lsh.size}/${brute.size}")
+  }
+
+  test("multimodal decode stage keeps partitioning and row counts") {
+    val assets = graft.multimodal.MultimodalOps
+      .documentsAsAssets(spark, sf).repartition(7)
+    val feats = graft.multimodal.MultimodalOps.extractFeatures(assets)
+    assert(feats.rdd.getNumPartitions == 7) // stage is shuffle-free
+    assert(feats.count() == assets.count())
+    val f = feats.head()
+    assert(f.tag.length == 32 && f.feature.length == 4)
+  }
+
+  test("quality score stays in [0,1] and langid emits known labels") {
+    val docs = Tables.table(spark, sf, "documents")
+    val q = docs.select(graft.operators.TextOps.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).collect().head
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+    val langs = docs.select(graft.operators.TextOps.langId(col("text")).as("l"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+}
