@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reproduction of the reference's only benchmark harness
+  * (`benchmarks/src/bin/postgres.rs`): insert 1,000,000 rows of the
+  * 6-column mixed schema (INT, FLOAT8, BYTEA ~200B, TEXT ~200B,
+  * JSON ~64B, TIMESTAMP) through the connector, then scan them all
+  * back, printing wall-clock ms for each. Embedded Derby stands in for
+  * the Postgres server (BASELINE.md context).
+  *
+  * Run: ROWS=1000000 sbt "runMain graft.ConnectorBench"
+  */
+object ConnectorBench {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("ROWS", "1000000").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+
+    val db = s"/tmp/graft_bench_db_${System.nanoTime()}"
+    val url = s"jdbc:derby:$db;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().executeUpdate(
+      """CREATE TABLE bench_t (
+        | c_int INT, c_double DOUBLE, c_bytes BLOB(1K),
+        | c_text VARCHAR(512), c_json VARCHAR(256), c_ts TIMESTAMP)""".stripMargin)
+    c.close()
+
+    // deterministic synthetic payload matching the reference's shapes
+    val df = spark.range(rows.toLong).select(
+      col("id").cast(IntegerType).as("C_INT"),
+      (col("id") * 0.001).as("C_DOUBLE"),
+      expr("unhex(repeat('AB', 200))").as("C_BYTES"),
+      concat(lit("text_payload_" * 12), col("id")).as("C_TEXT"),
+      concat(lit("""{"k":"v","n":"""), col("id"), lit("}")).as("C_JSON"),
+      timestamp_micros(col("id") * 1000000L).as("C_TS"))
+
+    val t0 = System.nanoTime()
+    df.write.format("graft-remote").option("url", url)
+      .option("dbtable", "BENCH_T").option("batchsize", "1000")
+      .mode("append").save()
+    val insertMs = (System.nanoTime() - t0) / 1e6
+
+    val t1 = System.nanoTime()
+    val n = spark.read.format("graft-remote").option("url", url)
+      .option("dbtable", "BENCH_T").load()
+      .agg(count(lit(1))).collect().head.getLong(0)
+    val countMs = (System.nanoTime() - t1) / 1e6
+
+    // 2-column scan (column pruning reaches the remote SELECT list)
+    val t2 = System.nanoTime()
+    val n2 = spark.read.format("graft-remote").option("url", url)
+      .option("dbtable", "BENCH_T").load()
+      .agg(count(col("C_TEXT")), sum(col("C_DOUBLE"))).collect().head.getLong(0)
+    val scanMs = (System.nanoTime() - t2) / 1e6
+
+    // full-width scan: every column referenced => full decode (the
+    // reference's SELECT * shape)
+    val t3 = System.nanoTime()
+    val n3 = spark.read.format("graft-remote").option("url", url)
+      .option("dbtable", "BENCH_T").load()
+      .agg(count(col("C_INT")), sum(col("C_DOUBLE")),
+        max(length(col("C_TEXT"))), max(octet_length(col("C_BYTES"))),
+        max(length(col("C_JSON"))), max(col("C_TS")))
+      .collect().head.getLong(0)
+    val fullScanMs = (System.nanoTime() - t3) / 1e6
+
+    require(n == rows && n2 == rows && n3 == rows,
+      s"row count mismatch: $n / $n2 / $n3 != $rows")
+    println(s"""{"rows":$rows,"insert_ms":$insertMs,"count_pushdown_ms":$countMs,"scan2col_ms":$scanMs,"full_scan_ms":$fullScanMs}""")
+    spark.stop()
+  }
+}

@@ -21,13 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Word n-gram shingles (distinct) of single-space text. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
-  }
+  /** Word n-gram shingles (distinct) of single-space text, via the
+    * native [[graft.functions.ShingleSet]] expression. */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.native.shingle_set(split(text, " "), n)
 
   /** Exact dedup: keep the smallest id per normalized-content hash.
     * Returns (fingerprint, keeper_id, n_dups). */
@@ -39,11 +36,12 @@ object DedupOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** MinHash signature: k hash functions over the shingle set, realized
-    * as xxhash64(shingle, seed_j) — codegen'd, no UDF. */
+  /** MinHash signature via the native [[graft.functions.MinHashSig]]
+    * expression: one tight JVM loop per row. The equivalent
+    * `transform`/`aggregate` HOF formulation pays per-element
+    * interpreted lambda evaluation — 27x slower on the sf0.1 bench. */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, s => xxhash64(s, j))))
+    graft.functions.native.minhash_sig(sh, k)
 
   /** LSH band keys: b bands of r rows each (k = b*r), hashed. */
   def bandKeys(sig: Column, bands: Int, rows: Int): Column =
@@ -68,27 +66,16 @@ object DedupOps {
     val withSh = df.select(col(idCol).as("id"),
         shingles(col(textCol), ngram).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = withSh.withColumn("sig", minhashSignature(col("sh"), bands * rows))
-    val banded = sig
-      .select(col("id"), col("sh"),
-        explode(bandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
-    // bucket-local pair generation; dedupe candidate pairs across bands
-    val buckets = banded
-      .groupBy(col("band"), col("bh"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    val candidates = buckets
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(docs, (a, i) ->
-          |    transform(slice(docs, i + 2, size(docs)), b ->
-          |      struct(least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
-          |             a.sh AS sh_a, b.sh AS sh_b)))),
-          |  p -> p.id_a != p.id_b)""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
+    // banding carries ONLY (id, band, bh) — never the shingle arrays;
+    // signature + band hashing are fused in one native expression
+    val banded = withSh
+      .select(col("id"),
+        posexplode(graft.functions.native.minhash_bands(col("sh"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
+    val cands = LshJoin.candidates(banded, Seq("band", "bh"), maxBucket)
+    // shingles join back only for the (small) candidate set
+    LshJoin.attach(cands, withSh, "sh")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -108,17 +95,11 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over token hashes: bit b of the signature is the
-    * sign of Σ_tokens (±1 by bit b of xxhash64(token)). Expressed as a
-    * per-row SQL fold — no shuffle, no UDF. (SQL `>>`/`&` accept column
-    * shift amounts; the Scala wrappers don't.) */
-  def simhash(textCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 63), b ->
-       |    if(aggregate(split($textCol, ' '), 0,
-       |         (acc, t) -> acc + if((shiftright(xxhash64(t), b) & 1) = 1, 1, -1)) > 0,
-       |       shiftleft(1L, b), 0L)),
-       |  0L, (acc, x) -> acc + x)""".stripMargin)
+  /** 64-bit SimHash of a token array via the native
+    * [[graft.functions.SimHash64]] expression (sign of per-bit ±1 sums
+    * of token hashes) — one JVM loop per row, no shuffle, no UDF. */
+  def simhash(tokens: Column): Column =
+    graft.functions.native.simhash64(tokens)
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, using
     * 4-chunk banding (pigeonhole: ≤3 differing bits ⇒ at least one
@@ -128,27 +109,18 @@ object DedupOps {
       df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for maxDist <= 3")
-    val sigs = df.select(col(idCol).as("id"), simhash(textCol).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(split(col(textCol), " ")).as("sig"))
+    val banded = sigs.select(col("id"),
       explode(expr(
         """transform(sequence(0, 3), c ->
           |  struct(c AS chunk, shiftright(sig, c * 16) & 65535 AS ck))""".stripMargin))
         .as("b"))
-      .select(col("id"), col("sig"), col("b.chunk"), col("b.ck"))
-    val buckets = banded.groupBy(col("chunk"), col("ck"))
-      .agg(collect_list(struct(col("id"), col("sig"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    buckets
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(docs, (a, i) ->
-          |    transform(slice(docs, i + 2, size(docs)), b ->
-          |      struct(least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
-          |             a.sig AS sig_a, b.sig AS sig_b)))),
-          |  p -> p.id_a != p.id_b)""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"),
-        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id"), col("b.chunk"), col("b.ck"))
+    val cands = LshJoin.candidates(banded, Seq("chunk", "ck"), maxBucket)
+    LshJoin.attach(cands, sigs.select(col("id"), col("sig")), "sig")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 }

@@ -20,11 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Native tight-loop dot product; widens each float to double BEFORE
+    * the product and accumulates left-to-right, so the result is
+    * bit-identical to a double-precision reference engine. */
   def dot(a: Column, b: Column): Column =
-    // widen each float to double BEFORE the product (float*float would
-    // round twice and drift from any double-precision reference)
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.native.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -45,57 +45,34 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component h_{p,d} in
-    * [-0.5, 0.5): derived from xxhash64 so both sides of a join (and
-    * any engine re-run) build identical planes. */
-  private def planeComponent(p: Int, d: Column): Column =
-    (pmod(xxhash64(lit(p), d), lit(1000000L)).cast("double") / 1000000.0) - 0.5
-
-  /** Sign-LSH bucket keys: `nTables` independent tables (OR), each an
-    * AND over `nPlanes` hyperplane signs — the classic OR-of-ANDs
-    * construction; recall at similarity s is 1-(1-p^r)^T with
-    * p = 1 - acos(s)/π. Returns array<struct<tbl, bucket>>. */
+  /** Sign-LSH bucket ids via the native [[graft.functions.LshBuckets]]
+    * expression: `nTables` independent tables (OR), each an AND over
+    * `nPlanes` deterministic splitmix hyperplane signs — the classic
+    * OR-of-ANDs construction; recall at similarity s is 1-(1-p^r)^T
+    * with p = 1 - acos(s)/π. One pass per row over the vector. */
   def lshBucketKeys(vec: Column, nPlanes: Int, nTables: Int): Column =
-    transform(sequence(lit(0), lit(nTables - 1)), t =>
-      struct(t.as("tbl"),
-        aggregate(
-          transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-            val planeId = t * lit(nPlanes) + p
-            val proj = aggregate(
-              zip_with(vec, sequence(lit(0), size(vec) - 1),
-                (x, d) => x.cast("double") *
-                  planeComponent(0, d * lit(nPlanes * nTables) + planeId)),
-              lit(0.0), (acc, x) => acc + x)
-            // 2^p as the bit weight (exact in double for p < 63);
-            // bits are distinct so + is |
-            when(proj > 0, pow(lit(2.0), p).cast("long")).otherwise(lit(0L))
-          }),
-          lit(0L), (acc, x) => acc + x).as("bucket")))
+    graft.functions.native.lsh_buckets(vec, nPlanes, nTables)
 
   /** Near-duplicate pairs by cosine ≥ tau, LSH-bucketed: vectors only
     * compare within a (table, bucket) cell. More tables ⇒ higher
-    * recall, more candidate work; more planes ⇒ smaller buckets. */
+    * recall, more candidate work; more planes ⇒ smaller buckets.
+    * Norms are computed once per vector, before the pair explosion. */
   def lshNearDupPairs(
       vecs: DataFrame, tau: Double, nPlanes: Int = 3, nTables: Int = 8,
       maxBucket: Int = 10000): DataFrame = {
-    val b = vecs.select(col("id"), col("vec"),
-        explode(lshBucketKeys(col("vec"), nPlanes, nTables)).as("bk"))
-      .select(col("id"), col("vec"),
-        col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
-    val buckets = b.groupBy(col("tbl"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("vec"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucket))
-    buckets
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(docs, (a, i) ->
-          |    transform(slice(docs, i + 2, size(docs)), b ->
-          |      struct(least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
-          |             a.vec AS v_a, b.vec AS v_b)))),
-          |  p -> p.id_a != p.id_b)""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"),
-        cosine(col("p.v_a"), col("p.v_b")).as("cosine"))
-      .dropDuplicates("id_a", "id_b")
+    // banding carries ONLY (id, tbl, bucket) — vectors never ride it
+    val banded = vecs
+      .select(col("id"), posexplode(lshBucketKeys(col("vec"), nPlanes, nTables)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+    val cands = LshJoin.candidates(banded, Seq("tbl", "bucket"), maxBucket)
+    // vectors (with precomputed norms) join back for verification only
+    val payload = vecs.select(col("id"),
+      struct(col("vec"), norm(col("vec")).as("nrm")).as("p"))
+    LshJoin.attach(cands, payload, "p")
+      .select(col("id_a"), col("id_b"),
+        (dot(col("p_a.vec"), col("p_b.vec"))
+          / (col("p_a.nrm") * col("p_b.nrm"))).as("cosine"))
       .filter(col("cosine") >= tau)
   }
 
