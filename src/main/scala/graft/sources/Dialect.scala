@@ -54,7 +54,9 @@ trait Dialect extends Serializable {
       source: RemoteSource,
       filters: Seq[String] = Nil,
       limit: Option[Int] = None,
-      columns: Option[Seq[String]] = None): String = {
+      columns: Option[Seq[String]] = None,
+      orderBy: Seq[String] = Nil,
+      offset: Option[Int] = None): String = {
     val select = columns match {
       case None => "*"
       case Some(Nil) => "1"
@@ -66,13 +68,28 @@ trait Dialect extends Serializable {
     }
     val where =
       if (filters.isEmpty) "" else filters.mkString(" WHERE (", ") AND (", ")")
-    applyLimit(s"SELECT $select FROM $from$where", limit)
+    val order =
+      if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
+    applyLimit(s"SELECT $select FROM $from$where$order", limit, offset)
   }
 
-  /** Dialect limit syntax; Oracle overrides with ROWNUM (reference
-    * `connection/mod.rs:321-334`), Derby with FETCH FIRST. */
-  protected def applyLimit(sql: String, limit: Option[Int]): String =
-    limit.fold(sql)(n => s"$sql LIMIT $n")
+  /** Whether OFFSET can be rendered (Oracle's ROWNUM form cannot). */
+  def supportsOffset: Boolean = true
+
+  /** Dialect limit/offset syntax; Oracle overrides with ROWNUM
+    * (reference `connection/mod.rs:321-334`), Derby with FETCH FIRST. */
+  protected def applyLimit(
+      sql: String, limit: Option[Int], offset: Option[Int] = None): String = {
+    val off = offset.fold("")(o => s" OFFSET $o")
+    limit.fold(sql + off)(n => s"$sql LIMIT $n$off")
+  }
+
+  /** Compile one Spark v2 SortOrder-ish triple to dialect SQL. */
+  def sortClause(column: String, descending: Boolean, nullsFirst: Boolean): String = {
+    val dir = if (descending) "DESC" else "ASC"
+    val nulls = if (nullsFirst) "NULLS FIRST" else "NULLS LAST"
+    s"${quote(column)} $dir $nulls"
+  }
 
   /** COUNT(1) including pushed filters (reference `connection/mod.rs:454-512`). */
   def countQuery(source: RemoteSource, filters: Seq[String] = Nil): String = {
@@ -207,8 +224,11 @@ object Dialect {
 object DerbyDialect extends Dialect {
   val name = "derby"
   override def subqueryAlias: String = "GRAFT_SUBQUERY"
-  override protected def applyLimit(sql: String, limit: Option[Int]): String =
-    limit.fold(sql)(n => s"$sql FETCH FIRST $n ROWS ONLY")
+  override protected def applyLimit(
+      sql: String, limit: Option[Int], offset: Option[Int] = None): String = {
+    val off = offset.fold("")(o => s" OFFSET $o ROWS")
+    limit.fold(sql + off)(n => s"$sql$off FETCH NEXT $n ROWS ONLY")
+  }
   // Derby has no boolean literals pre-10.7 in all contexts; TRUE/FALSE ok.
 }
 
@@ -235,7 +255,9 @@ object SqliteDialect extends Dialect {
   * (`connection/mod.rs:321-334,362-379`). */
 object OracleDialect extends Dialect {
   val name = "oracle"
-  override protected def applyLimit(sql: String, limit: Option[Int]): String =
+  override def supportsOffset: Boolean = false
+  override protected def applyLimit(
+      sql: String, limit: Option[Int], offset: Option[Int] = None): String =
     limit.fold(sql)(n => s"SELECT * FROM ($sql) WHERE ROWNUM <= $n")
   override def timestampLiteral(t: LocalDateTime): String =
     s"TO_TIMESTAMP('${java.sql.Timestamp.valueOf(t)}', 'YYYY-MM-DD HH24:MI:SS.FF')"

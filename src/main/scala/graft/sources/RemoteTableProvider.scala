@@ -110,6 +110,8 @@ class RemoteScanBuilder(table: RemoteTableImpl)
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
+  with SupportsPushDownTopN
+  with SupportsPushDownOffset
   with SupportsPushDownAggregates {
 
   private val opts = table.opts
@@ -121,6 +123,8 @@ class RemoteScanBuilder(table: RemoteTableImpl)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = table.transformedSchema
   private var limit: Option[Int] = None
+  private var sortSql: Seq[String] = Nil
+  private var offset: Option[Int] = None
   private var agg: Option[(Seq[String], StructType)] = None
 
   /** transformed name -> raw source column (identity without transform). */
@@ -152,6 +156,37 @@ class RemoteScanBuilder(table: RemoteTableImpl)
     if (rewritable) { limit = Some(n); true } else false
   }
 
+  /** ORDER BY + LIMIT pushdown (top-k): complete on single-partition
+    * scans; with range partitions each partition pushes its own top-k
+    * and Spark re-sorts (isPartiallyPushed). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (!rewritable) return false
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val compiled = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          renameForPushdown(nr.fieldNames.head).map(c => dialect.sortClause(c,
+            so.direction() == SortDirection.DESCENDING,
+            so.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (compiled.exists(_.isEmpty)) false
+    else { sortSql = compiled.flatten; limit = Some(n); true }
+  }
+
+  override def isPartiallyPushed(): Boolean = opts.numPartitions > 1
+
+  /** OFFSET pushdown — single partition only (a per-partition offset
+    * would drop the wrong rows) and only for dialects that render it. */
+  override def pushOffset(n: Int): Boolean = {
+    if (rewritable && dialect.supportsOffset && opts.numPartitions == 1) {
+      offset = Some(n); true
+    } else false
+  }
+
   private def aggColumn(e: org.apache.spark.sql.connector.expressions.Expression)
       : Option[String] = e match {
     case fr: NamedReference if fr.fieldNames.length == 1 =>
@@ -160,7 +195,9 @@ class RemoteScanBuilder(table: RemoteTableImpl)
     case _ => None
   }
 
-  /** Render one aggregate to remote SQL + its Spark result type. */
+  /** Render one aggregate to remote SQL + its Spark result type (the
+    * scan schema must equal Spark's own aggregate output type, so SUM
+    * widens exactly the way Catalyst does). */
   private def compileAgg(fn: AggregateFunc): Option[(String, DataType)] = fn match {
     case _: CountStar => Some(("COUNT(1)", LongType))
     case c: Count if !c.isDistinct =>
@@ -174,6 +211,21 @@ class RemoteScanBuilder(table: RemoteTableImpl)
       aggColumn(m.column).map { n =>
         (s"MAX(${dialect.quote(n)})",
           table.remoteSchema(n).tpe.toSpark)
+      }
+    case s: Sum if !s.isDistinct =>
+      import RemoteType._
+      aggColumn(s.column).flatMap { n =>
+        val q = dialect.quote(n)
+        table.remoteSchema(n).tpe match {
+          case RInt1 | RInt2 | RInt4 | RInt8 | RUInt1 | RUInt2 | RUInt4 =>
+            Some((s"SUM(CAST($q AS BIGINT))", LongType))
+          case RFloat4 | RFloat8 =>
+            Some((s"SUM(CAST($q AS DOUBLE))", DoubleType))
+          case RDecimal(p, sc) if p + 10 <= DecimalType.MAX_PRECISION =>
+            Some((s"CAST(SUM($q) AS DECIMAL(${p + 10},$sc))",
+              DecimalType(p + 10, sc)))
+          case _ => None
+        }
       }
     case _ => None
   }
@@ -196,7 +248,7 @@ class RemoteScanBuilder(table: RemoteTableImpl)
   }
 
   override def build(): Scan =
-    new RemoteScan(table, pushedSql, pushed, required, limit, agg)
+    new RemoteScan(table, pushedSql, pushed, required, limit, sortSql, offset, agg)
 }
 
 /** Input split: optional extra range predicate for parallel reads.
@@ -212,6 +264,8 @@ class RemoteScan(
     pushedFilters: Array[Filter],
     required: StructType,
     limit: Option[Int],
+    sortSql: Seq[String],
+    offset: Option[Int],
     agg: Option[(Seq[String], StructType)])
   extends Scan with Batch with SupportsReportStatistics with Logging {
 
@@ -224,7 +278,10 @@ class RemoteScan(
   override def description(): String = {
     val f = pushedSql.mkString(", ")
     s"graft-remote ${table.name()} PushedFilters: [$f], " +
-      s"PushedLimit: ${limit.getOrElse(-1)}, PushedAggregates: ${agg.isDefined}"
+      s"PushedLimit: ${limit.getOrElse(-1)}, " +
+      s"PushedTopN: [${sortSql.mkString(", ")}], " +
+      s"PushedOffset: ${offset.getOrElse(-1)}, " +
+      s"PushedAggregates: ${agg.isDefined}"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -246,7 +303,7 @@ class RemoteScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RemoteReaderFactory(opts, table.remoteSchema, table.transformedSchema,
-      required, pushedSql, limit, agg, table.isCommand)
+      required, pushedSql, limit, sortSql, offset, agg, table.isCommand)
 
   /** Exact COUNT(1)-backed statistics (reference `table.rs:417-426`,
     * `scan.rs:128-152`): runs once per scan, honors pushed filters,
@@ -279,6 +336,8 @@ class RemoteReaderFactory(
     required: StructType,
     pushedSql: Seq[String],
     limit: Option[Int],
+    sortSql: Seq[String],
+    offset: Option[Int],
     agg: Option[(Seq[String], StructType)],
     isCommand: Boolean)
   extends PartitionReaderFactory {
@@ -291,10 +350,11 @@ class RemoteReaderFactory(
       case Some((exprs, schema)) =>
         new AggPushdownReader(opts, exprs, schema, filters)
       case None if opts.transformClass.isEmpty =>
-        new FastRowReader(opts, remoteSchema, required, filters, limit)
+        new FastRowReader(opts, remoteSchema, required, filters, limit,
+          sortSql, offset)
       case None =>
         new TransformRowReader(opts, remoteSchema, transformedSchema,
-          required, filters, limit)
+          required, filters, limit, sortSql, offset)
     }
   }
 }
@@ -307,7 +367,9 @@ class FastRowReader(
     remoteSchema: RemoteSchema,
     required: StructType,
     filters: Seq[String],
-    limit: Option[Int])
+    limit: Option[Int],
+    sortSql: Seq[String] = Nil,
+    offset: Option[Int] = None)
   extends PartitionReader[InternalRow] {
 
   private val requiredFields: Seq[RemoteField] =
@@ -316,7 +378,7 @@ class FastRowReader(
   private val stmt = conn.createStatement()
   stmt.setFetchSize(opts.fetchSize)
   private val sql = opts.dialect.rewriteQuery(opts.source, filters, limit,
-    Some(requiredFields.map(_.name)))
+    Some(requiredFields.map(_.name)), sortSql, offset)
   private val rs = stmt.executeQuery(sql)
   private val getters = requiredFields.map(Jdbc.catalystGetter)
   private val width = requiredFields.length
@@ -346,13 +408,16 @@ class TransformRowReader(
     transformedSchema: StructType,
     required: StructType,
     filters: Seq[String],
-    limit: Option[Int])
+    limit: Option[Int],
+    sortSql: Seq[String] = Nil,
+    offset: Option[Int] = None)
   extends PartitionReader[InternalRow] {
 
   private val conn = GraftConnections.open(opts)
   private val stmt = conn.createStatement()
   stmt.setFetchSize(opts.fetchSize)
-  private val sql = opts.dialect.rewriteQuery(opts.source, filters, limit, None)
+  private val sql = opts.dialect.rewriteQuery(opts.source, filters, limit, None,
+    sortSql, offset)
   private val rs = stmt.executeQuery(sql)
   private val getters = remoteSchema.fields.map(Jdbc.externalGetter)
   private val rawWidth = remoteSchema.fields.length

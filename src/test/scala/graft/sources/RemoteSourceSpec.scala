@@ -305,7 +305,7 @@ class RemoteSourceSpec extends AnyFunSuite {
     assert(OracleDialect.rewriteQuery(t, Nil, Some(3), None) ==
       """SELECT * FROM (SELECT * FROM "public"."t") WHERE ROWNUM <= 3""")
     assert(DerbyDialect.rewriteQuery(t, Nil, Some(3), None) ==
-      """SELECT * FROM "public"."t" FETCH FIRST 3 ROWS ONLY""")
+      """SELECT * FROM "public"."t" FETCH NEXT 3 ROWS ONLY""")
     assert(MySqlDialect.quote("we`ird") == "`we``ird`")
     assert(d.countQuery(t, Seq("x = 1")) ==
       """SELECT COUNT(1) FROM "public"."t" WHERE (x = 1)""")
