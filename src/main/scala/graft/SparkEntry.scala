@@ -15,10 +15,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ RemoteQueries.queries ++ PipelineQueries.queries
+    CoreQueries.queries ++ RemoteQueries.queries ++ PipelineQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ RemoteQueries.oracle ++ PipelineQueries.oracle
+    CoreQueries.oracle ++ RemoteQueries.oracle ++ PipelineQueries.oracle ++
+      StreamQueries.oracle
 }

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (`Boundedness::Bounded`, reference
+  * `scan.rs:60-65`); streaming is the Spark-native extension SURVEY.md
+  * §2.2 calls out. Every transform here also runs in batch mode (same
+  * DataFrame code), which is how the correctness gate exercises it.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * horizon × group cardinality; sessionization state by live sessions.
+  * Both shuffle once on their grouping key — identical to the batch
+  * plan shape.
+  */
+object StreamingOps {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long, session_start_us: Long, n_events: Int)
+
+  /** Exact microseconds since epoch (Timestamp.getTime is ms-only and
+    * would drop the sub-millisecond part the oracle keeps). */
+  private def micros(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Read the events fixture as a file stream (schema fixed up for the
+    * TIMESTAMP(NANOS) parquet — same handling as [[graft.Tables]]). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source wants a DIRECTORY; filter to the one table
+    val raw = spark.readStream.schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Sliding/tumbling window counts with a watermark — the canonical
+    * streaming aggregation; append mode emits only finalized windows. */
+  def windowedEventCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Gap-based sessionization over a stream:
+    * `flatMapGroupsWithState` with event-time timeout — a session
+    * closes when no event lands within `gapMinutes` of its last one.
+    * State per user = the open session. */
+  def sessionizeStream(
+      events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[(Long, Long, Int)]): Iterator[Session] = {
+      // state = (session_start_us, last_seen_us, n_events)
+      var out = List.empty[Session]
+      var cur = state.getOption
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val us = micros(e.ts)
+        cur match {
+          case Some((start, last, n)) if us - last <= gapUs =>
+            cur = Some((start, us, n + 1))
+          case Some((start, _, n)) =>
+            out ::= Session(userId, start, n)
+            cur = Some((us, us, 1))
+          case None =>
+            cur = Some((us, us, 1))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach { case (start, _, n) => out ::= Session(userId, start, n) }
+        state.remove()
+      } else {
+        cur.foreach { c =>
+          state.update(c)
+          state.setTimeoutTimestamp(c._2 / 1000L + gapMinutes * 60L * 1000L)
+        }
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Batch sessionization with identical semantics, via the typed
+    * `flatMapGroups` API — this is the form the correctness gate
+    * verifies against a window-function SQL oracle. */
+  def sessionizeBatch(
+      events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.groupByKey(_.user_id).flatMapGroups { (userId, rows) =>
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val out = scala.collection.mutable.ListBuffer.empty[Session]
+      var start = -1L; var last = -1L; var n = 0
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        if (start < 0) { start = us; last = us; n = 1 }
+        else if (us - last <= gapUs) { last = us; n += 1 }
+        else { out += Session(userId, start, n); start = us; last = us; n = 1 }
+      }
+      if (start >= 0) out += Session(userId, start, n)
+      out.iterator
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.streaming.StreamingOps.{Event, Session}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val batch1 = Seq(
+    Event(1, ts(0), 1, "view", 1.0), Event(2, ts(10), 1, "view", 2.0),
+    Event(3, ts(20), 1, "buy", 3.0),
+    // 40-min gap for user 1 -> second session
+    Event(4, ts(60), 1, "view", 4.0),
+    Event(5, ts(5), 2, "view", 5.0), Event(6, ts(90), 2, "view", 6.0))
+
+  test("streaming windowed aggregation finalizes windows at the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = StreamingOps.windowedEventCounts(
+      mem.toDF(), windowLen = "1 hour", watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every window, then trigger again
+      mem.addData(Event(99, ts(600), 9, "late", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(1200), 9, "late", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .filter(col("event_type") =!= "late") // watermark-advance sentinels
+        .select(unix_micros(col("win_start")).as("w"), col("event_type"),
+          col("n"), col("total"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batchEquiv = StreamingOps.windowedEventCounts(
+          batch1.toDF(), windowLen = "1 hour", watermark = "30 minutes")
+        .select(unix_micros(col("win_start")).as("w"), col("event_type"),
+          col("n"), col("total"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(got.nonEmpty, "no windows emitted")
+      // every finalized streaming window must equal its batch value
+      assert(got.subsetOf(batchEquiv),
+        s"streaming rows not in batch result: ${got.diff(batchEquiv)}")
+      assert(batchEquiv.subsetOf(got),
+        s"batch windows never emitted: ${batchEquiv.diff(got)}")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState) matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = StreamingOps.sessionizeStream(mem.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // push the watermark far enough that every open session times out
+      mem.addData(Event(99, ts(2000), 9, "late", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(4000), 9, "late", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[Session].collect()
+        .filter(_.user_id != 9).toSet
+      val expected = StreamingOps.sessionizeBatch(batch1.toDS(), 30)
+        .collect().toSet
+      assert(got == expected, s"got $got expected $expected")
+    } finally q.stop()
+  }
+
+  test("file-source streaming reads the ns-timestamp events fixture") {
+    val stream = StreamingOps.eventsStream(spark, "/root/testdata/sf0.001")
+    val q = StreamingOps.windowedEventCounts(stream)
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode withholds non-finalized windows; the pipeline
+      // running at all (schema fix-up included) is the check here
+      assert(q.lastProgress != null)
+    } finally q.stop()
+  }
+}
