@@ -234,6 +234,31 @@ object CoreQueries {
         .orderBy(col("n_name"))
     }),
 
+    // ---- string functions ----------------------------------------------
+    "q22_stringfns" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          regexp_replace(col("p_type"), " ", "_").as("rt"),
+          reverse(col("p_name")).as("rev"),
+          instr(col("p_name"), "a").as("ia"),
+          trim(concat(lit(" "), col("p_name"), lit(" "))).as("tr"))
+        .orderBy(col("p_partkey"))
+        .limit(400)),
+
+    // ---- conditional functions -----------------------------------------
+    "q23_conditional" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+            .as("seg"),
+          greatest(col("c_acctbal"), lit(0.0)).as("g"),
+          least(col("c_acctbal"), lit(5000.0)).as("l"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("band"))
+        .orderBy(col("c_custkey"))),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -387,6 +412,22 @@ object CoreQueries {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q22_stringfns" ->
+      """SELECT p_partkey, lpad(p_brand, 12, '*') AS lp,
+        | replace(p_type, ' ', '_') AS rt, reverse(p_name) AS rev,
+        | CAST(instr(p_name, 'a') AS INT) AS ia,
+        | trim(' ' || p_name || ' ') AS tr
+        |FROM part ORDER BY p_partkey LIMIT 400""".stripMargin,
+
+    "q23_conditional" ->
+      """SELECT c_custkey,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        | greatest(c_acctbal, 0.0) AS g, least(c_acctbal, 5000.0) AS l,
+        | CASE WHEN c_acctbal < 0 THEN 'neg'
+        |      WHEN c_acctbal < 5000 THEN 'mid'
+        |      ELSE 'high' END AS band
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q18_unionall" ->
       """SELECT nk, count(*) AS n FROM (

@@ -25,6 +25,24 @@ object StreamQueries {
           col("event_type"), col("n"), col("total"))
         .orderBy(col("hour_us"), col("event_type"))),
 
+    // as-of join (attribution): each purchase -> the user's most recent
+    // view at-or-before it; composed union+window op, one shuffle
+    "q21_asof" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("last_view_us"))
+      graft.operators.AsOfJoin.asof(
+          purchases, "user_id", "ts", views, "user_id", "ts",
+          Map("view_id" -> "last_view_id", "last_view_us" -> "last_view_us"),
+          rightTie = "view_id")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("last_view_id"), col("last_view_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
     "q20_sessionize" -> ((s, dir) => {
       import s.implicits._
       val events = Tables.table(s, dir, "events")
@@ -42,6 +60,22 @@ object StreamQueries {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+
+    "q21_asof" ->
+      """WITH p AS (
+        | SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+        | FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        | SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+        | FROM events WHERE event_type = 'view'),
+        |j AS (
+        | SELECT p.purchase_id, p.user_id, v.view_id, v.vus,
+        |  row_number() OVER (PARTITION BY p.purchase_id
+        |                     ORDER BY v.vus DESC, v.view_id DESC) AS rn
+        | FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vus <= p.pus)
+        |SELECT purchase_id, user_id, view_id AS last_view_id,
+        | vus AS last_view_us
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     "q20_sessionize" ->
       """WITH e AS (
