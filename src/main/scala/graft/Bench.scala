@@ -32,16 +32,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one warm-up action so JIT/classloading doesn't land on the first query
     SparkEntry.queries("q02_filter_agg")(spark, sfDir).count()
+    var errors = List.empty[String]
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must be VISIBLE, not a fast fake timing
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors ::= s"$name: ${e.getClass.getSimpleName}"
+          System.err.println(s"[bench] $name FAILED: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.reverse
+      .map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -259,6 +259,18 @@ object CoreQueries {
             .otherwise("high").as("band"))
         .orderBy(col("c_custkey"))),
 
+    // ---- range join (bucketed point-in-interval, no nested loop) --------
+    "q24_rangejoin" -> ((s, dir) => {
+      val bands = s.range(20)
+        .select(col("id").as("band_id"), (col("id") * 25000L).as("lo"),
+          (col("id") * 25000L + 30000L).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          "o_totalprice", bands, "lo", "hi", bucketWidth = 25000L)
+        .select(col("o_orderkey"), col("band_id"))
+        .orderBy(col("o_orderkey"), col("band_id"))
+    }),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -428,6 +440,14 @@ object CoreQueries {
         |      WHEN c_acctbal < 5000 THEN 'mid'
         |      ELSE 'high' END AS band
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q24_rangejoin" ->
+      """WITH bands AS (
+        | SELECT i AS band_id, i * 25000 AS lo, i * 25000 + 30000 AS hi
+        | FROM range(20) t(i))
+        |SELECT o_orderkey, band_id FROM orders
+        |JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |ORDER BY o_orderkey, band_id""".stripMargin,
 
     "q18_unionall" ->
       """SELECT nk, count(*) AS n FROM (

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("native functions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT simhash64(split('a b c', ' ')) AS sh,
+        | dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        | size(minhash_sig(array('x', 'y'), 16)) AS k,
+        | size(shingle_set(split('a b c d', ' '), 2)) AS ns
+        |""".stripMargin).collect().head
+    assert(row.getAs[Double]("dp") == 11.0)
+    assert(row.getAs[Int]("k") == 16)
+    assert(row.getAs[Int]("ns") == 3)
+    // SQL result equals the Column-API result (same expression class)
+    val viaApi = spark.range(1)
+      .select(native.simhash64(split(lit("a b c"), " ")).as("sh"))
+      .collect().head.getLong(0)
+    assert(row.getAs[Long]("sh") == viaApi)
+  }
+
+  test("range join bucketed == naive inequality join") {
+    import spark.implicits._
+    val points = Seq((1L, 5.0), (2L, 42.0), (3L, 99.0), (4L, 150.0))
+      .toDF("pid", "v")
+    val ivs = Seq((10L, 0L, 50L), (20L, 40L, 100L), (30L, 120L, 130L))
+      .toDF("iid", "lo", "hi")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(points, "v", ivs, "lo", "hi", bucketWidth = 16L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(ivs, $"v" >= $"lo" && $"v" < $"hi")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got.contains((2L, 10L)) && got.contains((2L, 20L)))
+    assert(!got.exists(_._1 == 4L)) // 150 in no interval
+  }
+}
