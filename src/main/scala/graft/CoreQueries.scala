@@ -168,6 +168,25 @@ object CoreQueries {
         .orderBy(col("g1"), col("g2"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // ---- cube ----------------------------------------------------------
+    "q25_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 30, 6).as("tot"),
+          grouping(col("o_orderpriority")).as("g1"),
+          grouping(col("o_orderstatus")).as("g2"))
+        .orderBy(col("g1"), col("g2"),
+          col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)),
+
+    // ---- approximate distinct (HLL; implementation-defined => rows-only)
+    "q26_approx" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+        .orderBy(col("o_orderstatus"))),
+
     // ---- semi / anti joins (EXISTS / NOT EXISTS) -----------------------
     "q12_semijoin" -> ((s, dir) => {
       val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
@@ -382,6 +401,15 @@ object CoreQueries {
          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          |ORDER BY g1, g2, l_returnflag NULLS FIRST,
          | l_linestatus NULLS FIRST""".stripMargin,
+
+    "q25_cube" ->
+      s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+         | ${sqlDsum("o_totalprice", 30, 6)} AS tot,
+         | CAST(grouping(o_orderpriority) AS TINYINT) AS g1,
+         | CAST(grouping(o_orderstatus) AS TINYINT) AS g2
+         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         |ORDER BY g1, g2, o_orderpriority NULLS FIRST,
+         | o_orderstatus NULLS FIRST""".stripMargin,
 
     "q12_semijoin" ->
       """SELECT c_custkey, c_name FROM customer

@@ -33,7 +33,9 @@ class CoreQueriesSpec extends AnyFunSuite {
   test("every query has an oracle with matching column names") {
     // Oracle coverage: each core query must declare oracle SQL; the
     // column-name match itself is exercised end-to-end by tools/check_oracle.py.
-    CoreQueries.queries.keys.foreach { name =>
+    // Exceptions are implementation-defined results (approx sketches).
+    val rowsOnly = Set("q26_approx")
+    CoreQueries.queries.keys.filterNot(rowsOnly).foreach { name =>
       assert(CoreQueries.oracle.contains(name), s"missing oracle for $name")
     }
   }
