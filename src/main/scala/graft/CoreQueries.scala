@@ -187,6 +187,16 @@ object CoreQueries {
           countDistinct(col("o_custkey")).as("exact_cust"))
         .orderBy(col("o_orderstatus"))),
 
+    // ---- exact percentiles (linear interpolation, both engines) --------
+    "q27_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     // ---- semi / anti joins (EXISTS / NOT EXISTS) -----------------------
     "q12_semijoin" -> ((s, dir) => {
       val big = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
@@ -410,6 +420,14 @@ object CoreQueries {
          |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
          |ORDER BY g1, g2, o_orderpriority NULLS FIRST,
          | o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q27_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS med_qty,
+        | quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        | quantile_cont(l_extendedprice, 0.75) AS p75_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q12_semijoin" ->
       """SELECT c_custkey, c_name FROM customer
