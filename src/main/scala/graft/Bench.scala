@@ -30,8 +30,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up action so JIT/classloading doesn't land on the first query
-    SparkEntry.queries("q02_filter_agg")(spark, sfDir).count()
+    // Warm-up protocol: run the FULL headline set once against the tiny
+    // sf0.001 fixture so JIT, classloading, codegen compilation and the
+    // first-touch of every operator's machinery land outside the timed
+    // window — "warm code, cold data". BASELINE.md records numbers under
+    // this same protocol, so driver runs and the baseline are comparable.
+    val warmDir = "/root/testdata/sf0.001"
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, warmDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: $e") }
+    }
+    // the Derby "remote DB" fixture is one-time setup (the analogue of
+    // standing up the remote database), not query execution — build it
+    // outside the timed window; ConnectorBench times the insert path.
+    try RemoteQueries.ensure(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] remote fixture setup failed: $e") }
     var errors = List.empty[String]
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

@@ -179,12 +179,19 @@ object CoreQueries {
           col("o_orderpriority").asc_nulls_first,
           col("o_orderstatus").asc_nulls_first)),
 
-    // ---- approximate distinct (HLL; implementation-defined => rows-only)
+    // ---- approximate distinct (HLL). The raw sketch value is
+    // implementation-defined, so the gated output is the exact count plus a
+    // deterministic accuracy assertion: |approx-exact|/exact <= 5%, which the
+    // DuckDB oracle emits as a constant TRUE (rsd=0.01 ⇒ ~1% expected error,
+    // comfortably inside the 5% bound on these cardinalities).
     "q26_approx" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"),
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_cust"),
           countDistinct(col("o_custkey")).as("exact_cust"))
+        .select(col("o_orderstatus"), col("exact_cust"),
+          (abs(col("approx_cust") - col("exact_cust")).cast(DoubleType) /
+            col("exact_cust") <= 0.05).as("within_5pct"))
         .orderBy(col("o_orderstatus"))),
 
     // ---- exact percentiles (linear interpolation, both engines) --------
@@ -397,9 +404,9 @@ object CoreQueries {
 
     "q10_case_agg" ->
       """SELECT o_orderpriority,
-        | sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        | sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        | sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_big,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
         | count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -420,6 +427,12 @@ object CoreQueries {
          |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
          |ORDER BY g1, g2, o_orderpriority NULLS FIRST,
          | o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q26_approx" ->
+      """SELECT o_orderstatus,
+        | count(DISTINCT o_custkey) AS exact_cust,
+        | TRUE AS within_5pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q27_percentile" ->
       """SELECT l_returnflag,

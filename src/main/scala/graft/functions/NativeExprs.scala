@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   * bench). This is the (b) tier of the custom-operator preference
   * order: a scalar `Expression` before any UDF.
   *
-  * CodegenFallback is acceptable here: each call does O(k·m) work per
-  * row, so the per-row interpreted dispatch is already amortized.
+  * Each expression implements `doGenCode` as a reference-object call
+  * into its own `nullSafeEval` loop: the per-row work is O(k·m) so the
+  * single boxed call is amortized, and — unlike `CodegenFallback`,
+  * which re-evaluates the whole child subtree interpreted — the child
+  * expressions (`split`, column reads) stay inside whole-stage codegen.
   */
 
 private object Mix {
@@ -36,7 +39,13 @@ private object Mix {
 /** MinHash signature of an array<string> shingle set: k minima of
   * per-shingle 64-bit hashes re-mixed per function index. */
 case class MinHashSig(child: Expression, k: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -76,7 +85,13 @@ case class MinHashSig(child: Expression, k: Int)
 /** 64-bit SimHash of an array<string> token list: sign of the
   * per-bit ±1 sums of token hashes. */
 case class SimHash64(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
+  }
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -111,7 +126,13 @@ case class SimHash64(child: Expression)
   * BEFORE multiplying, accumulated left-to-right — bit-identical to
   * the HOF formulation (and to a double-precision reference engine). */
 case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dotProduct", this)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ((java.lang.Double) $ref.nullSafeEval($a, $b)).doubleValue();")
+  }
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
@@ -128,7 +149,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // silently truncating to min(len, len) would return a plausible but
+    // wrong cosine for malformed embedding pairs — fail loudly instead
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"DotProduct: mismatched vector lengths $n vs ${y.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -149,7 +174,13 @@ case class DotProduct(left: Expression, right: Expression)
   * nPlanes·nTables dot products against a deterministic splitmix
   * plane matrix, returning the per-table bucket ids. */
 case class LshBuckets(child: Expression, nPlanes: Int, nTables: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBuckets", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -165,9 +196,24 @@ case class LshBuckets(child: Expression, nPlanes: Int, nTables: Int)
     java.lang.Math.floorMod(Mix.splitmix(p.toLong * 1000003L + d), 1000000L)
       .toDouble / 1000000.0 - 0.5
 
+  /** Plane matrix cache, materialized on the first row (when the vector
+    * dimension is known) — recomputing the splitmix schedule per row
+    * costs nPlanes·nTables·dim mixes/row and dominates the banding. */
+  @transient private var planeCache: Array[Array[Double]] = _
+  @transient private var planeCacheDim: Int = -1
+  private def planes(dim: Int): Array[Array[Double]] = {
+    if (planeCacheDim != dim) {
+      planeCache = Array.tabulate(nTables * nPlanes)(p =>
+        Array.tabulate(dim)(weight(p, _)))
+      planeCacheDim = dim
+    }
+    planeCache
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val dim = v.numElements()
+    val w = planes(dim)
     val vec = new Array[Double](dim)
     var d = 0
     while (d < dim) {
@@ -180,10 +226,10 @@ case class LshBuckets(child: Expression, nPlanes: Int, nTables: Int)
       var bucket = 0L
       var p = 0
       while (p < nPlanes) {
-        val planeId = t * nPlanes + p
+        val pw = w(t * nPlanes + p)
         var acc = 0.0
         var i = 0
-        while (i < dim) { acc += vec(i) * weight(planeId, i); i += 1 }
+        while (i < dim) { acc += vec(i) * pw(i); i += 1 }
         if (acc > 0) bucket |= (1L << p)
         p += 1
       }
@@ -200,7 +246,13 @@ case class LshBuckets(child: Expression, nPlanes: Int, nTables: Int)
   * loop + hash set per row (the `transform`+`concat_ws` HOF spelling
   * costs ~1ms/row interpreted at 150 shingles). */
 case class ShingleSet(child: Expression, n: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSet", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -231,7 +283,13 @@ case class ShingleSet(child: Expression, n: Int)
   * array<long> of band hashes — the signature array is never
   * materialized and no per-band HOF/slice runs. */
 case class MinHashBands(child: Expression, bands: Int, rows: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashBands", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

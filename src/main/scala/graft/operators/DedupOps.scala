@@ -62,7 +62,8 @@ object DedupOps {
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.7, bands: Int = 32, rows: Int = 4,
-      ngram: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      ngram: Int = 3, maxBucket: Int = 1000,
+      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val withSh = df.select(col(idCol).as("id"),
         shingles(col(textCol), ngram).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -73,7 +74,7 @@ object DedupOps {
         posexplode(graft.functions.native.minhash_bands(col("sh"), bands, rows)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bh")
-    val cands = LshJoin.candidates(banded, Seq("band", "bh"), maxBucket)
+    val cands = LshJoin.candidates(banded, Seq("band", "bh"), maxBucket, skewObs)
     // shingles join back only for the (small) candidate set
     LshJoin.attach(cands, withSh, "sh")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
@@ -107,7 +108,8 @@ object DedupOps {
     * value; verification is bit_count(xor). */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = 1000,
+      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for maxDist <= 3")
     val sigs = df.select(col(idCol).as("id"),
       simhash(split(col(textCol), " ")).as("sig"))
@@ -117,7 +119,7 @@ object DedupOps {
           |  struct(c AS chunk, shiftright(sig, c * 16) & 65535 AS ck))""".stripMargin))
         .as("b"))
       .select(col("id"), col("b.chunk"), col("b.ck"))
-    val cands = LshJoin.candidates(banded, Seq("chunk", "ck"), maxBucket)
+    val cands = LshJoin.candidates(banded, Seq("chunk", "ck"), maxBucket, skewObs)
     LshJoin.attach(cands, sigs.select(col("id"), col("sig")), "sig")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))

@@ -24,11 +24,28 @@ private[graft] object LshJoin {
     * then pair expansion over the ID arrays. IDs are the ONLY payload
     * that rides the shuffle or the expansion (a semi-join + self-join
     * formulation re-evaluates the upstream signature pipeline once per
-    * join side — measured 2.5x slower end-to-end). */
-  def candidates(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
-    val grouped = banded.groupBy(keyCols.map(col): _*)
+    * join side — measured 2.5x slower end-to-end).
+    *
+    * @param skewObs optional [[Observation]]: after the query's action
+    *   completes, `skewObs.get` reports `dropped_buckets` /
+    *   `dropped_ids` / `max_bucket_size` — what the `maxBucket` skew
+    *   guard silently discarded. At 100 TB that visibility is the
+    *   difference between "dedup ran" and "dedup ran and skipped the
+    *   three viral boilerplate buckets"; `observe` rides the existing
+    *   aggregation, costing no extra pass. Caveat: if EVERY bucket is
+    *   dropped, AQE's empty-relation propagation may prune the observed
+    *   node with the rest of the subtree and report no metrics. */
+  def candidates(banded: DataFrame, keyCols: Seq[String], maxBucket: Int,
+      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val sized = banded.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+    val watched = skewObs.fold(sized)(o => sized.observe(o,
+      sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+        .as("dropped_buckets"),
+      sum(when(size(col("ids")) > maxBucket, size(col("ids"))).otherwise(0L))
+        .as("dropped_ids"),
+      max(size(col("ids"))).as("max_bucket_size")))
+    val grouped = watched.filter(size(col("ids")).between(2, maxBucket))
     grouped
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->

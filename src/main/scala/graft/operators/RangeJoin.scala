@@ -31,9 +31,12 @@ object RangeJoin {
     val iv = intervals.withColumn("__bucket",
       explode(sequence(
         floor(col(loCol) / bucketWidth).cast("long"),
-        // hi is exclusive: the last covered bucket is floor((hi-ulp)/w);
-        // for integer-typed bounds floor((hi-1)/w) is exact
-        floor((col(hiCol) - lit(1)) / bucketWidth).cast("long"))))
+        // hi is exclusive, so the last covered bucket is floor((hi-ulp)/w)
+        // = ceil(hi/w)-1 for ANY numeric bound type (integer or fractional);
+        // greatest(...) keeps sequence() well-formed for empty intervals
+        // (hi <= lo), whose spurious bucket the residual filter removes.
+        greatest(floor(col(loCol) / bucketWidth),
+          ceil(col(hiCol) / bucketWidth) - lit(1)).cast("long"))))
     p.join(iv, Seq("__bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")

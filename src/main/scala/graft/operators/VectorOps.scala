@@ -59,13 +59,14 @@ object VectorOps {
     * Norms are computed once per vector, before the pair explosion. */
   def lshNearDupPairs(
       vecs: DataFrame, tau: Double, nPlanes: Int = 3, nTables: Int = 8,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // banding carries ONLY (id, tbl, bucket) — vectors never ride it
     val banded = vecs
       .select(col("id"), posexplode(lshBucketKeys(col("vec"), nPlanes, nTables)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
-    val cands = LshJoin.candidates(banded, Seq("tbl", "bucket"), maxBucket)
+    val cands = LshJoin.candidates(banded, Seq("tbl", "bucket"), maxBucket, skewObs)
     // vectors (with precomputed norms) join back for verification only
     val payload = vecs.select(col("id"),
       struct(col("vec"), norm(col("vec")).as("nrm")).as("p"))

@@ -116,6 +116,42 @@ object Jdbc {
       } finally st.close()
     }
 
+  /** Per-element Catalyst conversion for array decode (reference decodes
+    * Postgres arrays element-wise into typed lists,
+    * `connection/postgres.rs:1149-1245`). JDBC gives elements as boxed
+    * objects; each is normalized to the InternalRow representation of the
+    * declared element type so schema and runtime value always agree. */
+  private def catalystElem(t: RemoteType): Any => Any = {
+    import RemoteType._
+    t match {
+      case RBool => { case b: java.lang.Boolean => b.booleanValue; case v => v }
+      case RInt1 => v => v.asInstanceOf[Number].byteValue
+      case RInt2 | RUInt1 => v => v.asInstanceOf[Number].shortValue
+      case RInt4 | RUInt2 => v => v.asInstanceOf[Number].intValue
+      case RInt8 | RUInt4 => v => v.asInstanceOf[Number].longValue
+      case RFloat4 => v => v.asInstanceOf[Number].floatValue
+      case RFloat8 => v => v.asInstanceOf[Number].doubleValue
+      case RDecimal(p, s) if p <= DecimalType.MAX_PRECISION => {
+        case d: java.math.BigDecimal =>
+          Decimal(BigDecimal(d.setScale(s, java.math.RoundingMode.HALF_UP)), p, s)
+        case v => Decimal(BigDecimal(v.toString).setScale(s,
+          BigDecimal.RoundingMode.HALF_UP), p, s)
+      }
+      case RBinary | RFixedBinary(_) => v => v.asInstanceOf[Array[Byte]]
+      case RDate => { case d: java.sql.Date => DateTimeUtils.fromJavaDate(d)
+                      case v => v }
+      case _ => v => UTF8String.fromString(v.toString)
+    }
+  }
+
+  /** Decode a `java.sql.Array` into the boxed elements it carries,
+    * tolerating drivers that hand back primitive arrays. */
+  private def sqlArrayElements(a: java.sql.Array): Array[Any] = {
+    val raw = a.getArray
+    val n = java.lang.reflect.Array.getLength(raw)
+    Array.tabulate(n)(java.lang.reflect.Array.get(raw, _))
+  }
+
   /** Catalyst-value getter per field — the port of the reference's
     * per-type Arrow builders (`connection/postgres.rs:680-1268` etc.),
     * producing InternalRow-compatible values. */
@@ -164,6 +200,14 @@ object Jdbc {
         val v = rs.getTimestamp(i)
         if (v == null) null else DateTimeUtils.fromJavaTimestamp(v)
       }
+      case RArray(elem) =>
+        val conv = catalystElem(elem)
+        (rs, i) => {
+          val v = rs.getArray(i)
+          if (v == null) null
+          else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            sqlArrayElements(v).map(e => if (e == null) null else conv(e)))
+        }
       case other => (rs, i) => {
         val v = rs.getString(i)
         if (v == null) null else UTF8String.fromString(v)
@@ -204,7 +248,36 @@ object Jdbc {
         val v = rs.getTimestamp(i); if (v == null) null else v.toLocalDateTime
       }
       case RTimestampTz => (rs, i) => rs.getTimestamp(i)
+      case RArray(elem) =>
+        val conv = externalElem(elem)
+        (rs, i) => {
+          val v = rs.getArray(i)
+          if (v == null) null
+          else sqlArrayElements(v).map(e => if (e == null) null else conv(e)).toSeq
+        }
       case _ => (rs, i) => rs.getString(i)
+    }
+  }
+
+  /** External (Row-API) element conversion for the Transform path. */
+  private def externalElem(t: RemoteType): Any => Any = {
+    import RemoteType._
+    t match {
+      case RBool => identity
+      case RInt1 => v => v.asInstanceOf[Number].byteValue
+      case RInt2 | RUInt1 => v => v.asInstanceOf[Number].shortValue
+      case RInt4 | RUInt2 => v => v.asInstanceOf[Number].intValue
+      case RInt8 | RUInt4 => v => v.asInstanceOf[Number].longValue
+      case RFloat4 => v => v.asInstanceOf[Number].floatValue
+      case RFloat8 => v => v.asInstanceOf[Number].doubleValue
+      case RDecimal(p, s) if p <= DecimalType.MAX_PRECISION => {
+        case d: java.math.BigDecimal =>
+          BigDecimal(d.setScale(s, java.math.RoundingMode.HALF_UP))
+        case v => BigDecimal(v.toString).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+      }
+      case RBinary | RFixedBinary(_) => identity
+      case RDate => identity
+      case _ => v => v.toString
     }
   }
 }

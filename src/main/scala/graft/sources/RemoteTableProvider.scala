@@ -294,7 +294,11 @@ class RemoteScan(
           val lower = if (i == 0) None else Some(s"$q >= ${lo + i * stride}")
           val upper =
             if (i == n - 1) None else Some(s"$q < ${lo + (i + 1) * stride}")
+          // NULL partition values satisfy no range predicate — route them to
+          // partition 0 (same convention as Spark's JDBC relation) so a
+          // nullable partition column never silently loses rows.
           val pred = (lower ++ upper).reduceOption((a, b) => s"$a AND $b")
+            .map(p => if (i == 0) s"($p OR $q IS NULL)" else p)
           RemotePartition(i, pred): InputPartition
         }.toArray
       case _ => Array(RemotePartition(0, None))
@@ -423,10 +427,21 @@ class TransformRowReader(
   private val rawWidth = remoteSchema.fields.length
   private val rawSchema = remoteSchema.toSpark
 
+  /** The raw-row iterator handed to the user Transform. `hasNext` must be
+    * idempotent (user code may legally call it more than once per `next()` —
+    * `isEmpty`, `buffered`, defensive checks), so the underlying side-effecting
+    * `rs.next()` cursor advance is cached behind a one-step lookahead flag. */
   private val rawRows: Iterator[org.apache.spark.sql.Row] =
     new Iterator[org.apache.spark.sql.Row] {
-      def hasNext: Boolean = rs.next()
+      private var advanced = false
+      private var hasRow = false
+      def hasNext: Boolean = {
+        if (!advanced) { hasRow = rs.next(); advanced = true }
+        hasRow
+      }
       def next(): org.apache.spark.sql.Row = {
+        if (!hasNext) throw new NoSuchElementException("next on empty remote cursor")
+        advanced = false
         val arr = new Array[Any](rawWidth)
         var i = 0
         while (i < rawWidth) { arr(i) = getters(i)(rs, i + 1); i += 1 }

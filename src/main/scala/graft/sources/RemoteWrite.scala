@@ -94,6 +94,8 @@ class RemoteDataWriter(
           // UnsafeRow values are views into a buffer Spark reuses across
           // rows — copy anything reference-like before buffering
           case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+          case a: org.apache.spark.sql.catalyst.util.ArrayData => a.copy()
+          case r: InternalRow => r.copy()
           case other => other
         }
       i += 1
@@ -169,6 +171,19 @@ class RemoteDataWriter(
       case TimestampNTZType =>
         ps.setTimestamp(idx, java.sql.Timestamp.valueOf(
           DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[Long])))
+      case ArrayType(elem, _) =>
+        // drivers without createArrayOf raise SQLFeatureNotSupported — a
+        // clear failure beats binding a stringified array
+        val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val ext = (0 until ad.numElements()).map { i =>
+          if (ad.isNullAt(i)) null
+          else ad.get(i, elem) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case d: Decimal => d.toJavaBigDecimal
+            case o => o.asInstanceOf[AnyRef]
+          }
+        }.toArray[AnyRef]
+        ps.setArray(idx, conn.createArrayOf(elem.simpleString.toUpperCase, ext))
       case _ => ps.setString(idx, v.toString)
     }
   }
@@ -206,7 +221,41 @@ trait Literalizer extends Serializable {
     else dialect.timestampLiteral(
       DateTimeUtils.toJavaTimestamp(micros).toLocalDateTime)
 
-  /** Dispatcher (reference `literalize_array`, `literalize.rs:491-609`). */
+  /** `ARRAY[...]` constructor with element-wise rendering (reference
+    * `literalize.rs:382-462`). Dialects without an array constructor get
+    * a hard server-side SQL error instead of silently-corrupt data. */
+  def arrayLiteral(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      elem: DataType, field: RemoteField, dialect: Dialect): String = {
+    val elemField = field.tpe match {
+      case RemoteType.RArray(e) => RemoteField(field.name, e)
+      case _ => field
+    }
+    (0 until v.numElements()).map { i =>
+      literal(if (v.isNullAt(i)) null else v.get(i, elem), elemField, elem, dialect)
+    }.mkString("ARRAY[", ", ", "]")
+  }
+
+  /** Interval rendering (reference `literalize.rs:267-320`). */
+  def intervalLiteral(months: Int, days: Int, micros: Long, dialect: Dialect): String = {
+    val secs = java.math.BigDecimal.valueOf(micros, 6).stripTrailingZeros.toPlainString
+    s"INTERVAL '$months months $days days $secs seconds'"
+  }
+
+  /** Canonical 8-4-4-4-12 hex UUID (reference `literalize.rs:369-379`). */
+  def uuidLiteral(v: Array[Byte], dialect: Dialect): String = {
+    require(v.length == 16, s"UUID literal needs 16 bytes, got ${v.length}")
+    val h = v.map("%02x".format(_)).mkString
+    s"'${h.substring(0, 8)}-${h.substring(8, 12)}-${h.substring(12, 16)}-" +
+      s"${h.substring(16, 20)}-${h.substring(20)}'"
+  }
+
+  /** WKB geometry (reference `literalize.rs:350-360`). */
+  def geometryLiteral(v: Array[Byte], dialect: Dialect): String =
+    s"ST_GeomFromWKB(${dialect.binaryLiteral(v)})"
+
+  /** Dispatcher (reference `literalize_array`, `literalize.rs:491-609`).
+    * Unknown types FAIL FAST — a quoted `toString` fallback would emit
+    * syntactically valid but semantically wrong SQL. */
   def literal(v: Any, field: RemoteField, dt: DataType, dialect: Dialect): String = {
     if (v == null) return nullLiteral(field, dialect)
     dt match {
@@ -220,11 +269,27 @@ trait Literalizer extends Serializable {
       case _: DecimalType =>
         decimalLiteral(v.asInstanceOf[Decimal].toJavaBigDecimal, dialect)
       case StringType => stringLiteral(v.toString, dialect)
-      case BinaryType => binaryLiteral(v.asInstanceOf[Array[Byte]], dialect)
+      case BinaryType => field.tpe match {
+        case RemoteType.RUuid => uuidLiteral(v.asInstanceOf[Array[Byte]], dialect)
+        case RemoteType.RGeometry => geometryLiteral(v.asInstanceOf[Array[Byte]], dialect)
+        case _ => binaryLiteral(v.asInstanceOf[Array[Byte]], dialect)
+      }
       case DateType => dateLiteral(v.asInstanceOf[Int], dialect)
       case TimestampType => timestampLiteral(v.asInstanceOf[Long], ntz = false, dialect)
       case TimestampNTZType => timestampLiteral(v.asInstanceOf[Long], ntz = true, dialect)
-      case _ => stringLiteral(v.toString, dialect)
+      case ArrayType(elem, _) =>
+        arrayLiteral(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+          elem, field, dialect)
+      case CalendarIntervalType =>
+        val iv = v.asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+        intervalLiteral(iv.months, iv.days, iv.microseconds, dialect)
+      case _: YearMonthIntervalType =>
+        intervalLiteral(v.asInstanceOf[Int], 0, 0L, dialect)
+      case _: DayTimeIntervalType =>
+        intervalLiteral(0, 0, v.asInstanceOf[Long], dialect)
+      case other => throw new IllegalArgumentException(
+        s"no SQL literal rendering for Spark type $other (column " +
+          s"${field.name}) — provide a custom Literalizer via literalizerclass")
     }
   }
 }

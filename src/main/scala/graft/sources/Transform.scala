@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.StructType
   * column it derives from, letting filters written against transformed
   * names still push down to the remote DB (reference `transform.rs:26-33`,
   * exercised by `integration-tests/tests/common.rs:251-277`). Return
-  * None to veto pushdown of filters on that column.
+  * None to veto pushdown of filters on that column. The DEFAULT is None
+  * (veto): pushed filters have Exact semantics — Spark never re-evaluates
+  * them — so a transform that changes a column's values while keeping its
+  * name must opt IN to pushdown explicitly, not remember to opt out.
   *
   * Implementations must have a no-arg constructor (instantiated from
   * the option map on executors) and be pure row-level functions —
@@ -25,12 +28,14 @@ import org.apache.spark.sql.types.StructType
 trait Transform extends Serializable {
   def transformSchema(schema: StructType): StructType
   def transform(rows: Iterator[Row], schema: StructType): Iterator[Row]
-  def filterRename(transformedColumn: String): Option[String] =
-    Some(transformedColumn)
+  def filterRename(transformedColumn: String): Option[String] = None
 }
 
-/** Default no-op transform (reference `DefaultTransform`). */
+/** Default no-op transform (reference `DefaultTransform`): values pass
+  * through untouched, so filter pushdown under the same name is sound. */
 object IdentityTransform extends Transform {
   def transformSchema(schema: StructType): StructType = schema
   def transform(rows: Iterator[Row], schema: StructType): Iterator[Row] = rows
+  override def filterRename(transformedColumn: String): Option[String] =
+    Some(transformedColumn)
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, RangeJoin}
+
+class OperatorsRound2Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("range join covers fractional interval bounds (no dropped tail bucket)") {
+    // hi = 10.5 with bucketWidth 10: the old floor((hi-1)/w) bound dropped
+    // bucket 1, silently losing the point at 10.2
+    val points = Seq(0.5, 9.9, 10.2, 10.6, 25.0).toDF("p")
+    val intervals = Seq((0.0, 10.5, "i1"), (20.0, 30.0, "i2"))
+      .toDF("lo", "hi", "tag")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi",
+        bucketWidth = 10L)
+      .select("p", "tag").as[(Double, String)].collect().toSet
+    assert(got == Set((0.5, "i1"), (9.9, "i1"), (10.2, "i1"), (25.0, "i2")))
+  }
+
+  test("range join: empty intervals (hi <= lo) match nothing") {
+    val points = Seq(1.0, 2.0).toDF("p")
+    val intervals = Seq((5.0, 5.0, "empty"), (3.0, 2.0, "inverted"))
+      .toDF("lo", "hi", "tag")
+    assert(RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 10L)
+      .count() == 0)
+  }
+
+  test("dot product fails loudly on mismatched vector lengths") {
+    val a = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("x", "y")
+    val e = intercept[Exception] {
+      a.select(graft.functions.native.dot_product(col("x"), col("y"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(
+        _.contains("mismatched vector lengths"))))
+  }
+
+  test("LSH skew guard emits dropped-bucket metrics via observe") {
+    // 4 copies of text A (bucket size 4 -> dropped at maxBucket=2) plus
+    // 2 copies of text B (bucket size 2 -> kept): the survivors keep the
+    // plan non-empty (AQE prunes CollectMetrics with empty subtrees) and
+    // the observation reports exactly what the guard discarded
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different text about spark query engines at scale"
+    val docs = Seq((1L, a), (2L, a), (3L, a), (4L, a), (5L, b), (6L, b))
+      .toDF("doc_id", "text")
+    val obs = Observation("lsh_skew")
+    val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text",
+      tau = 0.7, maxBucket = 2, skewObs = Some(obs))
+    assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      Set((5L, 6L)), "only the small bucket's pair survives")
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] > 0)
+    assert(m("dropped_ids").asInstanceOf[Long] >= 4)
+    assert(m("max_bucket_size").asInstanceOf[Int] == 4)
+  }
+
+  test("LSH skew metrics are zero when no bucket exceeds the cap") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val obs = Observation("lsh_skew_ok")
+    val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text",
+      tau = 0.7, maxBucket = 100, skewObs = Some(obs))
+    assert(pairs.count() == 1)
+    assert(obs.get("dropped_buckets").asInstanceOf[Long] == 0L)
+  }
+}
