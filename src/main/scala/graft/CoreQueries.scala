@@ -307,6 +307,24 @@ object CoreQueries {
         .orderBy(col("o_orderkey"), col("band_id"))
     }),
 
+    // ---- range join via the OPTIMIZER RULE ------------------------------
+    // Same semantics as q24, but written the way a user naturally would —
+    // a plain inner join with an inequality-only condition. The injected
+    // RangeJoinRewrite rule (GraftExtensions) turns the would-be
+    // BroadcastNestedLoopJoin into the bucketed equi-join automatically;
+    // RangeJoinRuleSpec asserts no nested-loop/cartesian node survives.
+    "q28_rangejoin_auto" -> ((s, dir) => {
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthKey, "25000")
+      val bands = s.range(20)
+        .select(col("id").as("band_id"), (col("id") * 25000L).as("lo"),
+          (col("id") * 25000L + 30000L).as("hi"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .join(bands, col("o_totalprice") >= col("lo") &&
+          col("o_totalprice") < col("hi"))
+        .select(col("o_orderkey"), col("band_id"))
+        .orderBy(col("o_orderkey"), col("band_id"))
+    }),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -501,6 +519,14 @@ object CoreQueries {
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q24_rangejoin" ->
+      """WITH bands AS (
+        | SELECT i AS band_id, i * 25000 AS lo, i * 25000 + 30000 AS hi
+        | FROM range(20) t(i))
+        |SELECT o_orderkey, band_id FROM orders
+        |JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |ORDER BY o_orderkey, band_id""".stripMargin,
+
+    "q28_rangejoin_auto" ->
       """WITH bands AS (
         | SELECT i AS band_id, i * 25000 AS lo, i * 25000 + 30000 AS hi
         | FROM range(20) t(i))
