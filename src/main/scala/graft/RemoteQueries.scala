@@ -138,6 +138,23 @@ object RemoteQueries {
         .limit(25)
         .select(col("S_SUPPKEY").as("s_suppkey"),
           col("S_ACCTBAL").as("s_acctbal"))
+    }),
+
+    // Spark-side join of two remote scans, collapsed into ONE remote SQL
+    // join by SupportsPushDownJoin (JoinPushdownSpec asserts the plan has
+    // no Spark join node); the group-by then aggregates the joined scan.
+    "r06_remote_join_pushdown" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      remote(s, url, "dbtable" -> "SUPPLIER")
+        .join(remote(s, url, "dbtable" -> "NATION"),
+          col("S_NATIONKEY") === col("N_NATIONKEY"))
+        .groupBy(col("N_NAME"))
+        .agg(count(lit(1)).as("n_sup"),
+          sum(col("S_ACCTBAL").cast(DecimalType(25, 6))).cast(DoubleType)
+            .as("bal"))
+        .select(col("N_NAME").as("n_name"), col("n_sup"), col("bal"))
+        .orderBy(col("n_name"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -157,5 +174,10 @@ object RemoteQueries {
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "r05_remote_topk" ->
       """SELECT s_suppkey, s_acctbal FROM supplier
-        |ORDER BY s_acctbal DESC, s_suppkey LIMIT 25""".stripMargin)
+        |ORDER BY s_acctbal DESC, s_suppkey LIMIT 25""".stripMargin,
+    "r06_remote_join_pushdown" ->
+      """SELECT n_name, count(*) AS n_sup,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
 }

@@ -62,16 +62,37 @@ trait Dialect extends Serializable {
       case Some(Nil) => "1"
       case Some(cs) => cs.map(quote).mkString(", ")
     }
-    val from = source match {
-      case RemoteSource.TableRef(parts) => tableName(parts)
-      case RemoteSource.Query(sql) => s"(${sql.trim.stripSuffix(";")}) AS $subqueryAlias"
-    }
     val where =
       if (filters.isEmpty) "" else filters.mkString(" WHERE (", ") AND (", ")")
     val order =
       if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
-    applyLimit(s"SELECT $select FROM $from$where$order", limit, offset)
+    applyLimit(s"SELECT $select FROM ${fromClause(source)}$where$order", limit, offset)
   }
+
+  /** FROM-clause rendering: table name, or a query wrapped as a named
+    * subquery. */
+  def fromClause(source: RemoteSource): String = source match {
+    case RemoteSource.TableRef(parts) => tableName(parts)
+    case RemoteSource.Query(sql) => s"(${sql.trim.stripSuffix(";")}) AS $subqueryAlias"
+  }
+
+  /** One side of a pushed-down join: project the required columns under
+    * their (collision-free) aliases, folding already-pushed filters. */
+  def joinSideQuery(source: RemoteSource, filters: Seq[String],
+      selectList: Seq[String]): String = {
+    val where =
+      if (filters.isEmpty) "" else filters.mkString(" WHERE (", ") AND (", ")")
+    s"SELECT ${selectList.mkString(", ")} FROM ${fromClause(source)}$where"
+  }
+
+  /** The pushed-down join itself. Both sides already project unique
+    * column names, so the outer list and the ON condition are
+    * unqualified. */
+  def joinQuery(leftSql: String, rightSql: String, joinTypeSql: String,
+      condition: String, outCols: Seq[String]): String =
+    s"SELECT ${outCols.map(quote).mkString(", ")} " +
+      s"FROM ($leftSql) ${subqueryAlias}L $joinTypeSql ($rightSql) ${subqueryAlias}R " +
+      s"ON $condition"
 
   /** Whether OFFSET can be rendered (Oracle's ROWNUM form cannot). */
   def supportsOffset: Boolean = true

@@ -56,18 +56,22 @@ object RemoteTableImpl {
 /** The table: schema inference happens once, driver-side, at
   * construction — matching the reference's remote round-trip inside
   * `RemoteTable::try_new` (`table.rs:237-274`). */
-class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType])
+class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType],
+    knownRemoteSchema: Option[RemoteSchema] = None)
   extends Table with SupportsRead with SupportsWrite {
 
   val isCommand: Boolean = opts.command.contains("list_tables")
 
-  /** Remote (source-native) schema of the raw scan. */
-  lazy val remoteSchema: RemoteSchema =
+  /** Remote (source-native) schema of the raw scan. `knownRemoteSchema`
+    * skips the probe when the caller already derived it (join pushdown
+    * composes it from the two sides' inferred schemas). */
+  lazy val remoteSchema: RemoteSchema = knownRemoteSchema.getOrElse {
     if (isCommand)
       RemoteSchema(Seq(
         RemoteField("table_name", RemoteType.RVarchar(256), nullable = false),
         RemoteField("table_type", RemoteType.RVarchar(64), nullable = false)))
     else Jdbc.inferSchema(opts)
+  }
 
   /** Spark schema after the user Transform (reference
     * `transformed_table_schema`, `transform.rs:169-192`). */
@@ -105,19 +109,21 @@ class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType])
   *     the idiomatic Spark form of the reference's COUNT-statistics
   *     folding (SURVEY §2.1 O5).
   */
-class RemoteScanBuilder(table: RemoteTableImpl)
+class RemoteScanBuilder(private var table: RemoteTableImpl)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
   with SupportsPushDownTopN
   with SupportsPushDownOffset
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with SupportsPushDownJoin {
 
-  private val opts = table.opts
-  private val dialect = opts.dialect
-  private val rewritable = !table.isCommand && dialect.isRewritable(opts.source)
-  private val hasTransform = opts.transformClass.isDefined
+  // defs, not vals: join pushdown swaps `table` for a joined-query table
+  private def opts = table.opts
+  private def dialect = opts.dialect
+  private def rewritable = !table.isCommand && dialect.isRewritable(opts.source)
+  private def hasTransform = opts.transformClass.isDefined
 
   private var pushedSql: Seq[String] = Nil
   private var pushed: Array[Filter] = Array.empty
@@ -245,6 +251,98 @@ class RemoteScanBuilder(table: RemoteTableImpl)
     })
     agg = Some((compiled.map(_._1), schema))
     true
+  }
+
+  // ---- join pushdown (SupportsPushDownJoin, Spark 4.1) ----------------
+  // When both sides of a Spark join are graft-remote scans of the SAME
+  // remote database, the whole join collapses into one remote SQL query:
+  //   SELECT <cols> FROM (<left side>) L <JOIN TYPE> (<right side>) R ON <cond>
+  // so join rows never cross the wire individually and the remote engine
+  // uses its own indexes/join machinery. Each side folds its
+  // already-pushed filters (V2ScanRelationPushDown pushes filters BEFORE
+  // joins); limit/top-N/offset/aggregate pushdown then apply to the
+  // joined query transparently, because the builder's source simply
+  // becomes a rewritable Query. Enabled by Spark's
+  // `spark.sql.optimizer.datasourceV2JoinPushdown` conf. This is
+  // beyond-reference surface (the reference delegates join planning to
+  // its host engine and never pushes joins remotely).
+
+  override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
+    other match {
+      case o: RemoteScanBuilder =>
+        rewritable && o.rewritable && !hasTransform && !o.hasTransform &&
+          !table.isCommand && !o.table.isCommand &&
+          opts.url == o.opts.url && dialect.name == o.dialect.name &&
+          opts.numPartitions == 1 && o.opts.numPartitions == 1
+      case _ => false
+    }
+
+  override def pushDownJoin(
+      other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightCols: Array[SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Boolean = {
+    import org.apache.spark.sql.connector.join.JoinType._
+    if (!isOtherSideCompatibleForJoin(other)) return false
+    val o = other.asInstanceOf[RemoteScanBuilder]
+    // joins push before limit/top-N/offset/aggregates; anything else on
+    // either builder means an ordering we did not design for — bail
+    if (limit.isDefined || offset.isDefined || sortSql.nonEmpty || agg.isDefined ||
+        o.limit.isDefined || o.offset.isDefined || o.sortSql.nonEmpty ||
+        o.agg.isDefined) return false
+
+    val joinTypeSql = joinType match {
+      case INNER_JOIN => "INNER JOIN"
+      case LEFT_OUTER_JOIN => "LEFT OUTER JOIN"
+      case RIGHT_OUTER_JOIN => "RIGHT OUTER JOIN"
+      case _ => return false
+    }
+    val condSql =
+      try new V2PredicateSQL(dialect).build(condition)
+      catch { case scala.util.control.NonFatal(_) => return false }
+
+    // one side's pushed-down projection: fields renamed to their
+    // collision-free aliases, nullability widened on the outer side
+    def side(b: RemoteScanBuilder,
+        cols: Array[SupportsPushDownJoin.ColumnWithAlias],
+        forcedNullable: Boolean): Option[(String, Seq[RemoteField])] = {
+      val fields = cols.toSeq.map { c =>
+        b.table.remoteSchema.fields.find(_.name.equalsIgnoreCase(c.colName))
+          .map(f => f.copy(name = Option(c.alias).getOrElse(c.colName),
+            nullable = f.nullable || forcedNullable))
+      }
+      if (fields.contains(None)) None
+      else {
+        val sel = cols.toSeq.map(c => dialect.quote(c.colName) +
+          Option(c.alias).fold("")(a => s" AS ${dialect.quote(a)}"))
+        Some((dialect.joinSideQuery(b.opts.source, b.pushedSql, sel),
+          fields.flatten))
+      }
+    }
+    val sides = for {
+      (lSql, lFields) <- side(this, leftCols, joinType == RIGHT_OUTER_JOIN)
+      (rSql, rFields) <- side(o, rightCols, joinType == LEFT_OUTER_JOIN)
+      all = lFields ++ rFields
+      // Spark's alias generation guarantees uniqueness; verify anyway —
+      // a duplicate output name would make the outer SELECT ambiguous
+      if all.map(_.name.toLowerCase).distinct.size == all.size
+    } yield (lSql, rSql, all)
+    sides match {
+      case None => false
+      case Some((lSql, rSql, joinedFields)) =>
+        val joined = dialect.joinQuery(lSql, rSql, joinTypeSql, condSql,
+          joinedFields.map(_.name))
+        val newMap = opts.map -- Seq("dbtable", "partitioncolumn",
+          "lowerbound", "upperbound", "numpartitions") + ("query" -> joined)
+        table = new RemoteTableImpl(RemoteOptions(newMap), None,
+          Some(RemoteSchema(joinedFields)))
+        required = table.transformedSchema
+        pushed = Array.empty
+        pushedSql = Nil
+        true
+    }
   }
 
   override def build(): Scan =
