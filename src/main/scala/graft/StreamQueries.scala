@@ -52,6 +52,18 @@ object StreamQueries {
       StreamingOps.sessionizeBatch(events, gapMinutes = 30)
         .toDF()
         .orderBy(col("user_id"), col("session_start_us"))
+    }),
+
+    // stream-stream join surface, driven through its batch mode (the
+    // exact same function body runs under readStream — StreamingSpec
+    // asserts streaming == batch on planted data)
+    "q29_streamjoin" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+      StreamingOps.viewClickJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          windowMin = 30)
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -94,5 +106,16 @@ object StreamQueries {
         |SELECT user_id, min(us) AS session_start_us,
         | CAST(count(*) AS INT) AS n_events
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin)
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q29_streamjoin" ->
+      """SELECT v.user_id AS user_id,
+        | v.event_id AS view_id, c.event_id AS click_id,
+        | epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+        |FROM events v JOIN events c
+        | ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts
+        | AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, view_id, click_id""".stripMargin)
 }

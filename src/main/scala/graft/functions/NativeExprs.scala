@@ -334,6 +334,81 @@ case class MinHashBands(child: Expression, bands: Int, rows: Int)
 }
 
 /** Column-API wrappers. */
+/** The `nProbe` nearest centroid indices (by cosine, descending;
+  * ties broken by index) for an `array<float>` vector — the IVF coarse
+  * quantizer. Centroids ride the plan (k·dim doubles — the same
+  * "broadcast tiny model with the closure" idiom Spark ML uses for
+  * k-means centers), so assignment is per-row and shuffle-free. */
+case class NearestCentroids(child: Expression,
+    centroids: Seq[Seq[Double]], nProbe: Int)
+  extends UnaryExpression {
+
+  require(nProbe >= 1 && nProbe <= centroids.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids needs array<float>, got $other")
+    }
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val centNorms: Array[Double] =
+    cents.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val vec = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { vec(d) = v.getFloat(d).toDouble; d += 1 }
+    // cosine vs each centroid (vector norm is constant across centroids,
+    // so plain dot/centNorm ranks identically)
+    val scores = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      val n = math.min(dim, ct.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += vec(i) * ct(i); i += 1 }
+      scores(c) = if (centNorms(c) == 0) Double.NegativeInfinity
+        else acc / centNorms(c)
+      c += 1
+    }
+    // selection of top nProbe by (score desc, index asc) — k is tiny
+    val out = new Array[Int](nProbe)
+    val taken = new Array[Boolean](cents.length)
+    var r = 0
+    while (r < nProbe) {
+      var best = -1
+      var c2 = 0
+      while (c2 < cents.length) {
+        if (!taken(c2) && (best < 0 || scores(c2) > scores(best))) best = c2
+        c2 += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 object native {
   def shingle_set(tokens: Column, n: Int): Column =
     Bridge.column(ShingleSet(Bridge.expression(tokens), n))
@@ -348,4 +423,6 @@ object native {
       Bridge.expression(a), Bridge.expression(b)))
   def lsh_buckets(c: Column, nPlanes: Int, nTables: Int): Column =
     Bridge.column(LshBuckets(Bridge.expression(c), nPlanes, nTables))
+  def nearest_centroids(c: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(c), centroids, nProbe))
 }

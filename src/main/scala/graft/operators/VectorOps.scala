@@ -45,6 +45,71 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Deterministic mini-Lloyd k-means over (id, vec): seeds are the
+    * `nlist` lowest-id vectors, then `iters` assign/mean rounds. Each
+    * round is one shuffle-free assignment pass (centroids ride the plan
+    * via [[graft.functions.NearestCentroids]]) plus a `posexplode` +
+    * groupBy(cid, dim) mean — the classic distributed k-means update.
+    * Only O(nlist·dim) aggregated values ever reach the driver (the
+    * same contract as Spark ML's k-means `collect` of cluster centers);
+    * corpus rows never do. */
+  def trainCentroids(
+      vecs: DataFrame, nlist: Int, iters: Int = 2): Seq[Seq[Double]] = {
+    def toDoubles(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Float](0).map(_.toDouble)
+    var cents: Seq[Seq[Double]] = vecs.orderBy(col("id")).limit(nlist)
+      .select(col("vec")).collect().toSeq.map(toDoubles)
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cid", element_at(
+        graft.functions.native.nearest_centroids(col("vec"), cents, 1), 1))
+      val means = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        // decimal mean: partial-sum order cannot perturb the centroids,
+        // so training is bit-deterministic for a given dataset
+        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(27, 12)))
+          / count(lit(1))).cast("double").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // empty clusters keep their previous centroid
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus vectors are assigned
+    * to their nearest centroid once (the inverted lists); each query
+    * probes its `nprobe` nearest lists and brute-forces only those.
+    * Work per query drops from |corpus| to ~|corpus|·nprobe/nlist.
+    * Same output contract as [[bruteForceTopK]]; recall is governed by
+    * nprobe/nlist (nprobe = nlist ⇒ exact). The scale shape: the
+    * assignment pass is shuffle-free, the probe join is an equi-join on
+    * cid with the (small) query side broadcast — the cluster analogue
+    * of FAISS's IVF-Flat. */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, iters: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, nlist, iters)
+    val lists = corpus.select(col("id").as("neighbor_id"),
+      col("vec").as("cv"),
+      element_at(
+        graft.functions.native.nearest_centroids(col("vec"), cents, 1), 1)
+        .as("cid"))
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+        explode(graft.functions.native.nearest_centroids(
+          col("vec"), cents, nprobe)).as("cid"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Sign-LSH bucket ids via the native [[graft.functions.LshBuckets]]
     * expression: `nTables` independent tables (OR), each an AND over
     * `nPlanes` deterministic splitmix hyperplane signs — the classic

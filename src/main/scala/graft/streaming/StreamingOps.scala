@@ -64,6 +64,38 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Watermarked streaming dedup: keeps the first arrival of each
+    * `event_id`, with state EXPIRED by the watermark instead of growing
+    * forever (`dropDuplicatesWithinWatermark`, the streaming analogue of
+    * the pipeline exact-dedup operator). Duplicates are only guaranteed
+    * dropped while they arrive inside the watermark horizon — the
+    * contract a 100 TB ingest pipeline actually wants, since unbounded
+    * dedup state is the scale killer. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner join: view→click attribution within
+    * `windowMin` minutes. Both sides carry watermarks and the join
+    * condition bounds each click to a view-relative time range, which is
+    * what lets Spark expire per-side join state — an unbounded-state
+    * stream-stream join is rejected in append mode. The SAME code path
+    * serves batch inputs (watermark is a no-op there), so the
+    * correctness gate oracles this exact function. */
+  def viewClickJoin(
+      views: DataFrame, clicks: DataFrame, windowMin: Int): DataFrame = {
+    val v = views.withWatermark("ts", s"$windowMin minutes").alias("v")
+    val c = clicks.withWatermark("ts", s"$windowMin minutes").alias("c")
+    v.join(c, expr(
+        s"""v.user_id = c.user_id AND
+           |c.ts >= v.ts AND
+           |c.ts <= v.ts + interval $windowMin minutes""".stripMargin))
+      .select(col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"), col("c.event_id").as("click_id"),
+        unix_micros(col("v.ts")).as("view_us"),
+        unix_micros(col("c.ts")).as("click_us"))
+  }
+
   /** Gap-based sessionization over a stream:
     * `flatMapGroupsWithState` with event-time timeout — a session
     * closes when no event lands within `gapMinutes` of its last one.

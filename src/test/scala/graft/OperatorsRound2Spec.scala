@@ -42,6 +42,35 @@ class OperatorsRound2Spec extends AnyFunSuite {
         _.contains("mismatched vector lengths"))))
   }
 
+  test("IVF top-k equals brute force when every list is probed") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = all.filter(col("id") < 5)
+    val exact = graft.operators.VectorOps.bruteForceTopK(q, all, 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivfAll = graft.operators.VectorOps
+      .ivfTopK(q, all, 5, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(ivfAll == exact, "nprobe = nlist must be exhaustive (exact)")
+  }
+
+  test("IVF recall under real pruning stays above the gate threshold") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = all.filter(col("id") < 10)
+    val exact = graft.operators.VectorOps.bruteForceTopK(q, all, 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivf = graft.operators.VectorOps
+      .ivfTopK(q, all, 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall $recall (${ivf.intersect(exact).size}/${exact.size})")
+  }
+
   test("LSH skew guard emits dropped-bucket metrics via observe") {
     // 4 copies of text A (bucket size 4 -> dropped at maxBucket=2) plus
     // 2 copies of text B (bucket size 2 -> kept): the survivors keep the

@@ -82,6 +82,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream view-click join matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      Event(1, ts(0), 1, "view", 0), Event(2, ts(50), 1, "view", 0),
+      Event(3, ts(10), 2, "view", 0))
+    val clicks = Seq(
+      Event(11, ts(5), 1, "click", 0),   // within 30m of view 1
+      Event(12, ts(55), 1, "click", 0),  // within 30m of view 2 (not 1)
+      Event(13, ts(100), 2, "click", 0), // beyond every view window
+      Event(14, ts(20), 3, "click", 0))  // user with no views
+    val vMem = MemoryStream[Event]
+    val cMem = MemoryStream[Event]
+    val joined = StreamingOps.viewClickJoin(vMem.toDF(), cMem.toDF(), 30)
+    val q = joined.writeStream.format("memory").queryName("vc_out")
+      .outputMode("append").start()
+    try {
+      vMem.addData(views: _*); cMem.addData(clicks: _*)
+      q.processAllAvailable()
+      // advance both watermarks so every in-window pair is emitted
+      vMem.addData(Event(98, ts(500), 9, "view", 0))
+      cMem.addData(Event(99, ts(500), 9, "click", 0))
+      q.processAllAvailable()
+      val got = spark.table("vc_out").filter(col("user_id") =!= 9)
+        .select("user_id", "view_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = StreamingOps.viewClickJoin(
+          views.toDF(), clicks.toDF(), 30)
+        .select("user_id", "view_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(expected == Set((1L, 1L, 11L), (1L, 2L, 12L)))
+      assert(got == expected, s"got $got expected $expected")
+    } finally q.stop()
+  }
+
+  test("watermarked streaming dedup drops in-horizon duplicate event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val deduped = StreamingOps.dedupStream(mem.toDF(), watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "view", 1.0),
+        Event(2, ts(10), 1, "view", 2.0))
+      q.processAllAvailable()
+      // duplicates of 1 and 2 inside the watermark horizon + one new id
+      mem.addData(Event(1, ts(15), 1, "view", 1.0),
+        Event(2, ts(12), 1, "view", 2.0), Event(3, ts(20), 1, "buy", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().toSeq
+      assert(got.sorted == Seq(1L, 2L, 3L),
+        s"expected each id exactly once, got $got")
+    } finally q.stop()
+  }
+
   test("file-source streaming reads the ns-timestamp events fixture") {
     val stream = StreamingOps.eventsStream(spark, "/root/testdata/sf0.001")
     val q = StreamingOps.windowedEventCounts(stream)
