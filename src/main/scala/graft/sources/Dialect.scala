@@ -62,12 +62,20 @@ trait Dialect extends Serializable {
       case Some(Nil) => "1"
       case Some(cs) => cs.map(quote).mkString(", ")
     }
-    val where =
-      if (filters.isEmpty) "" else filters.mkString(" WHERE (", ") AND (", ")")
     val order =
       if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
-    applyLimit(s"SELECT $select FROM ${fromClause(source)}$where$order", limit, offset)
+    applyLimit(s"SELECT $select FROM ${fromClause(source)}${whereClause(filters)}$order",
+      limit, offset)
   }
+
+  /** WHERE-clause assembly; MDB overrides (its SQL parser rejects
+    * parenthesized predicates). */
+  protected def whereClause(filters: Seq[String]): String =
+    if (filters.isEmpty) "" else filters.mkString(" WHERE (", ") AND (", ")")
+
+  /** Whether COUNT(1) statistics queries are supported (reference
+    * `try_count1_query` returns None for MDB). */
+  def supportsCountStatistics: Boolean = true
 
   /** FROM-clause rendering: table name, or a query wrapped as a named
     * subquery. */
@@ -79,11 +87,8 @@ trait Dialect extends Serializable {
   /** One side of a pushed-down join: project the required columns under
     * their (collision-free) aliases, folding already-pushed filters. */
   def joinSideQuery(source: RemoteSource, filters: Seq[String],
-      selectList: Seq[String]): String = {
-    val where =
-      if (filters.isEmpty) "" else filters.mkString(" WHERE (", ") AND (", ")")
-    s"SELECT ${selectList.mkString(", ")} FROM ${fromClause(source)}$where"
-  }
+      selectList: Seq[String]): String =
+    s"SELECT ${selectList.mkString(", ")} FROM ${fromClause(source)}${whereClause(filters)}"
 
   /** The pushed-down join itself. Both sides already project unique
     * column names, so the outer list and the ON condition are
@@ -113,15 +118,8 @@ trait Dialect extends Serializable {
   }
 
   /** COUNT(1) including pushed filters (reference `connection/mod.rs:454-512`). */
-  def countQuery(source: RemoteSource, filters: Seq[String] = Nil): String = {
-    val from = source match {
-      case RemoteSource.TableRef(parts) => tableName(parts)
-      case RemoteSource.Query(sql) => s"(${sql.trim.stripSuffix(";")}) AS $subqueryAlias"
-    }
-    val where =
-      if (filters.isEmpty) "" else filters.mkString(" WHERE (", ") AND (", ")")
-    s"SELECT COUNT(1) FROM $from$where"
-  }
+  def countQuery(source: RemoteSource, filters: Seq[String] = Nil): String =
+    s"SELECT COUNT(1) FROM ${fromClause(source)}${whereClause(filters)}"
 
   /** One-row probe used for schema inference (reference `LIMIT 1`
     * rewrites, e.g. `connection/mysql.rs:83-92`). */
@@ -224,6 +222,9 @@ object Dialect {
     case "mysql" => MySqlDialect
     case "sqlite" => SqliteDialect
     case "oracle" => OracleDialect
+    case "dm" => DmDialect
+    case "mdb" => MdbDialect
+    case "gaussdb" | "opengauss" => GaussDbDialect
     case other => throw new IllegalArgumentException(s"unknown dialect: $other")
   }
 
@@ -236,6 +237,9 @@ object Dialect {
     else if (u.startsWith("jdbc:mysql")) MySqlDialect
     else if (u.startsWith("jdbc:sqlite")) SqliteDialect
     else if (u.startsWith("jdbc:oracle")) OracleDialect
+    else if (u.startsWith("jdbc:dm")) DmDialect
+    else if (u.startsWith("jdbc:gaussdb") || u.startsWith("jdbc:opengauss"))
+      GaussDbDialect
     else DerbyDialect
   }
 }
@@ -282,4 +286,54 @@ object OracleDialect extends Dialect {
     limit.fold(sql)(n => s"SELECT * FROM ($sql) WHERE ROWNUM <= $n")
   override def timestampLiteral(t: LocalDateTime): String =
     s"TO_TIMESTAMP('${java.sql.Timestamp.valueOf(t)}', 'YYYY-MM-DD HH24:MI:SS.FF')"
+}
+
+/** DM (Dameng) rendering — no JDBC driver ships in this image, but the
+  * dialect string rules stay alive exactly as the reference defines
+  * them (`connection/mod.rs`): ANSI double-quote identifiers
+  * (`sql_identifier`, mod.rs:390-395), `HEXTORAW('..')` binary
+  * literals like Oracle (`sql_binary_literal`, mod.rs:426-428), and
+  * plain `LIMIT n` rewrites (`rewrite_query`, mod.rs:277-296). */
+object DmDialect extends Dialect {
+  val name = "dm"
+  override def binaryLiteral(b: Array[Byte]): String =
+    "HEXTORAW('" + b.map("%02x".format(_)).mkString + "')"
+}
+
+/** GaussDB rendering — Postgres-family per the reference
+  * (`create_unparser`, mod.rs:251-253; `sql_binary_literal`,
+  * mod.rs:420-422): same quoting, `E'\\x..'` binary literals,
+  * `LIMIT n`. */
+object GaussDbDialect extends Dialect {
+  val name = "gaussdb"
+  override def binaryLiteral(b: Array[Byte]): String =
+    "E'\\\\x" + b.map("%02x".format(_)).mkString + "'"
+}
+
+/** MDB rendering — the reference's most constrained backend
+  * (`connection/mod.rs`):
+  *   - `[ident]` bracket quoting (`sql_identifier`, mod.rs:399-401);
+  *   - query sources are NEVER rewritable — only table scans take
+  *     pushed filters/limits (`support_rewrite_with_filters_limit`,
+  *     mod.rs:239-247);
+  *   - its SQL parser rejects parenthesized WHERE predicates, so each
+  *     compiled filter has outer paren characters stripped and no new
+  *     ones added (`rewrite_query` MDB arm, mod.rs:296-309);
+  *   - no COUNT(1) statistics query (`try_count1_query`, mod.rs:458). */
+object MdbDialect extends Dialect {
+  val name = "mdb"
+  override def quote(ident: String): String =
+    "[" + ident.replace("]", "]]") + "]"
+  override def isRewritable(source: RemoteSource): Boolean = source match {
+    case _: RemoteSource.TableRef => true
+    case _ => false
+  }
+  override def supportsCountStatistics: Boolean = false
+  // reference strips raw '(' / ')' CHARS from both ends (trim_matches,
+  // not balanced-paren removal) and joins with bare AND
+  override protected def whereClause(filters: Seq[String]): String =
+    if (filters.isEmpty) ""
+    else filters.map(_.dropWhile(c => c == '(' || c == ')')
+        .reverse.dropWhile(c => c == '(' || c == ')').reverse)
+      .mkString(" WHERE ", " AND ", "")
 }

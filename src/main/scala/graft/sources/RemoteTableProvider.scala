@@ -414,7 +414,8 @@ class RemoteScan(
   private lazy val stats: Statistics = new Statistics {
     private val rows: Option[Long] =
       if (opts.enableStatistics && !table.isCommand &&
-          opts.dialect.isRewritable(opts.source)) {
+          opts.dialect.isRewritable(opts.source) &&
+          opts.dialect.supportsCountStatistics) {
         try {
           val c = Jdbc.count(opts, pushedSql)
           Some(limit.fold(c)(l => math.min(c, l.toLong)))

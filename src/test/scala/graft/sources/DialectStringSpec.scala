@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-string tests that keep the DM / MDB / GaussDB dialect rules alive
+  * without their (unavailable) JDBC drivers — the same role the
+  * reference's unit tests on `RemoteDbType` play. */
+class DialectStringSpec extends AnyFunSuite {
+
+  private val table = RemoteSource.TableRef(Seq("S", "T"))
+  private val query = RemoteSource.Query("SELECT a, b FROM t")
+
+  test("DM: ANSI quoting, HEXTORAW binary, LIMIT rewrites") {
+    assert(DmDialect.quote("c") == "\"c\"")
+    assert(DmDialect.binaryLiteral(Array[Byte](0x0a, 0x2f)) == "HEXTORAW('0a2f')")
+    assert(DmDialect.rewriteQuery(table, Seq("\"a\" > 1"), Some(5)) ==
+      """SELECT * FROM "S"."T" WHERE ("a" > 1) LIMIT 5""")
+    assert(Dialect.forName("dm") == DmDialect)
+    assert(Dialect.forUrl("jdbc:dm://host:5236") == DmDialect)
+  }
+
+  test("GaussDB: postgres-family binary literal and LIMIT") {
+    assert(GaussDbDialect.binaryLiteral(Array[Byte](0x0a)) == "E'\\\\x0a'")
+    assert(GaussDbDialect.rewriteQuery(query, Nil, Some(3)) ==
+      "SELECT * FROM (SELECT a, b FROM t) AS __subquery LIMIT 3")
+    assert(Dialect.forName("opengauss") == GaussDbDialect)
+  }
+
+  test("MDB: bracket quoting with ]] escape") {
+    assert(MdbDialect.quote("col") == "[col]")
+    assert(MdbDialect.quote("we]ird") == "[we]]ird]")
+    assert(MdbDialect.tableName(Seq("db", "tbl")) == "[db].[tbl]")
+  }
+
+  test("MDB: query sources are never rewritable (tables only)") {
+    assert(MdbDialect.isRewritable(table))
+    assert(!MdbDialect.isRewritable(query))
+    assert(!MdbDialect.isRewritable(RemoteSource.Query("select * from x")))
+  }
+
+  test("MDB: WHERE strips outer paren chars and never adds new ones") {
+    val sql = MdbDialect.rewriteQuery(table,
+      Seq("([a] > 1)", "[b] = 'x'"), Some(2))
+    assert(sql == "SELECT * FROM [S].[T] WHERE [a] > 1 AND [b] = 'x' LIMIT 2")
+  }
+
+  test("MDB: compiled filters land unparenthesized in the WHERE clause") {
+    val f1 = MdbDialect.compileFilter(GreaterThan("a", 1), identity).get
+    val f2 = MdbDialect.compileFilter(EqualTo("b", "x"), identity).get
+    val sql = MdbDialect.rewriteQuery(table, Seq(f1, f2), None)
+    assert(!sql.contains("("), s"parenthesized WHERE leaked through: $sql")
+    assert(sql.contains(" WHERE ") && sql.contains(" AND "))
+  }
+
+  test("MDB: no COUNT(1) statistics (reference try_count1_query => None)") {
+    assert(!MdbDialect.supportsCountStatistics)
+    assert(DmDialect.supportsCountStatistics && GaussDbDialect.supportsCountStatistics)
+  }
+}
