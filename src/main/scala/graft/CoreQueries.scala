@@ -325,6 +325,22 @@ object CoreQueries {
         .orderBy(col("o_orderkey"), col("band_id"))
     }),
 
+    // ---- top-k per key via the CUSTOM PHYSICAL OPERATOR ----------------
+    // TopKPerKeyPlan/-Exec (plans/TopKPerKey.scala): bounded-heap partial
+    // before the shuffle + final merge — no full sort, no Window, shuffle
+    // carries at most partitions x k rows per key. TopKPerKeySpec asserts
+    // the plan shape; this gate asserts exact rows vs a DuckDB window
+    // oracle.
+    "q30_topk_per_key" -> ((s, dir) =>
+      graft.plans.TopK.perKey(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")),
+          keys = Seq(col("o_orderpriority")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+          k = 3)
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey"))),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -533,6 +549,16 @@ object CoreQueries {
         |SELECT o_orderkey, band_id FROM orders
         |JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |ORDER BY o_orderkey, band_id""".stripMargin,
+
+    "q30_topk_per_key" ->
+      """WITH ranked AS (
+        | SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM ranked WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q18_unionall" ->
       """SELECT nk, count(*) AS n FROM (

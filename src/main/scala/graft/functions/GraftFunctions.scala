@@ -48,5 +48,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name), builder))
     }
     e.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
