@@ -112,6 +112,18 @@ object PipelineQueries {
         MultimodalOps.documentsAsAssets(s, dir))
       feats.toDF().select(col("asset_id"), col("n_bytes"), col("tag"))
         .orderBy(col("asset_id"))
+    }),
+
+    // frame sampling plumbing: every 2nd 64-byte chunk per asset; the
+    // fixture text is pure ASCII so DuckDB's char-substring oracle sees
+    // exactly the same bytes the Spark chunker does
+    "m02_frame_sample" -> ((s, dir) => {
+      val frames = MultimodalOps.sampleFrames(
+        MultimodalOps.documentsAsAssets(s, dir), frameBytes = 64, stride = 2)
+      frames.toDF().select(col("asset_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_tag"),
+          length(col("frame")).cast("int").as("frame_bytes"))
+        .orderBy(col("asset_id"), col("frame_idx"))
     }))
 
   /** DuckDB equivalents. p07/p10 are hash-family dependent → rows-only. */
@@ -288,5 +300,14 @@ object PipelineQueries {
       """SELECT doc_id AS asset_id,
         | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         | md5(text) AS tag
-        |FROM documents ORDER BY asset_id""".stripMargin)
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "m02_frame_sample" ->
+      """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
+        | md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_tag,
+        | CAST(length(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS INT)
+        |  AS frame_bytes
+        |FROM documents, range(0, 64) t(i)
+        |WHERE i * 64 < length(text) AND i % 2 = 0
+        |ORDER BY asset_id, frame_idx""".stripMargin)
 }

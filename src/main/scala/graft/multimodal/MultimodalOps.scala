@@ -60,6 +60,54 @@ object MultimodalOps {
     }
   }
 
+  /** One sampled frame: flat (asset, frame index, bytes) rows — the
+    * video-frame table shape downstream stages (dedup, embedding,
+    * captioning) consume. */
+  final case class MediaFrame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: every `stride`-th fixed-size chunk of the payload.
+    * The chunker is the stub standing in for a video codec's keyframe
+    * iterator; the PLUMBING is the real thing — `mapPartitions` so codec
+    * init amortizes per partition, one asset fanning out to many frame
+    * rows via a lazy iterator (no per-asset frame list materialized),
+    * embarrassingly parallel, no shuffle. */
+  def sampleFrames(assets: Dataset[MediaAsset], frameBytes: Int,
+      stride: Int): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && stride > 0)
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition codec/decoder setup would go here
+      it.flatMap { a =>
+        Iterator.range(0, math.max(0, (a.payload.length + frameBytes - 1) / frameBytes))
+          .filter(_ % stride == 0)
+          .map { i =>
+            val from = i * frameBytes
+            val until = math.min(from + frameBytes, a.payload.length)
+            MediaFrame(a.asset_id, i, java.util.Arrays.copyOfRange(a.payload, from, until))
+          }
+      }
+    }
+  }
+
+  /** STUB resize — deterministic downsample: every `factor`-th byte.
+    * A real image resize replaces only this body. */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** Partition-wise resize of every asset's payload (metadata preserved,
+    * media_type suffixed so lineage is visible downstream). */
+  def resize(assets: Dataset[MediaAsset], factor: Int): Dataset[MediaAsset] = {
+    require(factor > 0)
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(a =>
+      a.copy(payload = resizeStub(a.payload, factor),
+        media_type = a.media_type + "_resized")))
+  }
+
   /** Wrap the documents fixture as media assets (payload = utf-8 bytes)
     * so the pipeline is exercised end-to-end without real media. */
   def documentsAsAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {

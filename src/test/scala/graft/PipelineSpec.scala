@@ -62,6 +62,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(f.tag.length == 32 && f.feature.length == 4)
   }
 
+  test("frame sampling yields exact strided chunks, lazily per partition") {
+    import spark.implicits._
+    val assets = Seq(
+      graft.multimodal.MediaAsset(1L, "video", (0 until 300).map(_.toByte).toArray, "s"),
+      graft.multimodal.MediaAsset(2L, "video", Array[Byte](1, 2, 3), "s"),
+      graft.multimodal.MediaAsset(3L, "video", Array.empty[Byte], "s")).toDS()
+    val frames = graft.multimodal.MultimodalOps
+      .sampleFrames(assets, frameBytes = 100, stride = 2)
+      .collect().map(f => (f.asset_id, f.frame_idx, f.frame.length)).toSet
+    // asset 1: chunks 0,1,2 -> strided 0 and 2 (100 and 100 bytes);
+    // asset 2: chunk 0 only; asset 3: no chunks
+    assert(frames == Set((1L, 0, 100), (1L, 2, 100), (2L, 0, 3)))
+  }
+
+  test("resize stub downsamples deterministically and tags the media type") {
+    import spark.implicits._
+    val assets = Seq(graft.multimodal.MediaAsset(
+      7L, "image", Array[Byte](10, 20, 30, 40, 50), "s")).toDS()
+    val out = graft.multimodal.MultimodalOps.resize(assets, factor = 2).collect().head
+    assert(out.payload.toSeq == Seq[Byte](10, 30, 50))
+    assert(out.media_type == "image_resized" && out.asset_id == 7L)
+  }
+
   test("quality score stays in [0,1] and langid emits known labels") {
     val docs = Tables.table(spark, sf, "documents")
     val q = docs.select(graft.operators.TextOps.qualityScore(col("text")).as("q"))
