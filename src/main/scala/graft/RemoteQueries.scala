@@ -140,6 +140,15 @@ object RemoteQueries {
           col("S_ACCTBAL").as("s_acctbal"))
     }),
 
+    // complete AVG pushdown (integral column -> remote decimal average
+    // cast to the DOUBLE Spark's avg would produce)
+    "r07_remote_avg" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "CUSTOMER")
+        .agg(avg(col("C_CUSTKEY")).as("avg_key"),
+          count(lit(1)).as("n_cust"))
+    }),
+
     // Spark-side join of two remote scans, collapsed into ONE remote SQL
     // join by SupportsPushDownJoin (JoinPushdownSpec asserts the plan has
     // no Spark join node); the group-by then aggregates the joined scan.
@@ -179,5 +188,9 @@ object RemoteQueries {
       """SELECT n_name, count(*) AS n_sup,
         | CAST(sum(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "r07_remote_avg" ->
+      """SELECT CAST(avg(CAST(c_custkey AS DECIMAL(25,6))) AS DOUBLE) AS avg_key,
+        | count(*) AS n_cust
+        |FROM customer""".stripMargin)
 }

@@ -233,6 +233,21 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
           case _ => None
         }
       }
+    case a: Avg if !a.isDistinct =>
+      import RemoteType._
+      aggColumn(a.column).flatMap { n =>
+        val q = dialect.quote(n)
+        table.remoteSchema(n).tpe match {
+          // integral only: the remote average runs in DECIMAL so the
+          // result is order-independent and bit-exact, then casts to the
+          // DOUBLE Spark's own avg(integral) would produce. Float/decimal
+          // inputs are NOT pushed — Spark's internal sum order and the
+          // remote engine's could legitimately differ in final ulps.
+          case RInt1 | RInt2 | RInt4 | RInt8 | RUInt1 | RUInt2 | RUInt4 =>
+            Some((s"CAST(AVG(CAST($q AS DECIMAL(25,6))) AS DOUBLE)", DoubleType))
+          case _ => None
+        }
+      }
     case _ => None
   }
 

@@ -50,6 +50,24 @@ class PushdownExtraSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == viaSpark)
   }
 
+  test("global AVG pushes down for integral columns, not for doubles") {
+    val df = remote("dbtable" -> "NATION").agg(avg(col("N_REGIONKEY")).as("a"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: true"), s"plan: $plan")
+    val viaSpark = remote("dbtable" -> "NATION")
+      .select(col("N_REGIONKEY").cast("double"))
+      .agg(avg(col("N_REGIONKEY"))).collect().head.getDouble(0)
+    assert(df.collect().head.getDouble(0) == viaSpark)
+    // double column: compileAgg refuses complete AVG (ulp-order hazard),
+    // so Spark decomposes into pushed SUM + COUNT and divides itself —
+    // visible as a Project with sum/count over the scan
+    val dbl = remote("dbtable" -> "ALL_TYPES").agg(avg(col("C_DOUBLE")).as("a"))
+    val dblPlan = dbl.queryExecution.executedPlan.toString
+    assert(dblPlan.contains("sum(") && dblPlan.contains("count("),
+      s"expected sum/count decomposition: $dblPlan")
+    assert(dbl.collect().head.getDouble(0) == 3.25)
+  }
+
   test("scan configuration serializes for task shipping (O9 parity)") {
     val opts = RemoteOptions(Map(
       "url" -> DerbyFixture.url, "dbtable" -> "NATION",
