@@ -77,6 +77,17 @@ trait Dialect extends Serializable {
     * `try_count1_query` returns None for MDB). */
   def supportsCountStatistics: Boolean = true
 
+  /** System-catalog schema inference for TABLE sources — the
+    * per-backend mechanism the reference uses for Postgres
+    * (`information_schema.columns` incl. identity / `nextval` default
+    * detection, `connection/postgres.rs:107-157,383-398`). `None` means
+    * "no catalog path": the generic one-row probe +
+    * `ResultSetMetaData` inference runs instead. Implementations must
+    * return the SAME field names/types the probe would, since both
+    * paths feed the same decode getters. */
+  def catalogInference(conn: java.sql.Connection,
+      parts: Seq[String]): Option[RemoteSchema] = None
+
   /** FROM-clause rendering: table name, or a query wrapped as a named
     * subquery. */
   def fromClause(source: RemoteSource): String = source match {
@@ -255,6 +266,77 @@ object DerbyDialect extends Dialect {
     limit.fold(sql + off)(n => s"$sql$off FETCH NEXT $n ROWS ONLY")
   }
   // Derby has no boolean literals pre-10.7 in all contexts; TRUE/FALSE ok.
+
+  /** Schema from SYS.SYSCOLUMNS — identity columns detected from
+    * AUTOINCREMENTVALUE regardless of what the driver's
+    * `isAutoIncrement` reports (the catalog is the source of truth,
+    * like the reference's information_schema path for Postgres). */
+  override def catalogInference(conn: java.sql.Connection,
+      parts: Seq[String]): Option[RemoteSchema] = {
+    // unquoted identifiers resolve upper-case in Derby
+    val (schemaPred, table) = parts.map(_.toUpperCase) match {
+      case Seq(t) => ("s.SCHEMANAME = CURRENT SCHEMA", t)
+      case Seq(sc, t) => (s"s.SCHEMANAME = ${stringLiteral(sc)}", t)
+      case _ => return None
+    }
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(
+        s"""SELECT c.COLUMNNAME, CAST(c.COLUMNDATATYPE AS VARCHAR(256)),
+           |  c.AUTOINCREMENTVALUE
+           |FROM SYS.SYSCOLUMNS c
+           |JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+           |JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+           |WHERE t.TABLENAME = ${stringLiteral(table)} AND $schemaPred
+           |ORDER BY c.COLUMNNUMBER""".stripMargin)
+      val fields = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map { r =>
+          val (tpe, nullable) = parseTypeDescriptor(r.getString(2))
+          RemoteField(r.getString(1), tpe, nullable,
+            autoIncrement = r.getObject(3) != null)
+        }.toList
+      if (fields.isEmpty) None else Some(RemoteSchema(fields))
+    } finally st.close()
+  }
+
+  /** Derby TypeDescriptor strings: `VARCHAR(64) NOT NULL`,
+    * `DECIMAL(10,2)`, `CHAR (8) FOR BIT DATA`, `TIMESTAMP`, ... —
+    * mapped to the SAME RemoteTypes the probe path produces. */
+  private[sources] def parseTypeDescriptor(desc: String): (RemoteType, Boolean) = {
+    import RemoteType._
+    val d = desc.trim
+    val nullable = !d.endsWith("NOT NULL")
+    val base = d.stripSuffix("NOT NULL").trim
+    val Pat = "([A-Z ]+?)\\s*(?:\\((\\d+)(?:,(\\d+))?\\))?\\s*(FOR BIT DATA)?".r
+    base match {
+      case Pat(name, p, s, bit) =>
+        val prec = Option(p).map(_.toInt).getOrElse(0)
+        val scale = Option(s).map(_.toInt).getOrElse(0)
+        val t = (name.trim, Option(bit).isDefined) match {
+          case ("CHAR", true) => RFixedBinary(math.max(prec, 1))
+          case ("VARCHAR", true) | ("LONG VARCHAR", true) => RBinary
+          case ("BOOLEAN", _) => RBool
+          case ("SMALLINT", _) => RInt2
+          case ("INTEGER", _) | ("INT", _) => RInt4
+          case ("BIGINT", _) => RInt8
+          case ("REAL", _) => RFloat4
+          case ("DOUBLE", _) | ("DOUBLE PRECISION", _) | ("FLOAT", _) => RFloat8
+          case ("DECIMAL", _) | ("NUMERIC", _) =>
+            if (prec <= 0) RDecimal(38, math.max(scale, 6)) else RDecimal(prec, scale)
+          case ("CHAR", _) => RChar(math.max(prec, 1))
+          case ("VARCHAR", _) => RVarchar(math.max(prec, 1))
+          case ("LONG VARCHAR", _) | ("CLOB", _) | ("XML", _) => RText
+          case ("BLOB", _) => RBinary
+          case ("DATE", _) => RDate
+          case ("TIME", _) => RTime
+          case ("TIMESTAMP", _) => RTimestampNtz
+          case _ => RText
+        }
+        (t, nullable)
+      case _ => (RText, nullable)
+    }
+  }
 }
 
 /** Postgres-family rendering (reference `connection/postgres.rs`). */
@@ -262,6 +344,22 @@ object PostgresDialect extends Dialect {
   val name = "postgres"
   override def binaryLiteral(b: Array[Byte]): String =
     "E'\\\\x" + b.map("%02x".format(_)).mkString + "'"
+
+  /** The reference's information_schema inference statement
+    * (`connection/postgres.rs:107-157`): types with precision/scale,
+    * nullability, and identity detection that treats BOTH declared
+    * identity columns and `nextval(...)` serial defaults as
+    * auto-increment (`postgres.rs:383-398`). Execution needs the pg
+    * driver (absent in this image); the statement itself is spec-locked
+    * so the capability survives. */
+  def catalogInferenceSql(schema: String, table: String): String =
+    s"""SELECT column_name, data_type, character_maximum_length,
+       | numeric_precision, numeric_scale, is_nullable,
+       | (is_identity = 'YES' OR column_default LIKE 'nextval(%') AS is_autoinc
+       |FROM information_schema.columns
+       |WHERE table_schema = ${stringLiteral(schema)}
+       | AND table_name = ${stringLiteral(table)}
+       |ORDER BY ordinal_position""".stripMargin
 }
 
 /** MySQL rendering (reference `connection/mysql.rs`): backtick idents. */

@@ -81,28 +81,41 @@ object Jdbc {
     }
   }
 
-  /** Infer the remote schema by probing a 1-row query and reading
+  /** Infer the remote schema: system-catalog inference first for table
+    * sources (per-dialect, reference `connection/postgres.rs:107-157` —
+    * identity detection straight from the catalog, not the driver's
+    * `isAutoIncrement`), falling back to the generic 1-row probe +
     * result-set metadata (reference `connection/mysql.rs:83-92`,
-    * `connection/dm/mod.rs:91-106`; Derby reports identity columns via
-    * `isAutoIncrement`). */
+    * `connection/dm/mod.rs:91-106`). */
   def inferSchema(opts: RemoteOptions): RemoteSchema =
     GraftConnections.withConnection(opts) { c =>
-      val sql = opts.dialect.probeQuery(opts.source)
-      val st = c.createStatement()
-      try {
-        val rs = st.executeQuery(sql)
-        val md = rs.getMetaData
-        val fields = (1 to md.getColumnCount).map { i =>
-          RemoteField(
-            name = md.getColumnLabel(i),
-            tpe = remoteType(md.getColumnType(i), md.getColumnTypeName(i),
-              md.getPrecision(i), md.getScale(i), md.isSigned(i)),
-            nullable = md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls,
-            autoIncrement = md.isAutoIncrement(i))
-        }
-        RemoteSchema(fields)
-      } finally st.close()
+      val viaCatalog = opts.source match {
+        case RemoteSource.TableRef(parts) =>
+          try opts.dialect.catalogInference(c, parts)
+          catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+      viaCatalog.getOrElse(probeSchema(c, opts))
     }
+
+  /** Generic probe-based inference (any SELECT-capable backend). */
+  private[sources] def probeSchema(c: java.sql.Connection, opts: RemoteOptions): RemoteSchema = {
+    val sql = opts.dialect.probeQuery(opts.source)
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      val md = rs.getMetaData
+      val fields = (1 to md.getColumnCount).map { i =>
+        RemoteField(
+          name = md.getColumnLabel(i),
+          tpe = remoteType(md.getColumnType(i), md.getColumnTypeName(i),
+            md.getPrecision(i), md.getScale(i), md.isSigned(i)),
+          nullable = md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls,
+          autoIncrement = md.isAutoIncrement(i))
+      }
+      RemoteSchema(fields)
+    } finally st.close()
+  }
 
   /** Exact row count with pushed filters (reference COUNT(1) pushdown,
     * `connection/mod.rs:97-118,454-512`). */

@@ -53,6 +53,14 @@ class DialectStringSpec extends AnyFunSuite {
     assert(sql.contains(" WHERE ") && sql.contains(" AND "))
   }
 
+  test("Postgres: information_schema inference SQL detects identity + nextval") {
+    val sql = PostgresDialect.catalogInferenceSql("public", "users")
+    assert(sql.contains("is_identity = 'YES'"))
+    assert(sql.contains("column_default LIKE 'nextval(%'"))
+    assert(sql.contains("table_schema = 'public'"))
+    assert(sql.contains("ORDER BY ordinal_position"))
+  }
+
   test("MDB: no COUNT(1) statistics (reference try_count1_query => None)") {
     assert(!MdbDialect.supportsCountStatistics)
     assert(DmDialect.supportsCountStatistics && GaussDbDialect.supportsCountStatistics)
