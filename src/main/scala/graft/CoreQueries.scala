@@ -341,6 +341,21 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
           col("o_orderkey"))),
 
+    // ---- skew-salted join ----------------------------------------------
+    // Same rows as the plain equi-join (the oracle), but the plan joins
+    // on (key, salt) so a hot customer key spreads over `salts` reducers
+    // instead of serializing into one.
+    "q31_salted_join" -> ((s, dir) => {
+      val ords = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey"))
+      graft.operators.SkewJoin.saltedEquiJoin(ords, cust, "o_custkey", salts = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_ord"), dsum(col("o_totalprice")).as("rev"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -549,6 +564,12 @@ object CoreQueries {
         |SELECT o_orderkey, band_id FROM orders
         |JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         |ORDER BY o_orderkey, band_id""".stripMargin,
+
+    "q31_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_ord,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q30_topk_per_key" ->
       """WITH ranked AS (

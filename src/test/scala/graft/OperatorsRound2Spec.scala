@@ -42,6 +42,24 @@ class OperatorsRound2Spec extends AnyFunSuite {
         _.contains("mismatched vector lengths"))))
   }
 
+  test("salted join returns exactly the plain join's rows, spread by salt") {
+    // one hot key (90% of rows) + a long tail
+    val big = ((1L to 900L).map(i => (7L, i)) ++
+      (1L to 100L).map(i => (i % 5 + 100L, i))).toDF("k", "v")
+    val small = Seq((7L, "hot"), (100L, "a"), (101L, "b"), (102L, "c"),
+      (103L, "d"), (104L, "e"), (999L, "unmatched")).toDF("k", "tag")
+    val plain = big.join(small, "k").select("k", "v", "tag")
+      .as[(Long, Long, String)].collect().toSet
+    val salted = graft.operators.SkewJoin.saltedEquiJoin(big, small, "k", 16)
+      .select("k", "v", "tag").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.size == 1000)
+    // the physical join keys include the salt column
+    val plan = graft.operators.SkewJoin.saltedEquiJoin(big, small, "k", 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_salt"), plan)
+  }
+
   test("IVF top-k equals brute force when every list is probed") {
     val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
