@@ -54,6 +54,25 @@ object StreamQueries {
         .orderBy(col("user_id"), col("session_start_us"))
     }),
 
+    // hot-key-safe as-of join: same semantics as q21 (and the same
+    // DuckDB oracle), but windows are partitioned by (key, time-bucket)
+    // with carry-in state, so no task ever holds a whole key
+    "q32_asof_bucketed" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("last_view_us"))
+      graft.operators.AsOfJoin.asofBucketed(
+          purchases, "user_id", "ts", views, "user_id", "ts",
+          Map("view_id" -> "last_view_id", "last_view_us" -> "last_view_us"),
+          rightTie = "view_id", bucketMicros = 6L * 3600 * 1000000)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("last_view_id"), col("last_view_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // stream-stream join surface, driven through its batch mode (the
     // exact same function body runs under readStream — StreamingSpec
     // asserts streaming == batch on planted data)
@@ -74,6 +93,22 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
 
     "q21_asof" ->
+      """WITH p AS (
+        | SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+        | FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        | SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+        | FROM events WHERE event_type = 'view'),
+        |j AS (
+        | SELECT p.purchase_id, p.user_id, v.view_id, v.vus,
+        |  row_number() OVER (PARTITION BY p.purchase_id
+        |                     ORDER BY v.vus DESC, v.view_id DESC) AS rn
+        | FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vus <= p.pus)
+        |SELECT purchase_id, user_id, view_id AS last_view_id,
+        | vus AS last_view_us
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "q32_asof_bucketed" ->
       """WITH p AS (
         | SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
         | FROM events WHERE event_type = 'purchase'),

@@ -50,6 +50,82 @@ object AsOfJoin {
       .drop("__k", "__t", "__side", "__tie")
   }
 
+  /** Hot-key-safe as-of join: identical semantics to [[asof]], but no
+    * single window task ever sees a whole key — the round-1 design
+    * review's "power user serializes into one window task at 100x"
+    * watch item, resolved.
+    *
+    * Time is cut into fixed `bucketMicros` buckets and the work splits
+    * into three bounded stages:
+    *   1. per (key, bucket): the last right row of each bucket
+    *      (`max_by` aggregate — map-side combinable);
+    *   2. per key over BUCKETS (rows = #buckets, not #events): a
+    *      running window computes each left-occupied bucket's carry-in —
+    *      the right state just before the bucket starts;
+    *   3. per (key, bucket): the original union+`last` window, with the
+    *      carry-in injected as a synthetic right row that sorts first —
+    *      partitioned by (key, bucket), so the hot key's events spread
+    *      over #buckets tasks.
+    * Worst-case window partition = one bucket of one key; pick
+    * `bucketMicros` so the hottest key's busiest bucket fits a task. */
+  def asofBucketed(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightVals: Map[String, String], rightTie: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0)
+    val attached = rightVals.values.toSeq
+    def bucketOf(t: Column): Column = floor(unix_micros(t) / bucketMicros)
+
+    val r = right.select(
+      (Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__side"), col(rightTie).cast("long").as("__tie")) ++
+        rightVals.map { case (src, dst) => col(src).as(dst) }.toSeq): _*)
+      .withColumn("__b", bucketOf(col("__t")))
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__b", bucketOf(col("__t")))
+
+    // 1. last right row per (key, bucket): max_by on (t, tie)
+    val rState = r.groupBy(col("__k"), col("__b"))
+      .agg(max_by(struct((attached :+ "__t").map(col): _*),
+        struct(col("__t"), col("__tie"))).as("__s"))
+      .select(Seq(col("__k"), col("__b"), lit(1).as("__o")) ++
+        attached.map(v => col(s"__s.$v").as(v)): _*)
+    // 2. carry-in per left-occupied bucket: markers (order 0) see only
+    //    strictly-earlier buckets' states (order 1) in the running window
+    val lBuckets = l.select(col("__k"), col("__b")).distinct()
+      .withColumn("__o", lit(0))
+    val bucketTimeline = rState.unionByName(lBuckets, allowMissingColumns = true)
+    val wb = Window.partitionBy(col("__k"))
+      .orderBy(col("__b"), col("__o"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carryIn = attached.foldLeft(bucketTimeline) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(wb))
+    }.filter(col("__o") === 0).drop("__o")
+    // 3. synthetic carry-in rows sort before every real row of their
+    //    bucket (null time, side -1); then the original window, but
+    //    partitioned by (key, BUCKET)
+    val synth = carryIn.select(
+      (Seq(col("__k"), col("__b"), lit(null).cast(l.schema("__t").dataType).as("__t"),
+        lit(-1).as("__side"), lit(null).cast("long").as("__tie")) ++
+        attached.map(col)): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+      .unionByName(synth, allowMissingColumns = true)
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t").asc_nulls_first, col("__side"),
+        col("__tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withVals = attached.foldLeft(unioned) { (df, v) =>
+      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+    withVals.filter(col("__side") === 1)
+      .drop("__k", "__t", "__side", "__tie", "__b")
+  }
+
   /** Convenience: attach the matched right time itself. */
   def asofWithTime(
       left: DataFrame, leftKey: String, leftTime: String,

@@ -42,6 +42,39 @@ class OperatorsRound2Spec extends AnyFunSuite {
         _.contains("mismatched vector lengths"))))
   }
 
+  test("bucketed as-of join equals the single-window as-of on the fixture") {
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = graft.Tables.table(spark, "/root/testdata/sf0.001", "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("last_view_us"))
+    def run(bucketed: Option[Long]) = {
+      val j = bucketed match {
+        case Some(w) => graft.operators.AsOfJoin.asofBucketed(
+          purchases, "user_id", "ts", views, "user_id", "ts",
+          Map("view_id" -> "last_view_id", "last_view_us" -> "last_view_us"),
+          "view_id", w)
+        case None => graft.operators.AsOfJoin.asof(
+          purchases, "user_id", "ts", views, "user_id", "ts",
+          Map("view_id" -> "last_view_id", "last_view_us" -> "last_view_us"),
+          "view_id")
+      }
+      j.select(col("event_id"), col("last_view_id"), col("last_view_us"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    }
+    val plain = run(None)
+    // several widths, incl. one so small most buckets carry-in and one so
+    // large everything lands in one bucket (degenerates to plain asof)
+    for (w <- Seq(60L * 1000000, 6L * 3600 * 1000000, 365L * 86400 * 1000000)) {
+      assert(run(Some(w)) == plain, s"width $w diverged")
+    }
+    assert(plain.nonEmpty)
+  }
+
   test("salted join returns exactly the plain join's rows, spread by salt") {
     // one hot key (90% of rows) + a long tail
     val big = ((1L to 900L).map(i => (7L, i)) ++
