@@ -53,6 +53,10 @@ object Bench {
       System.err.println(s"[bench] remote fixture setup failed: $e") }
     var errors = List.empty[String]
     val results = headline.map { name =>
+      // q28/r06 legitimately set session confs their own execution needs
+      // (optimizer rewrites fire at execution, not build); reset them
+      // BEFORE each query so no query times under another's leaked confs
+      SparkEntry.resetSessionConfs(spark)
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE, not a fast fake timing

@@ -364,6 +364,16 @@ object CoreQueries {
         .orderBy(col("nk"))
     }))
 
+  /** Range-join oracle shared by q24 (hand-built operator) and q28
+    * (optimizer-rule rewrite of the plain join). */
+  private val rangeJoinOracle: String =
+    """WITH bands AS (
+        | SELECT i AS band_id, i * 25000 AS lo, i * 25000 + 30000 AS hi
+        | FROM range(20) t(i))
+        |SELECT o_orderkey, band_id FROM orders
+        |JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |ORDER BY o_orderkey, band_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q01_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -549,21 +559,11 @@ object CoreQueries {
         |      ELSE 'high' END AS band
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
-    "q24_rangejoin" ->
-      """WITH bands AS (
-        | SELECT i AS band_id, i * 25000 AS lo, i * 25000 + 30000 AS hi
-        | FROM range(20) t(i))
-        |SELECT o_orderkey, band_id FROM orders
-        |JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
-        |ORDER BY o_orderkey, band_id""".stripMargin,
+    "q24_rangejoin" -> rangeJoinOracle,
 
-    "q28_rangejoin_auto" ->
-      """WITH bands AS (
-        | SELECT i AS band_id, i * 25000 AS lo, i * 25000 + 30000 AS hi
-        | FROM range(20) t(i))
-        |SELECT o_orderkey, band_id FROM orders
-        |JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
-        |ORDER BY o_orderkey, band_id""".stripMargin,
+    // identical semantics to q24 (the rule rewrites the plain join into the
+    // same bucketed plan) — shared val, zero drift possible
+    "q28_rangejoin_auto" -> rangeJoinOracle,
 
     "q31_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_ord,

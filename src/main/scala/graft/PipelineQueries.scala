@@ -126,7 +126,29 @@ object PipelineQueries {
         .orderBy(col("asset_id"), col("frame_idx"))
     }))
 
-  /** DuckDB equivalents. p07/p10 are hash-family dependent → rows-only. */
+  /** Exact brute-force cosine pair oracle, shared by p09 (brute force)
+    * and p10 (LSH at full-recall parameters). */
+  private val exactCosinePairsOracle: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |       i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))
+        |    * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |       i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))
+        |  AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |       i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))
+        |    * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |       i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))
+        |  >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB equivalents. p07 is hash-family dependent → rows-only. */
   val oracle: Map[String, String] = Map(
     "p01_text_stats" ->
       """SELECT doc_id,
@@ -253,48 +275,13 @@ object PipelineQueries {
         |SELECT count(*) AS n_exact, TRUE AS recall_ok
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
-    "p09_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
-        |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |       i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))
-        |    * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-        |       i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))
-        |  AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
-        |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |       i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))
-        |    * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-        |       i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))
-        |  >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
+    "p09_embed_neardup" -> exactCosinePairsOracle,
 
     // p10's LSH parameters give full recall on the fixture (59/59 pairs
     // at sf0.01, verified exact-cosine) — its output equals the exact
-    // brute-force pair set, so it shares p09's oracle.
-    "p10_embed_lsh" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
-        |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |       i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))
-        |    * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-        |       i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))
-        |  AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |   i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
-        |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |       i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))
-        |    * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
-        |       i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))
-        |  >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
+    // brute-force pair set, so it shares p09's oracle (same val, zero
+    // drift possible).
+    "p10_embed_lsh" -> exactCosinePairsOracle,
 
     "m01_multimodal" ->
       """SELECT doc_id AS asset_id,
@@ -303,11 +290,15 @@ object PipelineQueries {
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     "m02_frame_sample" ->
-      """SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
+      """WITH bound AS (
+        | SELECT CAST(ceil(max(length(text)) / 64.0) AS BIGINT) AS n
+        | FROM documents),
+        |idx AS (SELECT unnest(range(0, (SELECT n FROM bound))) AS i)
+        |SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
         | md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_tag,
         | CAST(length(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS INT)
         |  AS frame_bytes
-        |FROM documents, range(0, 64) t(i)
+        |FROM documents, idx
         |WHERE i * 64 < length(text) AND i % 2 = 0
         |ORDER BY asset_id, frame_idx""".stripMargin)
 }

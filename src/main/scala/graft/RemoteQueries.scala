@@ -190,7 +190,8 @@ object RemoteQueries {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "r07_remote_avg" ->
-      """SELECT CAST(avg(CAST(c_custkey AS DECIMAL(25,6))) AS DOUBLE) AS avg_key,
+      """SELECT CAST(CAST(sum(c_custkey) AS DOUBLE) / count(c_custkey) AS DOUBLE)
+        |  AS avg_key,
         | count(*) AS n_cust
         |FROM customer""".stripMargin)
 }

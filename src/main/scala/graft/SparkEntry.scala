@@ -18,6 +18,15 @@ object SparkEntry {
     CoreQueries.queries ++ RemoteQueries.queries ++ PipelineQueries.queries ++
       StreamQueries.queries
 
+  /** Session confs individual queries set for their own execution
+    * (optimizer rewrites fire at execution time, so the query builders
+    * cannot set-and-restore). Harnesses call this between queries so no
+    * query runs under another's leaked confs. */
+  def resetSessionConfs(spark: SparkSession): Unit = {
+    spark.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
+    spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

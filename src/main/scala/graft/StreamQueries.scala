@@ -85,6 +85,24 @@ object StreamQueries {
         .orderBy(col("user_id"), col("view_id"), col("click_id"))
     }))
 
+  /** As-of oracle shared by q21 (single-window asof) and q32 (bucketed
+    * hot-key-safe asof — same semantics by construction). */
+  private val asofOracle: String =
+    """WITH p AS (
+        | SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+        | FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        | SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+        | FROM events WHERE event_type = 'view'),
+        |j AS (
+        | SELECT p.purchase_id, p.user_id, v.view_id, v.vus,
+        |  row_number() OVER (PARTITION BY p.purchase_id
+        |                     ORDER BY v.vus DESC, v.view_id DESC) AS rn
+        | FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vus <= p.pus)
+        |SELECT purchase_id, user_id, view_id AS last_view_id,
+        | vus AS last_view_us
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q19_hourly_window" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
@@ -92,37 +110,10 @@ object StreamQueries {
         | CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
 
-    "q21_asof" ->
-      """WITH p AS (
-        | SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
-        | FROM events WHERE event_type = 'purchase'),
-        |v AS (
-        | SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
-        | FROM events WHERE event_type = 'view'),
-        |j AS (
-        | SELECT p.purchase_id, p.user_id, v.view_id, v.vus,
-        |  row_number() OVER (PARTITION BY p.purchase_id
-        |                     ORDER BY v.vus DESC, v.view_id DESC) AS rn
-        | FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vus <= p.pus)
-        |SELECT purchase_id, user_id, view_id AS last_view_id,
-        | vus AS last_view_us
-        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "q21_asof" -> asofOracle,
 
-    "q32_asof_bucketed" ->
-      """WITH p AS (
-        | SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
-        | FROM events WHERE event_type = 'purchase'),
-        |v AS (
-        | SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
-        | FROM events WHERE event_type = 'view'),
-        |j AS (
-        | SELECT p.purchase_id, p.user_id, v.view_id, v.vus,
-        |  row_number() OVER (PARTITION BY p.purchase_id
-        |                     ORDER BY v.vus DESC, v.view_id DESC) AS rn
-        | FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vus <= p.pus)
-        |SELECT purchase_id, user_id, view_id AS last_view_id,
-        | vus AS last_view_us
-        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    // identical semantics to q21, different (hot-key-safe) plan — shared val
+    "q32_asof_bucketed" -> asofOracle,
 
     "q20_sessionize" ->
       """WITH e AS (

@@ -89,12 +89,17 @@ object AsOfJoin {
       .withColumn("__tie", lit(null).cast("long"))
       .withColumn("__b", bucketOf(col("__t")))
 
-    // 1. last right row per (key, bucket): max_by on (t, tie)
+    // 1. Per (key, bucket) and PER ATTACHED COLUMN: the value of the
+    //    last right row whose value is non-null — mirroring the plain
+    //    window's per-column last(..., ignoreNulls) semantics. A single
+    //    whole-row max_by would let a trailing NULL value shadow an
+    //    earlier non-null one inside the bucket.
+    val stateAggs = attached.map(v => org.apache.spark.sql.functions.expr(
+      s"max_by(`$v`, struct(__t, __tie)) FILTER (WHERE `$v` IS NOT NULL)")
+      .as(v))
     val rState = r.groupBy(col("__k"), col("__b"))
-      .agg(max_by(struct((attached :+ "__t").map(col): _*),
-        struct(col("__t"), col("__tie"))).as("__s"))
-      .select(Seq(col("__k"), col("__b"), lit(1).as("__o")) ++
-        attached.map(v => col(s"__s.$v").as(v)): _*)
+      .agg(stateAggs.head, stateAggs.tail: _*)
+      .withColumn("__o", lit(1))
     // 2. carry-in per left-occupied bucket: markers (order 0) see only
     //    strictly-earlier buckets' states (order 1) in the running window
     val lBuckets = l.select(col("__k"), col("__b")).distinct()

@@ -21,22 +21,40 @@ object RangeJoin {
   /** @param points    (pointCol, ...) — kept in full
     * @param intervals (loCol, hiCol, ...) — interval is [lo, hi)
     * @param bucketWidth fixed bucket width in the point's units */
+  /** floor(x/w) as a bucket id — EXACT for integral columns via
+    * (x - pmod(x, w)) div w (a double-rounded division misplaces buckets
+    * beyond 2^53 and silently drops matches); double floor otherwise. */
+  private def bucketExpr(df: DataFrame, c: String, w: Long): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        expr(s"(CAST(`$c` AS BIGINT) - pmod(CAST(`$c` AS BIGINT), ${w}L)) div ${w}L")
+      case _ => floor(col(c) / w).cast("long")
+    }
+
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
     val p = points.withColumn("__bucket",
-      floor(col(pointCol) / bucketWidth).cast("long"))
+      bucketExpr(points, pointCol, bucketWidth))
+    // hi is exclusive, so the last covered bucket is floor((hi-ulp)/w):
+    // for integral hi that is bucket(hi-1), for fractional ceil(hi/w)-1;
+    // greatest(...) keeps sequence() well-formed for empty intervals
+    // (hi <= lo), whose spurious bucket the residual filter removes.
+    val endBucket = intervals.schema(hiCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+        expr(s"""(CAST(`$hiCol` AS BIGINT) - 1
+                | - pmod(CAST(`$hiCol` AS BIGINT) - 1, ${bucketWidth}L))
+                | div ${bucketWidth}L""".stripMargin)
+      case _ => (ceil(col(hiCol) / bucketWidth) - lit(1)).cast("long")
+    }
     val iv = intervals.withColumn("__bucket",
       explode(sequence(
-        floor(col(loCol) / bucketWidth).cast("long"),
-        // hi is exclusive, so the last covered bucket is floor((hi-ulp)/w)
-        // = ceil(hi/w)-1 for ANY numeric bound type (integer or fractional);
-        // greatest(...) keeps sequence() well-formed for empty intervals
-        // (hi <= lo), whose spurious bucket the residual filter removes.
-        greatest(floor(col(loCol) / bucketWidth),
-          ceil(col(hiCol) / bucketWidth) - lit(1)).cast("long"))))
+        bucketExpr(intervals, loCol, bucketWidth),
+        greatest(bucketExpr(intervals, loCol, bucketWidth), endBucket))))
     p.join(iv, Seq("__bucket"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")

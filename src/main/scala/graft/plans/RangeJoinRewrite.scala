@@ -140,18 +140,35 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val (pointSide, intervalSide) =
         if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
 
-      def bucket(e: Expression): Expression =
-        Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble))) // LongType
+      // floor(x/w), EXACT for integral inputs: a double-rounded division
+      // misplaces buckets beyond 2^53 and silently drops matches, so
+      // integral types use (x - pmod(x, w)) div w (pmod >= 0 makes the
+      // truncating div a true floor); fractional types use double floor
+      def bucket(e: Expression): Expression = e.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val x = Cast(e, LongType)
+          IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
+        case _ =>
+          Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble))) // LongType
+      }
 
       // lower bound: bucket(lo) covers p >= lo and p > lo alike (overshoot
       // at the boundary is removed by the residual filter)
       val startB = bucket(lo.bound)
-      // upper bound: exclusive hi ends at ceil(hi/w)-1, inclusive at
-      // floor(hi/w); greatest() keeps sequence() well-formed when hi <= lo
-      val endB = Greatest(Seq(startB,
+      // upper bound: exclusive hi ends at floor((hi-ulp)/w) — for integral
+      // hi that is bucket(hi-1), for fractional ceil(hi/w)-1; inclusive hi
+      // ends at bucket(hi). greatest() keeps sequence() well-formed when
+      // hi <= lo
+      val endRaw =
         if (hi.inclusive) bucket(hi.bound)
-        else Subtract(Ceil(Divide(Cast(hi.bound, DoubleType), Literal(w.toDouble))),
-          Literal(1L))))
+        else hi.bound.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            bucket(Subtract(Cast(hi.bound, LongType), Literal(1L)))
+          case _ =>
+            Subtract(Ceil(Divide(Cast(hi.bound, DoubleType),
+              Literal(w.toDouble))), Literal(1L))
+        }
+      val endB = Greatest(Seq(startB, endRaw))
 
       // Sequence is TimeZoneAwareExpression: a concrete zone id is part of
       // being "resolved", even for a pure-long sequence

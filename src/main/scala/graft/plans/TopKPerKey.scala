@@ -80,8 +80,17 @@ case class TopKPerKeyExec(
       // max-heap under `ord`: head is the WORST survivor, evicted first
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       it.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
+        // probe with the REUSED projection row; copy the key only when
+        // it is actually inserted — getOrElseUpdate(copy, ...) would
+        // allocate a fresh key per input row on this hot path
+        val probe = keyProj(row)
+        val heap = heaps.get(probe) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(probe.copy(), h)
+            h
+        }
         if (heap.size < limit) heap.enqueue(row.copy())
         else if (ord.lt(row, heap.head)) {
           heap.dequeue(); heap.enqueue(row.copy())

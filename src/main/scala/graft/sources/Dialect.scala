@@ -427,11 +427,31 @@ object MdbDialect extends Dialect {
     case _ => false
   }
   override def supportsCountStatistics: Boolean = false
-  // reference strips raw '(' / ')' CHARS from both ends (trim_matches,
-  // not balanced-paren removal) and joins with bare AND
+
+  /** Strip one FULLY-ENCLOSING paren pair at a time. The reference trims
+    * raw paren chars from both ends (`trim_matches`, mod.rs:303), which
+    * corrupts `a IN (1, 2)` or `(a = 1) OR (b = 2)` into unbalanced SQL
+    * — we deviate to balanced-pair stripping: same effect on the simple
+    * predicates MDB accepts, never syntactically invalid. */
+  private def stripOuterParens(f: String): String = {
+    val t = f.trim
+    if (t.length >= 2 && t.head == '(' && t.last == ')') {
+      // outer pair must MATCH: depth may not reach 0 before the end
+      var depth = 0
+      var enclosing = true
+      var i = 0
+      while (i < t.length - 1 && enclosing) {
+        if (t(i) == '(') depth += 1
+        else if (t(i) == ')') { depth -= 1; if (depth == 0) enclosing = false }
+        i += 1
+      }
+      if (enclosing) stripOuterParens(t.substring(1, t.length - 1)) else t
+    } else t
+  }
+
+  // MDB's SQL parser rejects parenthesized WHERE predicates: strip the
+  // enclosing pair of each compiled filter, join with bare AND
   override protected def whereClause(filters: Seq[String]): String =
     if (filters.isEmpty) ""
-    else filters.map(_.dropWhile(c => c == '(' || c == ')')
-        .reverse.dropWhile(c => c == '(' || c == ')').reverse)
-      .mkString(" WHERE ", " AND ", "")
+    else filters.map(stripOuterParens).mkString(" WHERE ", " AND ", "")
 }

@@ -153,7 +153,25 @@ object Jdbc {
       case RBinary | RFixedBinary(_) => v => v.asInstanceOf[Array[Byte]]
       case RDate => { case d: java.sql.Date => DateTimeUtils.fromJavaDate(d)
                       case v => v }
-      case _ => v => UTF8String.fromString(v.toString)
+      case RTime => { case t: java.sql.Time =>
+        val lt = t.toLocalTime
+        (lt.toSecondOfDay * 1000000L) + lt.getNano / 1000L }
+      case RTimestampNtz | RTimestampTz => { case ts: java.sql.Timestamp =>
+        DateTimeUtils.fromJavaTimestamp(ts) }
+      case RUuid => {
+        case b: Array[Byte] => b
+        case u: java.util.UUID =>
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+          bb.array()
+      }
+      case RGeometry => v => v.asInstanceOf[Array[Byte]]
+      // string-typed elements render as text; anything else would
+      // contradict the declared element type — fail loudly
+      case RText | RVarchar(_) | RChar(_) | RJson | RXml =>
+        v => UTF8String.fromString(v.toString)
+      case other => v => throw new IllegalArgumentException(
+        s"array element decode not supported for $other")
     }
   }
 

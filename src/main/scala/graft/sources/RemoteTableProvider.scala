@@ -238,13 +238,19 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
       aggColumn(a.column).flatMap { n =>
         val q = dialect.quote(n)
         table.remoteSchema(n).tpe match {
-          // integral only: the remote average runs in DECIMAL so the
-          // result is order-independent and bit-exact, then casts to the
-          // DOUBLE Spark's own avg(integral) would produce. Float/decimal
-          // inputs are NOT pushed — Spark's internal sum order and the
-          // remote engine's could legitimately differ in final ulps.
+          // Integral only, and NOT the remote engine's own AVG — e.g.
+          // Derby's AVG over an integral/decimal operand truncates the
+          // quotient at the operand's scale, silently disagreeing with
+          // Spark's double average. Instead: exact BIGINT sum, one cast
+          // to DOUBLE, one IEEE division — bit-identical to Spark's
+          // avg(integral) for totals within 2^53 (and a LOUD remote
+          // overflow error beyond 2^63, never silent drift). Float and
+          // decimal inputs are not pushed: their sum order could
+          // legitimately differ in final ulps.
           case RInt1 | RInt2 | RInt4 | RInt8 | RUInt1 | RUInt2 | RUInt4 =>
-            Some((s"CAST(AVG(CAST($q AS DECIMAL(25,6))) AS DOUBLE)", DoubleType))
+            Some((s"CASE WHEN COUNT($q) = 0 THEN NULL ELSE " +
+              s"CAST(CAST(SUM(CAST($q AS BIGINT)) AS DOUBLE) / COUNT($q) " +
+              s"AS DOUBLE) END", DoubleType))
           case _ => None
         }
       }

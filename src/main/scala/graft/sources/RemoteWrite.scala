@@ -183,7 +183,24 @@ class RemoteDataWriter(
             case o => o.asInstanceOf[AnyRef]
           }
         }.toArray[AnyRef]
-        ps.setArray(idx, conn.createArrayOf(elem.simpleString.toUpperCase, ext))
+        // SQL type name, not Spark's simpleString ("STRING"/"INT" are not
+        // valid element type names to array-capable drivers)
+        val sqlElem = elem match {
+          case StringType => "VARCHAR"
+          case IntegerType => "INTEGER"
+          case LongType => "BIGINT"
+          case ShortType | ByteType => "SMALLINT"
+          case DoubleType => "DOUBLE"
+          case FloatType => "REAL"
+          case BooleanType => "BOOLEAN"
+          case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+          case DateType => "DATE"
+          case TimestampType | TimestampNTZType => "TIMESTAMP"
+          case BinaryType => "VARBINARY"
+          case other => throw new IllegalArgumentException(
+            s"no SQL array element type for $other")
+        }
+        ps.setArray(idx, conn.createArrayOf(sqlElem, ext))
       case _ => ps.setString(idx, v.toString)
     }
   }

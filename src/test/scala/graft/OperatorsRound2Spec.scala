@@ -75,6 +75,27 @@ class OperatorsRound2Spec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("bucketed as-of: trailing NULL attached value cannot shadow an earlier one") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    // bucket width 1h: r1(v=7) then r2(v=null) in hour 0; left row in hour 1.
+    // Correct carry-in is v=7 (last NON-NULL), not null from the later row.
+    val right = Seq((1L, ts(10), 100L, java.lang.Long.valueOf(7L)),
+        (1L, ts(20), 101L, null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "rt", "tie", "v")
+    val left = Seq((1L, ts(90), 900L)).toDF("k", "lt", "left_id")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("left_id", "v_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val plain = run(graft.operators.AsOfJoin.asof(
+      left, "k", "lt", right, "k", "rt", Map("v" -> "v_out"), "tie"))
+    val bucketed = run(graft.operators.AsOfJoin.asofBucketed(
+      left, "k", "lt", right, "k", "rt", Map("v" -> "v_out"), "tie",
+      bucketMicros = 3600L * 1000000))
+    assert(plain == Set((900L, 7L)))
+    assert(bucketed == plain)
+  }
+
   test("salted join returns exactly the plain join's rows, spread by salt") {
     // one hot key (90% of rows) + a long tail
     val big = ((1L to 900L).map(i => (7L, i)) ++

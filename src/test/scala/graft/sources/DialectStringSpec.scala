@@ -61,6 +61,23 @@ class DialectStringSpec extends AnyFunSuite {
     assert(sql.contains("ORDER BY ordinal_position"))
   }
 
+  test("MDB: IN / OR filters keep balanced parens after outer-pair strip") {
+    import org.apache.spark.sql.sources.{In, Or}
+    val in = MdbDialect.compileFilter(In("a", Array(1, 2)), identity).get
+    val or = MdbDialect.compileFilter(
+      Or(EqualTo("a", 1), EqualTo("b", 2)), identity).get
+    val sql = MdbDialect.rewriteQuery(table, Seq(in, or), None)
+    def balanced(s: String): Boolean = {
+      var d = 0
+      s.foreach { c =>
+        if (c == '(') d += 1 else if (c == ')') { d -= 1; if (d < 0) return false }
+      }
+      d == 0
+    }
+    assert(balanced(sql), s"unbalanced SQL: $sql")
+    assert(sql.contains("IN ("), s"IN list lost its parens: $sql")
+  }
+
   test("MDB: no COUNT(1) statistics (reference try_count1_query => None)") {
     assert(!MdbDialect.supportsCountStatistics)
     assert(DmDialect.supportsCountStatistics && GaussDbDialect.supportsCountStatistics)

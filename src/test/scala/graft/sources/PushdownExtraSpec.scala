@@ -58,6 +58,21 @@ class PushdownExtraSpec extends AnyFunSuite {
       .select(col("N_REGIONKEY").cast("double"))
       .agg(avg(col("N_REGIONKEY"))).collect().head.getDouble(0)
     assert(df.collect().head.getDouble(0) == viaSpark)
+    // non-terminating mean: {1,2,4} -> 7/3. The pushed value must be the
+    // bit-exact IEEE quotient Spark's own avg computes — a remote engine's
+    // native AVG would truncate at the operand's decimal scale
+    val c = java.sql.DriverManager.getConnection(DerbyFixture.url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate("CREATE TABLE avg_t (v INT)")
+      catch { case _: java.sql.SQLException => st.executeUpdate("DELETE FROM avg_t") }
+      st.executeUpdate("INSERT INTO avg_t VALUES (1), (2), (4)")
+      st.close()
+    } finally c.close()
+    val pushed = remote("dbtable" -> "AVG_T").agg(avg(col("V")).as("a"))
+    assert(pushed.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: true"))
+    assert(pushed.collect().head.getDouble(0) == 7.0 / 3.0)
     // double column: compileAgg refuses complete AVG (ulp-order hazard),
     // so Spark decomposes into pushed SUM + COUNT and divides itself —
     // visible as a Project with sum/count over the scan
