@@ -60,6 +60,14 @@ object PipelineQueries {
       DedupOps.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // rolling-hash document fingerprinting (Rabin-Karp polynomial over
+    // codepoints) — hash-family-free, so unlike simhash it carries a
+    // full DuckDB oracle
+    "p12_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("fp64"))
+        .orderBy(col("doc_id"))),
+
     // ---- similarity search --------------------------------------------
     "p08_knn" -> ((s, dir) => {
       val all = embs(s, dir).select(col("vec_id").as("id"),
@@ -186,6 +194,15 @@ object PipelineQueries {
         |  + CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok) / 3.0
         |   AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "p12_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text, ''),
+        |       c -> CAST(unicode(c) AS BIGINT))),
+        |   (acc, x) -> (acc * 31 + x) % 2147483647) AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p04_langid" ->
       """WITH t AS (

@@ -334,6 +334,53 @@ case class MinHashBands(child: Expression, bands: Int, rows: Int)
 }
 
 /** Column-API wrappers. */
+/** Rolling polynomial fingerprint of a string: h = (h·base + cp) mod m
+  * over unicode CODEPOINTS, left to right — the Rabin-Karp document
+  * fingerprint. Engine-independent by construction (no hash-family
+  * secret): any engine with modular arithmetic reproduces it, which is
+  * what lets the gate oracle it exactly in SQL. `mod` < 2^31 keeps
+  * h·base inside a 64-bit long. Java long arithmetic wraps silently, so
+  * this stays ANSI-overflow-safe where a SQL `*` spelling would throw. */
+case class PolyFingerprint(child: Expression, base: Long, mod: Long)
+  extends UnaryExpression {
+
+  require(base > 0 && mod > 1 && mod <= Int.MaxValue.toLong,
+    "mod must fit in 31 bits so h*base cannot overflow a long")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polyFingerprint", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"poly_fingerprint needs string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * base + cp) % mod
+      i += Character.charCount(cp)
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
+    copy(child = newChild)
+}
+
 /** The `nProbe` nearest centroid indices (by cosine, descending;
   * ties broken by index) for an `array<float>` vector — the IVF coarse
   * quantizer. Centroids ride the plan (k·dim doubles — the same
@@ -425,4 +472,7 @@ object native {
     Bridge.column(LshBuckets(Bridge.expression(c), nPlanes, nTables))
   def nearest_centroids(c: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(c), centroids, nProbe))
+  def poly_fingerprint(c: Column, base: Long = 31L,
+      mod: Long = Int.MaxValue.toLong): Column =
+    Bridge.column(PolyFingerprint(Bridge.expression(c), base, mod))
 }

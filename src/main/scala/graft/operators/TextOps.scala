@@ -79,6 +79,13 @@ object TextOps {
     pick
   }
 
+  /** Rolling (Rabin-Karp) polynomial fingerprint over unicode
+    * codepoints — engine-independent, SQL-reproducible (the p12 gate
+    * oracles it exactly in DuckDB). Complements [[fingerprint]]'s md5:
+    * the rolling form extends to windowed/chunk fingerprinting. */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.native.poly_fingerprint(text)
+
   /** Content fingerprint: md5 of the normalized text (lowercase,
     * collapsed whitespace) — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -26,6 +26,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sh") == viaApi)
   }
 
+  test("poly fingerprint matches the reference recurrence incl. astral chars") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ref(s: String): Long = {
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 31 + cp) % 2147483647L)
+      h
+    }
+    val inputs = Seq("", "hello", "the quick brown fox",
+      "astral 😀 char") // U+1F600 is one codepoint, two chars
+    val got = inputs.toDF("t")
+      .select(graft.functions.native.poly_fingerprint(col("t")))
+      .as[Long].collect().toSeq
+    assert(got == inputs.map(ref))
+  }
+
   test("range join bucketed == naive inequality join") {
     import spark.implicits._
     val points = Seq((1L, 5.0), (2L, 42.0), (3L, 99.0), (4L, 150.0))
