@@ -334,6 +334,60 @@ case class MinHashBands(child: Expression, bands: Int, rows: Int)
 }
 
 /** Column-API wrappers. */
+/** All unordered pairs of an array<long> of ids, each normalized to
+  * (least, greatest) — the LSH bucket pair expansion. The HOF spelling
+  * (`flatten(transform(ids, .. transform(filter(slice(..)))))`) runs
+  * interpreted per ELEMENT, which dominates candidate generation once
+  * buckets hold hundreds of ids (n²/2 lambda invocations per bucket);
+  * this is one tight loop per bucket. Equal ids yield no pair (matches
+  * the HOF's `b != a` guard). */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedPairs", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_pairs needs array<long>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[ArrayData].toLongArray()
+    val n = ids.length
+    val out = new java.util.ArrayList[Any](n * (n - 1) / 2)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val a = ids(i); val b = ids(j)
+        if (a != b) {
+          val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+          row.update(0, math.min(a, b))
+          row.update(1, math.max(a, b))
+          out.add(row)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairs =
+    copy(child = newChild)
+}
+
 /** Rolling polynomial fingerprint of a string: h = (h·base + cp) mod m
   * over unicode CODEPOINTS, left to right — the Rabin-Karp document
   * fingerprint. Engine-independent by construction (no hash-family
@@ -475,4 +529,6 @@ object native {
   def poly_fingerprint(c: Column, base: Long = 31L,
       mod: Long = Int.MaxValue.toLong): Column =
     Bridge.column(PolyFingerprint(Bridge.expression(c), base, mod))
+  def sorted_pairs(c: Column): Column =
+    Bridge.column(SortedPairs(Bridge.expression(c)))
 }

@@ -46,12 +46,10 @@ private[graft] object LshJoin {
         .as("dropped_ids"),
       max(size(col("ids"))).as("max_bucket_size")))
     val grouped = watched.filter(size(col("ids")).between(2, maxBucket))
+    // native pair expansion: the HOF spelling (flatten/transform/filter/
+    // slice) evaluates interpreted lambdas per ELEMENT — n²/2 per bucket
     grouped
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(filter(slice(ids, i + 2, size(ids)), b -> b != a), b ->
-          |    struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))""".stripMargin))
-        .as("p"))
+      .select(explode(graft.functions.native.sorted_pairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
   }

@@ -10,7 +10,16 @@ import org.apache.spark.sql.types.StructType
   *
   * Output schema is discovered by applying [[transformSchema]] to the
   * raw table schema — the analogue of the reference's transform of an
-  * empty batch (`transform.rs:169-192`).
+  * empty batch (`transform.rs:169-192`). The reference can DERIVE the
+  * output schema because its transform operates on Arrow RecordBatches,
+  * which carry a schema even when empty; Spark's external `Row`s carry
+  * no type information (an empty iterator in = an empty iterator out,
+  * and nulls in a probe row are untypeable), so the declared
+  * [[transformSchema]] is the contract here. Drift between the two
+  * methods surfaces immediately: the reader projects the transform's
+  * output by [[transformSchema]]'s field names and converts values by
+  * its field types, so a mismatch fails the first scanned batch loudly
+  * rather than corrupting data.
   *
   * [[filterRename]] maps a *transformed* column name back to the source
   * column it derives from, letting filters written against transformed
