@@ -293,7 +293,13 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
       case o: RemoteScanBuilder =>
         rewritable && o.rewritable && !hasTransform && !o.hasTransform &&
           !table.isCommand && !o.table.isCommand &&
-          opts.url == o.opts.url && dialect.name == o.dialect.name &&
+          // same database AND same identity/driver: the joined query runs
+          // on THIS side's connection, which must be able to see both
+          // tables with unchanged permissions
+          opts.url == o.opts.url && opts.user == o.opts.user &&
+          opts.password == o.opts.password &&
+          opts.driverClass == o.opts.driverClass &&
+          dialect.name == o.dialect.name &&
           opts.numPartitions == 1 && o.opts.numPartitions == 1
       case _ => false
     }
