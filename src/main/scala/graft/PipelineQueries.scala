@@ -60,6 +60,13 @@ object PipelineQueries {
       DedupOps.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // BPE-style regex token counting (the budgeting granularity of an
+    // LLM data pipeline); pattern chosen so Java regex == RE2
+    "p13_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
     // rolling-hash document fingerprinting (Rabin-Karp polynomial over
     // codepoints) — hash-family-free, so unlike simhash it carries a
     // full DuckDB oracle
@@ -194,6 +201,13 @@ object PipelineQueries {
         |  + CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok) / 3.0
         |   AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "p13_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text,
+        |   '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
+        |  AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p12_fingerprint" ->
       """SELECT doc_id,

@@ -79,6 +79,20 @@ object TextOps {
     pick
   }
 
+  /** GPT-2-style pre-tokenizer pattern (contractions, space-prefixed
+    * letter runs, digit runs, punctuation runs) restricted to plain
+    * alternation + ASCII classes so Java regex (Spark) and RE2 (DuckDB
+    * oracle) agree symbol-for-symbol. */
+  val BpeTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+  /** BPE-ish subword count: matches of [[BpeTokenPattern]] — the
+    * pre-tokenization granularity an LLM training pipeline budgets by,
+    * as opposed to [[tokenCount]]'s whitespace words and
+    * [[subtokenCount]]'s length-based estimate. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Rolling (Rabin-Karp) polynomial fingerprint over unicode
     * codepoints — engine-independent, SQL-reproducible (the p12 gate
     * oracles it exactly in DuckDB). Complements [[fingerprint]]'s md5:
