@@ -41,6 +41,9 @@ object Bench {
     // this same protocol, so driver runs and the baseline are comparable.
     val warmDir = "/root/testdata/sf0.001"
     headline.foreach { name =>
+      // reset leaked confs here too (q28/r06 set theirs during execution):
+      // warmup must compile the SAME plans the timed loop compiles
+      SparkEntry.resetSessionConfs(spark)
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: $e") }

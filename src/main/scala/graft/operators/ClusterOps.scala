@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERING: turning pairwise near-dup edges (from
+  * MinHash/SimHash/embedding LSH) into connected components, so a
+  * dedup pipeline can keep ONE canonical document per cluster instead
+  * of per pair. The reference engine has no graph surface; this is
+  * part of the LLM-pipeline extension (transitive dedup is how
+  * production corpus dedup actually works — A~B, B~C must collapse to
+  * one cluster even when A!~C).
+  *
+  * Algorithm: iterative min-label propagation expressed as DataFrame
+  * joins — each round every node adopts the smallest component id seen
+  * on any incident edge. Rounds needed = graph diameter, and near-dup
+  * graphs are dense clumps with tiny diameters (pairs all share
+  * content), so 3-5 rounds is typical. Each round is one shuffle join
+  * + one shuffle aggregate on (node) — both partition by the same key,
+  * so AQE coalesces them tightly.
+  *
+  * Scale notes (100 TB):
+  *   - The edge set is the OUTPUT of LSH dedup — orders of magnitude
+  *     smaller than the corpus. The iteration cost is proportional to
+  *     edges, not documents; singleton documents never enter the loop
+  *     and are unioned back at the end with comp = own id (no join).
+  *   - Lineage is cut per round (localCheckpoint) — without it the
+  *     plan doubles every iteration and the optimizer chokes by round
+  *     ~10. On a real cluster use `spark.cleaner.referenceTracking`
+  *     defaults; localCheckpoint keeps blocks on executors, no DFS
+  *     round trip.
+  *   - Convergence is detected with `sum(comp)`: labels only ever
+  *     decrease, so an unchanged sum IS the fixpoint — one cheap
+  *     action per round, no row-wise diff join.
+  *   - For adversarial diameters (long chains) the alternating
+  *     large-star/small-star algorithm converges in O(log²) rounds;
+  *     near-dup graphs never look like that, so the simpler loop wins.
+  */
+object ClusterOps {
+
+  /** Connected components over an undirected edge list.
+    *
+    * @param edges  DataFrame with two id columns (one row per edge)
+    * @param srcCol / dstCol edge endpoint columns (numeric ids)
+    * @param maxIter hard round cap; throws if not converged (a
+    *                non-converged label set is silently WRONG — at
+    *                scale, raise the cap, don't drop the check)
+    * @return (node, comp) — comp is the smallest node id in the
+    *         component; only nodes that appear in `edges`.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    // symmetrize once; labels propagate in both directions
+    val sym = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+    var lastSum = labels.agg(sum("comp")).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor's label flows across each edge; keep the min of
+      // (own label, best neighbor label)
+      val viaEdges = sym.join(labels, sym("src") === labels("node"))
+        .select(sym("dst").as("node"), col("comp"))
+      val next = labels.union(viaEdges)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      val s = next.agg(sum("comp")).head.getLong(0)
+      converged = s == lastSum // labels are monotone non-increasing
+      lastSum = s
+      labels = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds " +
+        "(graph diameter exceeds the cap; raise maxIter)")
+    labels
+  }
+
+  /** Dedup clustering over a full document set: every document gets a
+    * cluster id (connected-component min over the near-dup edges;
+    * documents in no pair are their own singleton cluster), a
+    * `keep` flag (true for the cluster's canonical = smallest id), and
+    * the cluster size. The big `docs` side is joined once against the
+    * small component map — broadcast-sized in practice, but left to
+    * AQE to decide. */
+  def dedupClusters(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, maxIter)
+    val labeled = docs.select(col(idCol).cast("long").as("node"))
+      .join(comps, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("comp"), col("node")).as("comp"))
+    labeled
+      .withColumn("cluster_size",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+      .withColumn("keep", col("doc_id") === col("comp"))
+  }
+}

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expressi
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** Top-k rows PER KEY as a first-class operator — the §7.3 tier-(c)
@@ -37,6 +38,11 @@ case class TopKPerKeyPlan(
     k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, "k must be positive")
+  // empty keys would make the final exec require ClusteredDistribution(Nil)
+  // and die at planning with an obscure error; global top-k is a plain
+  // sort+limit, not this operator
+  require(keys.nonEmpty,
+    "top-k per key requires at least one key column (for global top-k use orderBy().limit())")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
@@ -69,35 +75,70 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "output rows"),
+    "numKeys" -> SQLMetrics.createMetric(sparkContext, "distinct keys held"),
+    "passThroughRows" -> SQLMetrics.createMetric(sparkContext,
+      "rows passed through uncombined (partial key cap hit)"))
+
+  /** Memory bound: each task holds O(held-keys × k) rows. The PARTIAL
+    * phase caps held keys at `spark.graft.topk.maxPartialKeys` — a
+    * partial heap is only an optimization, so rows for keys beyond the
+    * cap STREAM THROUGH uncombined (HashAggregate's partial-fallback
+    * idiom) and the final phase still computes exact top-k. The FINAL
+    * phase's bound is O(keys-in-partition × k), which shrinks with
+    * shuffle-partition count — raise `spark.sql.shuffle.partitions`
+    * for extreme key cardinality. */
+  private val maxPartialKeys: Int =
+    if (!partial) Int.MaxValue
+    else session.conf.get("spark.graft.topk.maxPartialKeys", "1000000").toInt
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val keyCap = maxPartialKeys
+    val outRows = longMetric("numOutputRows")
+    val keysHeld = longMetric("numKeys")
+    val passed = longMetric("passThroughRows")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
       // max-heap under `ord`: head is the WORST survivor, evicted first
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
+      // pass-through rows must stream out as encountered (buffering them
+      // would defeat the cap), so the combine loop is a flatMap and the
+      // heap drain is lazily concatenated behind it
+      val combined = it.flatMap { row =>
         // probe with the REUSED projection row; copy the key only when
         // it is actually inserted — getOrElseUpdate(copy, ...) would
         // allocate a fresh key per input row on this hot path
         val probe = keyProj(row)
-        val heap = heaps.get(probe) match {
-          case Some(h) => h
-          case None =>
+        heaps.get(probe) match {
+          case Some(heap) =>
+            if (heap.size < limit) heap.enqueue(row.copy())
+            else if (ord.lt(row, heap.head)) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+            Iterator.empty
+          case None if heaps.size < keyCap =>
             val h = mutable.PriorityQueue.empty[InternalRow](ord)
             heaps.put(probe.copy(), h)
-            h
-        }
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ord.lt(row, heap.head)) {
-          heap.dequeue(); heap.enqueue(row.copy())
+            keysHeld += 1
+            h.enqueue(row.copy())
+            Iterator.empty
+          case None => // cap hit: emit uncombined, final phase is exact
+            passed += 1
+            outRows += 1
+            Iterator.single(row)
         }
       }
       // emit each key's survivors best-first (deterministic final output)
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      combined ++ heaps.valuesIterator.flatMap { h =>
+        outRows += h.size
+        h.dequeueAll.reverseIterator
+      }
     }
   }
 

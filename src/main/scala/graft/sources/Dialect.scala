@@ -171,7 +171,13 @@ trait Dialect extends Serializable {
     case t: Timestamp => Some(timestampLiteral(t.toLocalDateTime))
     case t: LocalDateTime => Some(timestampLiteral(t))
     case t: java.time.Instant =>
-      Some(timestampLiteral(LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC)))
+      // ONE timezone convention for instant-typed timestamps across all
+      // literal-rendering paths (v1 filters, Literalizer writes, V2 join
+      // predicates): the JVM default zone, i.e. what java.sql.Timestamp
+      // itself renders and what the JDBC write path stores. A UTC
+      // rendering here would make a pushed filter disagree with the
+      // values the writer inserted on any non-UTC JVM.
+      Some(timestampLiteral(Timestamp.from(t).toLocalDateTime))
     case _ => None // unknown type: refuse pushdown rather than mis-render
   }
 
@@ -449,8 +455,26 @@ object MdbDialect extends Dialect {
     } else t
   }
 
-  // MDB's SQL parser rejects parenthesized WHERE predicates: strip the
-  // enclosing pair of each compiled filter, join with bare AND
+  /** MDB's SQL parser rejects parenthesized WHERE predicates, and
+    * `whereClause` joins pushed filters with bare AND — so a filter
+    * whose rendering NEEDS parens (Or, In-lists, EqualNullSafe,
+    * Not(...)) cannot be pushed without either invalid SQL or an
+    * AND/OR precedence change. Decline those (`None` ⇒ Spark
+    * re-evaluates them post-scan); And joins paren-free sides with
+    * bare AND, which is safe because any OR-containing side is
+    * itself declined (OR only renders parenthesized). */
+  override def compileFilter(
+      f: Filter, rename: String => String = identity): Option[String] = f match {
+    case And(l, r) =>
+      for (cl <- compileFilter(l, rename); cr <- compileFilter(r, rename))
+        yield s"$cl AND $cr"
+    case _ =>
+      super.compileFilter(f, rename).map(stripOuterParens).filterNot(_.contains("("))
+  }
+
+  // MDB's SQL parser rejects parenthesized WHERE predicates: filters
+  // arriving here are already paren-free (see compileFilter), join
+  // with bare AND; stripOuterParens kept as a final guard.
   override protected def whereClause(filters: Seq[String]): String =
     if (filters.isEmpty) ""
     else filters.map(stripOuterParens).mkString(" WHERE ", " AND ", "")

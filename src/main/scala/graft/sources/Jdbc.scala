@@ -136,8 +136,16 @@ object Jdbc {
     * declared element type so schema and runtime value always agree. */
   private def catalystElem(t: RemoteType): Any => Any = {
     import RemoteType._
+    // Every converter is TOTAL: an element boxing this code does not
+    // recognize throws instead of passing an ill-typed value into the
+    // InternalRow (the surrounding fail-loudly policy — a corrupt row
+    // surfaces much later and far less debuggably than this throw).
+    def bad(v: Any): Nothing = throw new IllegalArgumentException(
+      s"array element decode for $t: unexpected ${v.getClass.getName} value '$v'")
+    def micros(lt: java.time.LocalTime): Long =
+      (lt.toSecondOfDay * 1000000L) + lt.getNano / 1000L
     t match {
-      case RBool => { case b: java.lang.Boolean => b.booleanValue; case v => v }
+      case RBool => { case b: java.lang.Boolean => b.booleanValue; case v => bad(v) }
       case RInt1 => v => v.asInstanceOf[Number].byteValue
       case RInt2 | RUInt1 => v => v.asInstanceOf[Number].shortValue
       case RInt4 | RUInt2 => v => v.asInstanceOf[Number].intValue
@@ -152,18 +160,29 @@ object Jdbc {
       }
       case RBinary | RFixedBinary(_) => v => v.asInstanceOf[Array[Byte]]
       case RDate => { case d: java.sql.Date => DateTimeUtils.fromJavaDate(d)
-                      case v => v }
-      case RTime => { case t: java.sql.Time =>
-        val lt = t.toLocalTime
-        (lt.toSecondOfDay * 1000000L) + lt.getNano / 1000L }
-      case RTimestampNtz | RTimestampTz => { case ts: java.sql.Timestamp =>
-        DateTimeUtils.fromJavaTimestamp(ts) }
+                      case d: java.time.LocalDate => DateTimeUtils.localDateToDays(d)
+                      case v => bad(v) }
+      case RTime => { case t: java.sql.Time => micros(t.toLocalTime)
+                      case lt: java.time.LocalTime => micros(lt)
+                      case v => bad(v) }
+      case RTimestampNtz | RTimestampTz => {
+        case ts: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(ts)
+        case ldt: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(ldt)
+        case odt: java.time.OffsetDateTime => DateTimeUtils.instantToMicros(odt.toInstant)
+        case v => bad(v)
+      }
       case RUuid => {
         case b: Array[Byte] => b
         case u: java.util.UUID =>
           val bb = java.nio.ByteBuffer.allocate(16)
           bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
           bb.array()
+        case s: String =>
+          val u = java.util.UUID.fromString(s)
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.putLong(u.getMostSignificantBits).putLong(u.getLeastSignificantBits)
+          bb.array()
+        case v => bad(v)
       }
       case RGeometry => v => v.asInstanceOf[Array[Byte]]
       // string-typed elements render as text; anything else would

@@ -31,7 +31,16 @@ private[sources] class V2PredicateSQL(dialect: Dialect)
       case DateType =>
         dialect.dateLiteral(java.time.LocalDate.ofEpochDay(
           v.asInstanceOf[Number].longValue))
-      case TimestampType | TimestampNTZType =>
+      case TimestampType =>
+        // Instant semantics: same JVM-default-zone convention as the v1
+        // filter path (Dialect.literal on Timestamp/Instant) and the
+        // Literalizer write path — NOT UTC, or the pushed join condition
+        // would disagree with pushed scan filters on a non-UTC JVM.
+        dialect.timestampLiteral(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .toJavaTimestamp(v.asInstanceOf[Number].longValue).toLocalDateTime)
+      case TimestampNTZType =>
+        // Wall-clock semantics: micros ARE the local date-time, no zone.
         dialect.timestampLiteral(
           org.apache.spark.sql.catalyst.util.DateTimeUtils
             .microsToLocalDateTime(v.asInstanceOf[Number].longValue))

@@ -25,4 +25,13 @@ object Bridge {
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** V2 connector expression factories (`FieldReference`/`LiteralValue`
+    * companions are private[sql]) — used by specs that exercise the
+    * join-pushdown SQL builder directly. */
+  def v2Column(name: String): org.apache.spark.sql.connector.expressions.NamedReference =
+    org.apache.spark.sql.connector.expressions.FieldReference.column(name)
+  def v2Literal(value: Any, tpe: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[_] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(value, tpe)
 }

@@ -55,6 +55,30 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got == Set((1, 1, 5), (1, 1, 7), (1, 2, 3), (2, 1, 9)))
   }
 
+  test("empty key list is rejected at construction, not planning") {
+    val e = intercept[IllegalArgumentException] {
+      TopK.perKey(df, Seq.empty, Seq(col("id")), 3)
+    }
+    assert(e.getMessage.contains("at least one key"))
+  }
+
+  test("partial key cap: rows stream through uncombined, result stays exact") {
+    // cap the partial heap map at 2 keys (7 exist) — every row for the
+    // other 5 keys per partition must pass through to the final phase
+    // uncombined, and the final result must be unchanged
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "2")
+    try {
+      val got = TopK.perKey(df, Seq(col("key")),
+          Seq(col("score").desc, col("id")), 5)
+        .select("id", "key", "score").as[(Long, String, Double)]
+        .collect().toSet
+      val expected = windowTopK(5)
+        .select("id", "key", "score").as[(Long, String, Double)]
+        .collect().toSet
+      assert(got == expected)
+    } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
+  }
+
   test("heavy skew: one key holding most rows still yields exact top-k") {
     val skewed = ((1L to 5000L).map(i => ("hot", i)) ++
       Seq(("cold", 1L), ("cold", 2L))).toDF("key", "v").repartition(16)

@@ -61,21 +61,32 @@ class DialectStringSpec extends AnyFunSuite {
     assert(sql.contains("ORDER BY ordinal_position"))
   }
 
-  test("MDB: IN / OR filters keep balanced parens after outer-pair strip") {
-    import org.apache.spark.sql.sources.{In, Or}
-    val in = MdbDialect.compileFilter(In("a", Array(1, 2)), identity).get
-    val or = MdbDialect.compileFilter(
-      Or(EqualTo("a", 1), EqualTo("b", 2)), identity).get
-    val sql = MdbDialect.rewriteQuery(table, Seq(in, or), None)
-    def balanced(s: String): Boolean = {
-      var d = 0
-      s.foreach { c =>
-        if (c == '(') d += 1 else if (c == ')') { d -= 1; if (d < 0) return false }
-      }
-      d == 0
-    }
-    assert(balanced(sql), s"unbalanced SQL: $sql")
-    assert(sql.contains("IN ("), s"IN list lost its parens: $sql")
+  test("MDB: paren-requiring filters (OR / IN / null-safe / NOT) are declined") {
+    import org.apache.spark.sql.sources.{EqualNullSafe, In, Not, Or}
+    // MDB joins pushed filters with bare AND and strips parens; pushing
+    // an OR would silently change AND/OR precedence ('(a) OR (b) AND c'),
+    // and IN/NOT/null-safe cannot render paren-free — so all decline and
+    // Spark re-evaluates them post-scan.
+    assert(MdbDialect.compileFilter(Or(EqualTo("a", 1), EqualTo("b", 2)), identity).isEmpty)
+    assert(MdbDialect.compileFilter(In("a", Array(1, 2)), identity).isEmpty)
+    assert(MdbDialect.compileFilter(Not(EqualTo("a", 1)), identity).isEmpty)
+    assert(MdbDialect.compileFilter(EqualNullSafe("a", 1), identity).isEmpty)
+    // empty IN renders paren-free ('1 = 0') and null-safe-vs-null is IS NULL
+    assert(MdbDialect.compileFilter(In("a", Array.empty[Any]), identity).contains("1 = 0"))
+    assert(MdbDialect.compileFilter(EqualNullSafe("a", null), identity)
+      .contains("[a] IS NULL"))
+  }
+
+  test("MDB: AND of paren-free sides pushes with bare AND; OR side poisons it") {
+    import org.apache.spark.sql.sources.{And, Or}
+    val and = MdbDialect.compileFilter(
+      And(GreaterThan("a", 1), EqualTo("b", "x")), identity).get
+    assert(and == "[a] > 1 AND [b] = 'x'", s"got: $and")
+    assert(!and.contains("("))
+    // an OR anywhere inside the conjunction cannot render safely
+    assert(MdbDialect.compileFilter(
+      And(GreaterThan("a", 1), Or(EqualTo("b", 2), EqualTo("c", 3))),
+      identity).isEmpty)
   }
 
   test("MDB: no COUNT(1) statistics (reference try_count1_query => None)") {

@@ -131,4 +131,29 @@ class JoinPushdownSpec extends AnyFunSuite {
       assert(df.count() == 4)
     }
   }
+
+  test("V2 predicate timestamp literals agree with the v1 filter path") {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val micros = DateTimeUtils.instantToMicros(
+      java.time.Instant.parse("2024-06-15T10:30:00.123456Z"))
+    val builder = new V2PredicateSQL(DerbyDialect)
+    def render(tpe: org.apache.spark.sql.types.DataType): String =
+      builder.build(new Predicate("=",
+        Array(Bridge.v2Column("ts"), Bridge.v2Literal(micros, tpe))))
+    // instant semantics must round through the JVM default zone — the
+    // SAME convention Dialect.literal uses for java.sql.Timestamp and
+    // Instant, and the Literalizer uses on the write path; otherwise a
+    // pushed join condition and pushed scan filters disagree about the
+    // same instant on any non-UTC JVM
+    val v1 = DerbyDialect.literal(DateTimeUtils.toJavaTimestamp(micros)).get
+    val v1Instant = DerbyDialect.literal(DateTimeUtils.microsToInstant(micros)).get
+    assert(render(TimestampType).endsWith(v1), s"${render(TimestampType)} vs $v1")
+    assert(v1 == v1Instant, s"Timestamp vs Instant rendering split: $v1 / $v1Instant")
+    // NTZ micros ARE the wall-clock time — no zone round-trip
+    val ntz = DerbyDialect.timestampLiteral(DateTimeUtils.microsToLocalDateTime(micros))
+    assert(render(TimestampNTZType).endsWith(ntz))
+  }
 }
