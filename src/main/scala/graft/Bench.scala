@@ -16,10 +16,12 @@ object Bench {
     "q01_agg", "q02_filter_agg", "q03_join_topk", "q04_window",
     "q05_topk", "q11_rollup", "q15_events_day", "q17_join6",
     "q28_rangejoin_auto", "q29_streamjoin", "q30_topk_per_key",
+    "q33_pivot",
     "r01_remote_filter", "r04_remote_partitioned_agg",
     "r06_remote_join_pushdown",
     "p01_text_stats", "p02_exact_dedup", "p05_minhash_lsh",
     "p07_simhash", "p08_knn", "p10_embed_lsh", "p11_ivf_knn",
+    "p14_dedup_cluster", "p15_stratified_sample", "p16_quality_pipeline",
     "m01_multimodal", "m02_frame_sample")
 
   def main(args: Array[String]): Unit = {

@@ -356,6 +356,36 @@ object CoreQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // ---- pivot (wide conditional aggregation) ---------------------------
+    // explicit value list => no extra distinct-values job; each cell is a
+    // decimal-exact conditional sum (one shuffle, same as a plain groupBy)
+    "q33_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .orderBy(col("o_orderpriority"))),
+
+    // ---- explode / lateral flattening -----------------------------------
+    // per-row fan-out with ordinal position; generator stays inside
+    // whole-stage codegen, no shuffle at all
+    "q34_explode" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // ---- approximate percentile (q26 within-tolerance pattern) ----------
+    "q35_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_med"))
+        .select(col("l_returnflag"), col("exact_med"),
+          (abs(col("approx_med") - col("exact_med")) / col("exact_med") <= 0.01)
+            .as("within_1pct"))
+        .orderBy(col("l_returnflag"))),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -499,6 +529,28 @@ object CoreQueries {
         | quantile_cont(l_extendedprice, 0.25) AS p25_price,
         | quantile_cont(l_extendedprice, 0.75) AS p75_price,
         | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q33_pivot" -> {
+      def cell(status: String) =
+        sqlDsum(s"CASE WHEN o_orderstatus = '$status' THEN o_totalprice END")
+      s"""SELECT o_orderpriority,
+         | ${cell("F")} AS "F", ${cell("O")} AS "O", ${cell("P")} AS "P"
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    },
+
+    "q34_explode" ->
+      """SELECT doc_id, u.pos AS pos, u.token AS token FROM (
+        | SELECT doc_id, unnest([{'pos': CAST(i - 1 AS INT), 'token': s[i]}
+        |   for i in range(1, len(s) + 1)]) AS u
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents
+        |       WHERE doc_id < 100))
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q35_approx_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS exact_med,
+        | TRUE AS within_1pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q12_semijoin" ->

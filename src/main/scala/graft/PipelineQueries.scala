@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.operators.{DedupOps, TextOps, VectorOps}
+import graft.operators.{ClusterOps, DedupOps, SampleOps, TextOps, VectorOps}
 import graft.multimodal.MultimodalOps
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -74,6 +74,48 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("fp64"))
         .orderBy(col("doc_id"))),
+
+    // Transitive dedup: LSH pairs (the scale path, full recall at these
+    // parameters) -> connected components -> one canonical doc per
+    // cluster. Exercises the whole near-dup pipeline end-to-end.
+    "p14_dedup_cluster" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 2000)
+      val pairs = DedupOps.minhashLshPairs(d, "doc_id", "text", tau = 0.8)
+      ClusterOps.dedupClusters(d, "doc_id", pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic hash-threshold sampling: stratified keep-rates by
+    // the lang column plus a train/val/test split label — same rows on
+    // every run/retry/engine (the production alternative to rand()).
+    "p15_stratified_sample" -> ((s, dir) =>
+      SampleOps.stratifiedSample(docs(s, dir), "doc_id", col("lang"),
+          rates = Map("en" -> 0.3, "zh" -> 0.5), defaultRate = 1.0, salt = 42)
+        .select(col("doc_id"), col("lang"),
+          SampleOps.hashBucket(col("doc_id"), 42).as("bucket"),
+          SampleOps.split(col("doc_id"), valFraction = 0.1,
+            testFraction = 0.1, salt = 7).as("split"))
+        .orderBy(col("doc_id"))),
+
+    // The composed training-set materialization: language filter +
+    // quality threshold + token-count band + exact-dedup keeper, in one
+    // declarative plan (one window shuffle on the fingerprint; all
+    // scoring is per-row codegen).
+    "p16_quality_pipeline" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      docs(s, dir).select(col("doc_id"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .withColumn("keeper", min("doc_id").over(w))
+        .filter(col("doc_id") === col("keeper") &&
+          col("lang_pred") === "en" &&
+          col("quality") >= 0.5 &&
+          col("n_tokens").between(20, 500))
+        .select("doc_id", "lang_pred", "n_tokens", "quality")
+        .orderBy("doc_id")
+    }),
 
     // ---- similarity search --------------------------------------------
     "p08_knn" -> ((s, dir) => {
@@ -262,6 +304,86 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure of the brute-force pair set (the LSH side has
+    // full recall at tau=0.8, verified exact-Jaccard — same equivalence
+    // p05/p10 rely on), via min-label recursive CTE
+    "p14_dedup_cluster" ->
+      """WITH RECURSIVE t AS MATERIALIZED (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents
+        |       WHERE doc_id < 2000)),
+        |pairs AS MATERIALIZED (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM t a JOIN t b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, comp) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |labeled AS (
+        | SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+        | FROM (SELECT doc_id FROM documents WHERE doc_id < 2000) d
+        | LEFT JOIN comps c ON c.node = d.doc_id)
+        |SELECT doc_id, comp,
+        | count(*) OVER (PARTITION BY comp) AS cluster_size,
+        | (doc_id = comp) AS keep
+        |FROM labeled ORDER BY doc_id""".stripMargin,
+
+    "p15_stratified_sample" -> {
+      val b42 = SampleOps.hashBucketSql("doc_id", 42)
+      val b7 = SampleOps.hashBucketSql("doc_id", 7)
+      s"""SELECT doc_id, lang,
+         | $b42 AS bucket,
+         | CASE WHEN $b7 < ${SampleOps.threshold(0.1)} THEN 'test'
+         |      WHEN $b7 < ${SampleOps.threshold(0.2)} THEN 'val'
+         |      ELSE 'train' END AS split
+         |FROM documents
+         |WHERE $b42 < (CASE WHEN lang = 'en' THEN ${SampleOps.threshold(0.3)}
+         |                   WHEN lang = 'zh' THEN ${SampleOps.threshold(0.5)}
+         |                   ELSE ${SampleOps.threshold(1.0)} END)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "p16_quality_pipeline" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS n_tok,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        | FROM documents),
+        |sc AS (
+        | SELECT doc_id, toks, n_tok, fp,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','nicht','das'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','que','una','por'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN
+        |    ('the','a','and','of','to','in','is'))) AS n_stop
+        | FROM t),
+        |q AS (
+        | SELECT doc_id, fp, n_tok,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred,
+        |  ((CASE WHEN n_tok BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tok
+        |        BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+        |   + CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok) / 3.0
+        |    AS quality
+        | FROM sc),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM q)
+        |SELECT doc_id, lang_pred, n_tok AS n_tokens, quality
+        |FROM k
+        |WHERE doc_id = keeper AND lang_pred = 'en' AND quality >= 0.5
+        |  AND n_tok BETWEEN 20 AND 500
+        |ORDER BY doc_id""".stripMargin,
 
     "p08_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

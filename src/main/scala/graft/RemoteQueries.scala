@@ -149,6 +149,26 @@ object RemoteQueries {
           count(lit(1)).as("n_cust"))
     }),
 
+    // Runtime-filter pushdown (the connector's dynamic partition
+    // pruning): the broadcast build side's join keys are shipped into
+    // the remote WHERE as an IN list at execution time, so the remote
+    // sends only joinable customers — at federation scale the scan
+    // volume drops to the dimension's selectivity. RuntimeFilterSpec
+    // asserts the IN reaches the remote SQL; this gate asserts values.
+    "r08_remote_runtime_filter" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      val dims = remote(s, url, "dbtable" -> "NATION")
+        .filter(col("N_NAME") < lit("NATION_13"))
+      remote(s, url, "dbtable" -> "CUSTOMER")
+        .join(broadcast(dims), col("C_NATIONKEY") === col("N_NATIONKEY"))
+        .groupBy(col("N_NAME"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("C_ACCTBAL").cast(DecimalType(25, 6))).cast(DoubleType)
+            .as("bal"))
+        .select(col("N_NAME").as("n_name"), col("n_cust"), col("bal"))
+        .orderBy(col("n_name"))
+    }),
+
     // Spark-side join of two remote scans, collapsed into ONE remote SQL
     // join by SupportsPushDownJoin (JoinPushdownSpec asserts the plan has
     // no Spark join node); the group-by then aggregates the joined scan.
@@ -193,5 +213,11 @@ object RemoteQueries {
       """SELECT CAST(CAST(sum(c_custkey) AS DOUBLE) / count(c_custkey) AS DOUBLE)
         |  AS avg_key,
         | count(*) AS n_cust
-        |FROM customer""".stripMargin)
+        |FROM customer""".stripMargin,
+    "r08_remote_runtime_filter" ->
+      """SELECT n_name, count(*) AS n_cust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_name < 'NATION_13'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
 }

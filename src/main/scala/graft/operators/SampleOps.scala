@@ -32,15 +32,18 @@ object SampleOps {
   private val AmodP: Long = 2654435761L % P // 654435747
 
   /** Deterministic uniform bucket in [0, P) from a stable numeric id.
-    * Change `salt` to draw an independent sample. */
+    * Change `salt` to draw an independent sample: the salt shifts the
+    * id BEFORE the multiplicative mix, so two salts disagree on
+    * ~2·f·(1−f) of rows — an additive post-mix salt would only move
+    * the threshold boundary and produce nearly the same sample. */
   def hashBucket(id: Column, salt: Long = 0L): Column =
-    pmod(pmod(id.cast("long"), lit(P)) * lit(AmodP) + lit(salt % P), lit(P))
+    pmod((pmod(id.cast("long"), lit(P)) + lit(salt % P)) * lit(AmodP), lit(P))
 
   /** The same bucket arithmetic as ANSI SQL over a column expression —
     * for oracle construction; kept adjacent to [[hashBucket]] so the
     * two can never drift silently. */
   def hashBucketSql(idExpr: String, salt: Long = 0L): String =
-    s"(($idExpr % $P) * $AmodP + ${salt % P}) % $P"
+    s"((($idExpr % $P) + ${salt % P}) * $AmodP) % $P"
 
   /** Integer threshold for `fraction` — computed once, driver-side, so
     * Spark and the oracle compare against the same literal. */

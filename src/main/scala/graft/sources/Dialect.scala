@@ -77,6 +77,12 @@ trait Dialect extends Serializable {
     * `try_count1_query` returns None for MDB). */
   def supportsCountStatistics: Boolean = true
 
+  /** Whether execution-time runtime filters (broadcast-join IN lists)
+    * may be appended to the rewritten SQL. Requires a parser that
+    * accepts parenthesized predicates — `x IN (…)` cannot be rendered
+    * paren-free, so MDB declines. */
+  def supportsRuntimeFilters: Boolean = true
+
   /** System-catalog schema inference for TABLE sources — the
     * per-backend mechanism the reference uses for Postgres
     * (`information_schema.columns` incl. identity / `nextval` default
@@ -478,4 +484,7 @@ object MdbDialect extends Dialect {
   override protected def whereClause(filters: Seq[String]): String =
     if (filters.isEmpty) ""
     else filters.map(stripOuterParens).mkString(" WHERE ", " AND ", "")
+
+  // IN-list runtime filters need parens MDB rejects.
+  override def supportsRuntimeFilters: Boolean = false
 }

@@ -41,6 +41,28 @@ object GraftConnections {
   }
 }
 
+/** Bounded JVM-wide log of the SQL the readers actually executed —
+  * observability for specs (assert a pushdown reached the remote) and
+  * for debugging what a scan shipped to the DB. Executors share the
+  * driver JVM only under local mode; on a cluster each executor keeps
+  * its own recent window, which is exactly what you want when
+  * debugging that executor's scans. */
+object ScanSqlLog {
+  private val max = 64
+  private val q = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+  def record(sql: String): Unit = {
+    q.addLast(sql)
+    while (q.size > max) q.pollFirst()
+  }
+  def recent: Seq[String] = {
+    val it = q.iterator()
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  def clear(): Unit = q.clear()
+}
+
 object Jdbc {
 
   /** java.sql.Types -> RemoteType (SURVEY.md §1.3 mapping, driven by
@@ -262,6 +284,109 @@ object Jdbc {
         val v = rs.getString(i)
         if (v == null) null else UTF8String.fromString(v)
       }
+    }
+  }
+
+  /** Can every field decode straight into a writable column vector?
+    * (Everything scalar can; nested arrays fall back to the row reader.) */
+  def columnarSupported(fields: Seq[RemoteField]): Boolean = {
+    import RemoteType._
+    fields.forall(_.tpe match {
+      case RArray(_) => false
+      case _ => true
+    })
+  }
+
+  /** Vectorized decode: ResultSet column -> WritableColumnVector slot.
+    * The columnar analogue of [[catalystGetter]] — same value
+    * conventions (µs epochs, HALF_UP decimal rescale, TIME→µs-long,
+    * p>38→string), but primitives go straight into the vector with no
+    * boxing. The reference's decode layer is columnar end-to-end
+    * (row→Arrow builders, `connection/postgres.rs:680-1268`); this is
+    * that idea expressed against Spark's ColumnarBatch. */
+  def columnarSetter(f: RemoteField)
+      : (ResultSet, Int, org.apache.spark.sql.execution.vectorized.WritableColumnVector, Int) => Unit = {
+    import RemoteType._
+    import java.nio.charset.StandardCharsets.UTF_8
+    def putStr(vec: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+        row: Int, s: String): Unit = {
+      val b = s.getBytes(UTF_8)
+      vec.putByteArray(row, b, 0, b.length)
+    }
+    f.tpe match {
+      case RBool => (rs, i, vec, row) => {
+        val v = rs.getBoolean(i)
+        if (rs.wasNull()) vec.putNull(row) else vec.putBoolean(row, v)
+      }
+      case RInt1 => (rs, i, vec, row) => {
+        val v = rs.getByte(i)
+        if (rs.wasNull()) vec.putNull(row) else vec.putByte(row, v)
+      }
+      case RInt2 | RUInt1 => (rs, i, vec, row) => {
+        val v = rs.getShort(i)
+        if (rs.wasNull()) vec.putNull(row) else vec.putShort(row, v)
+      }
+      case RInt4 | RUInt2 => (rs, i, vec, row) => {
+        val v = rs.getInt(i)
+        if (rs.wasNull()) vec.putNull(row) else vec.putInt(row, v)
+      }
+      case RInt8 | RUInt4 => (rs, i, vec, row) => {
+        val v = rs.getLong(i)
+        if (rs.wasNull()) vec.putNull(row) else vec.putLong(row, v)
+      }
+      case RUInt8 => (rs, i, vec, row) => {
+        val v = rs.getBigDecimal(i)
+        if (v == null) vec.putNull(row)
+        else vec.putDecimal(row, Decimal(BigDecimal(v), 20, 0), 20)
+      }
+      case RFloat4 => (rs, i, vec, row) => {
+        val v = rs.getFloat(i)
+        if (rs.wasNull()) vec.putNull(row) else vec.putFloat(row, v)
+      }
+      case RFloat8 => (rs, i, vec, row) => {
+        val v = rs.getDouble(i)
+        if (rs.wasNull()) vec.putNull(row) else vec.putDouble(row, v)
+      }
+      case RDecimal(p, s) if p <= DecimalType.MAX_PRECISION => (rs, i, vec, row) => {
+        val v = rs.getBigDecimal(i)
+        if (v == null) vec.putNull(row)
+        else vec.putDecimal(row,
+          Decimal(BigDecimal(v.setScale(s, java.math.RoundingMode.HALF_UP)), p, s), p)
+      }
+      case RDecimal(_, _) => (rs, i, vec, row) => { // p > 38: stringified
+        val v = rs.getBigDecimal(i)
+        if (v == null) vec.putNull(row) else putStr(vec, row, v.toPlainString)
+      }
+      case RChar(_) | RVarchar(_) | RText | RJson | RXml => (rs, i, vec, row) => {
+        val v = rs.getString(i)
+        if (v == null) vec.putNull(row) else putStr(vec, row, v)
+      }
+      case RBinary | RFixedBinary(_) | RUuid | RGeometry => (rs, i, vec, row) => {
+        val v = rs.getBytes(i)
+        if (v == null) vec.putNull(row) else vec.putByteArray(row, v, 0, v.length)
+      }
+      case RDate => (rs, i, vec, row) => {
+        val v = rs.getDate(i)
+        if (v == null) vec.putNull(row)
+        else vec.putInt(row, DateTimeUtils.fromJavaDate(v))
+      }
+      case RTime => (rs, i, vec, row) => {
+        val v = rs.getTime(i)
+        if (v == null) vec.putNull(row)
+        else vec.putLong(row, v.toLocalTime.toNanoOfDay / 1000L)
+      }
+      case RTimestampNtz => (rs, i, vec, row) => {
+        val v = rs.getTimestamp(i)
+        if (v == null) vec.putNull(row)
+        else vec.putLong(row, DateTimeUtils.localDateTimeToMicros(v.toLocalDateTime))
+      }
+      case RTimestampTz => (rs, i, vec, row) => {
+        val v = rs.getTimestamp(i)
+        if (v == null) vec.putNull(row)
+        else vec.putLong(row, DateTimeUtils.fromJavaTimestamp(v))
+      }
+      case other => throw new IllegalStateException(
+        s"columnar decode for $other (guard with columnarSupported)")
     }
   }
 

@@ -44,7 +44,24 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
 
   def fetchSize: Int = map.getOrElse("fetchsize", "2048").toInt
   def batchSize: Int = map.getOrElse("batchsize", "1000").toInt
+  /** Columnar (vectorized) read path: decode the JDBC cursor straight
+    * into ColumnarBatch vectors — the reader-side analogue of the
+    * reference's row→Arrow decode (its whole decode layer is columnar).
+    * On by default wherever the projected types support it. */
+  def columnarRead: Boolean = map.getOrElse("columnarread", "true").toBoolean
+  /** Rows per ColumnarBatch on the columnar read path. */
+  def columnarBatchSize: Int = map.getOrElse("columnarbatchsize", "4096").toInt
   def literalInsert: Boolean = map.getOrElse("literalinsert", "false").toBoolean
+  /** Execution-time runtime-filter (broadcast-join IN list) pushdown
+    * into the remote WHERE clause — the connector-side analogue of
+    * dynamic partition pruning. On by default; purely an optimization
+    * (Spark re-evaluates the join either way). */
+  def runtimeFilterPushdown: Boolean =
+    map.getOrElse("runtimefilterpushdown", "true").toBoolean
+  /** Skip runtime IN lists longer than this: a multi-megabyte IN (…)
+    * clause costs the remote parser more than the scan saves. */
+  def runtimeFilterMaxInList: Int =
+    map.getOrElse("runtimefiltermaxinlist", "1000").toInt
   def enableStatistics: Boolean =
     map.getOrElse("enablestatistics", "false").toBoolean
 

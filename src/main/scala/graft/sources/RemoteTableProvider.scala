@@ -376,11 +376,15 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
     new RemoteScan(table, pushedSql, pushed, required, limit, sortSql, offset, agg)
 }
 
-/** Input split: optional extra range predicate for parallel reads.
+/** Input split: optional extra range predicate for parallel reads,
+  * plus any execution-time runtime filters (broadcast-join IN lists).
   * The reference always scans with one partition
   * (`Partitioning::UnknownPartitioning(1)`, `scan.rs:62`); we keep that
   * default but admit JDBC-style range splits (SURVEY §7.4). */
-final case class RemotePartition(index: Int, rangePredicate: Option[String])
+final case class RemotePartition(
+    index: Int,
+    rangePredicate: Option[String],
+    runtimeSql: Seq[String] = Nil)
   extends InputPartition
 
 class RemoteScan(
@@ -392,9 +396,56 @@ class RemoteScan(
     sortSql: Seq[String],
     offset: Option[Int],
     agg: Option[(Seq[String], StructType)])
-  extends Scan with Batch with SupportsReportStatistics with Logging {
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsRuntimeV2Filtering with Logging {
 
   private val opts = table.opts
+
+  // ---- runtime filtering (SupportsRuntimeV2Filtering) -----------------
+  // The connector-side analogue of dynamic partition pruning: when this
+  // scan is the probe side of a broadcast join, Spark hands the build
+  // side's join-key values here at execution time as IN predicates;
+  // rendering them into the remote WHERE clause means the remote DB
+  // ships only joinable rows — at 100 TB federation scale, the scan
+  // volume drops to the dimension's selectivity. Purely an
+  // optimization: Spark still evaluates the join, so declining (or a
+  // failed render) never changes results.
+  @volatile private var runtimeSql: Seq[String] = Nil
+
+  private def runtimeFilterable: Boolean =
+    opts.runtimeFilterPushdown && !table.isCommand && agg.isEmpty &&
+      opts.transformClass.isEmpty && opts.dialect.supportsRuntimeFilters &&
+      opts.dialect.isRewritable(opts.source)
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (runtimeFilterable) {
+      required.fieldNames.map(
+        org.apache.spark.sql.connector.expressions.Expressions.column)
+    } else Array.empty
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val builder = new V2PredicateSQL(opts.dialect)
+    runtimeSql = predicates.toSeq.flatMap { p =>
+      // a multi-megabyte IN (…) costs the remote parser more than the
+      // scan saves — cap the list, skip (never truncate) beyond it
+      if (p.name() == "IN" &&
+          p.children().length - 1 > opts.runtimeFilterMaxInList) {
+        logInfo(s"runtime filter skipped (IN list > " +
+          s"${opts.runtimeFilterMaxInList}): ${p.name()}")
+        None
+      } else {
+        try Some(builder.build(p))
+        catch {
+          case e: Exception =>
+            logInfo(s"runtime filter not renderable for " +
+              s"${opts.dialect.getClass.getSimpleName}: $p ($e)")
+            None
+        }
+      }
+    }
+  }
 
   override def readSchema(): StructType = agg.map(_._2).getOrElse(required)
 
@@ -424,9 +475,11 @@ class RemoteScan(
           // nullable partition column never silently loses rows.
           val pred = (lower ++ upper).reduceOption((a, b) => s"$a AND $b")
             .map(p => if (i == 0) s"($p OR $q IS NULL)" else p)
-          RemotePartition(i, pred): InputPartition
+          RemotePartition(i, pred, runtimeSql): InputPartition
         }.toArray
-      case _ => Array(RemotePartition(0, None))
+      // BatchScanExec re-plans partitions after filter(), so runtime
+      // filters ride the partitions into every reader
+      case _ => Array(RemotePartition(0, None, runtimeSql))
     }
   }
 
@@ -474,7 +527,7 @@ class RemoteReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[RemotePartition]
-    val filters = pushedSql ++ part.rangePredicate
+    val filters = pushedSql ++ part.rangePredicate ++ part.runtimeSql
     if (isCommand) new ListTablesReader(opts)
     else agg match {
       case Some((exprs, schema)) =>
@@ -486,6 +539,82 @@ class RemoteReaderFactory(
         new TransformRowReader(opts, remoteSchema, transformedSchema,
           required, filters, limit, sortSql, offset)
     }
+  }
+
+  /** Vectorized read path: only the plain-scan shape (no transform, no
+    * agg, no command) with vector-decodable projected types. Aggregate
+    * pushdown returns one row — batching it buys nothing — and the
+    * Transform contract hands user code a row iterator. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    opts.columnarRead && !isCommand && agg.isEmpty &&
+      opts.transformClass.isEmpty &&
+      Jdbc.columnarSupported(
+        required.fields.toSeq.map(f => remoteSchema(f.name)))
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val part = partition.asInstanceOf[RemotePartition]
+    new ColumnarRemoteReader(opts, remoteSchema, required,
+      pushedSql ++ part.rangePredicate ++ part.runtimeSql,
+      limit, sortSql, offset)
+  }
+}
+
+/** Columnar no-transform scan: decode the JDBC cursor straight into
+  * `OnHeapColumnVector`s, `columnarbatchsize` rows per batch. Spark
+  * plans a vectorized `ColumnarToRow` above this scan (the same
+  * machinery the parquet reader uses), so downstream whole-stage
+  * codegen consumes the batch without per-row iterator overhead — the
+  * Spark-side equivalent of the reference decoding rows into Arrow
+  * `RecordBatch`es (`connection/mod.rs` decode layer). */
+class ColumnarRemoteReader(
+    opts: RemoteOptions,
+    remoteSchema: RemoteSchema,
+    required: StructType,
+    filters: Seq[String],
+    limit: Option[Int],
+    sortSql: Seq[String] = Nil,
+    offset: Option[Int] = None)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val requiredFields: Seq[RemoteField] =
+    required.fields.toSeq.map(f => remoteSchema(f.name))
+  private val conn = GraftConnections.open(opts)
+  private val stmt = conn.createStatement()
+  stmt.setFetchSize(opts.fetchSize)
+  private val sql = opts.dialect.rewriteQuery(opts.source, filters, limit,
+    Some(requiredFields.map(_.name)), sortSql, offset)
+  ScanSqlLog.record(sql)
+  private val rs = stmt.executeQuery(sql)
+  private val setters = requiredFields.map(Jdbc.columnarSetter).toArray
+  private val width = requiredFields.length
+  private val capacity = math.max(1, opts.columnarBatchSize)
+  private val vectors = org.apache.spark.sql.execution.vectorized
+    .OnHeapColumnVector.allocateColumns(capacity, required)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]])
+  private var exhausted = false
+
+  override def next(): Boolean = {
+    if (exhausted) return false
+    var i = 0
+    while (i < width) { vectors(i).reset(); i += 1 }
+    var n = 0
+    while (n < capacity && rs.next()) {
+      var c = 0
+      while (c < width) { setters(c)(rs, c + 1, vectors(c), n); c += 1 }
+      n += 1
+    }
+    if (n < capacity) exhausted = true
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+
+  override def close(): Unit = {
+    try { batch.close(); rs.close(); stmt.close() }
+    finally GraftConnections.close(conn)
   }
 }
 
@@ -509,6 +638,7 @@ class FastRowReader(
   stmt.setFetchSize(opts.fetchSize)
   private val sql = opts.dialect.rewriteQuery(opts.source, filters, limit,
     Some(requiredFields.map(_.name)), sortSql, offset)
+  ScanSqlLog.record(sql)
   private val rs = stmt.executeQuery(sql)
   private val getters = requiredFields.map(Jdbc.catalystGetter)
   private val width = requiredFields.length

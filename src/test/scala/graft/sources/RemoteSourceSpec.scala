@@ -287,6 +287,38 @@ class RemoteSourceSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("columnar read path is planned (vectorized ColumnarToRow over the scan)") {
+    val plan = remote("dbtable" -> "ALL_TYPES")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"columnar scan not planned:\n$plan")
+    // and it can be switched off
+    val rowPlan = remote("dbtable" -> "ALL_TYPES", "columnarread" -> "false")
+      .queryExecution.executedPlan.toString
+    assert(!rowPlan.contains("ColumnarToRow"), s"row path expected:\n$rowPlan")
+  }
+
+  test("columnar and row paths return identical rows (incl. all-NULL row)") {
+    val colRows = remote("dbtable" -> "ALL_TYPES", "columnarbatchsize" -> "1")
+      .orderBy(col("C_INT").asc_nulls_last).collect()
+    val rowRows = remote("dbtable" -> "ALL_TYPES", "columnarread" -> "false")
+      .orderBy(col("C_INT").asc_nulls_last).collect()
+    assert(colRows.length == rowRows.length)
+    colRows.zip(rowRows).foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
+  test("columnar path batches across the batch boundary without row loss") {
+    // NATION through batch size 3 => several batches, last partial; other
+    // suites append to the shared table, so compare against the row path
+    // rather than a fixed count
+    val colAgg = remote("dbtable" -> "NATION", "columnarbatchsize" -> "3")
+      .agg(count(lit(1)), sum(col("N_NATIONKEY"))).collect().head
+    val rowAgg = remote("dbtable" -> "NATION", "columnarread" -> "false")
+      .agg(count(lit(1)), sum(col("N_NATIONKEY"))).collect().head
+    assert(colAgg == rowAgg, s"$colAgg != $rowAgg")
+    assert(colAgg.getLong(0) >= 10)
+  }
+
   test("no connection leaks across scans (reference pool lifecycle test)") {
     remote("dbtable" -> "NATION").count()
     remote("dbtable" -> "NATION").filter(col("N_REGIONKEY") === 0).collect()
