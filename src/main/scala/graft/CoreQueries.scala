@@ -386,6 +386,23 @@ object CoreQueries {
             .as("within_1pct"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- co-located bucketed join ---------------------------------------
+    // both sides pre-bucketed on the join key (BucketedTables.ensure is
+    // fixture setup, like the remote Derby fixture) => SortMergeJoin
+    // with NO Exchange and NO Sort under it — the join itself is
+    // shuffle-free; the only shuffle in the plan is the groupBy after.
+    // The merge hint keeps the demo honest at tiny SF (broadcast would
+    // hide the co-location); values must match the plain-parquet oracle.
+    "q36_bucketed_join" -> ((s, dir) => {
+      BucketedTables.ensure(s, dir)
+      val o = s.table(BucketedTables.ordersTable(dir))
+      val l = s.table(BucketedTables.lineitemTable(dir))
+      o.join(l.hint("merge"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -552,6 +569,12 @@ object CoreQueries {
         | quantile_cont(l_extendedprice, 0.5) AS exact_med,
         | TRUE AS within_1pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q36_bucketed_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_lines,
+         | ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q12_semijoin" ->
       """SELECT c_custkey, c_name FROM customer

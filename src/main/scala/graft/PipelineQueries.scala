@@ -117,6 +117,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Blocked fuzzy matching: edit-distance near-dup pairs without the
+    // O(n²) cross join — candidates only form inside a cheap blocking
+    // key (shared 12-char prefix), then the expensive levenshtein runs
+    // on the surviving pairs' 80-char prefixes. The classic
+    // blocking-then-verify fuzzy-join shape: at 100 TB the block join
+    // is an equi-join (one shuffle on the block key) and the DP-cost
+    // verification touches only candidate pairs. English docs only so
+    // Spark and the oracle count the same (single-byte) characters.
+    "p17_fuzzy_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("pfx"),
+          substring(col("text"), 1, 12).as("blk"))
+      val a = d.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a"),
+        col("blk"))
+      val b = d.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b"),
+        col("blk"))
+      a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")))
+        .filter(col("dist") <= 8)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- similarity search --------------------------------------------
     "p08_knn" -> ((s, dir) => {
       val all = embs(s, dir).select(col("vec_id").as("id"),
@@ -148,8 +171,13 @@ object PipelineQueries {
     // decimal centroid means, fixed seeds — measured 46/50 at sf0.01,
     // 45/50 at sf0.001 against the in-query brute-force baseline).
     "p11_ivf_knn" -> ((s, dir) => {
+      // k-means training plus the IVF and brute-force recall passes scan
+      // the corpus ~6 times; persist it first (Spark ML's KMeans warns
+      // when its training input is uncached for the same reason). The
+      // cache is scoped to this query: resetSessionConfs clears it.
       val all = embs(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .persist()
       val q = all.filter(col("id") < 10)
       val ivf = VectorOps.ivfTopK(q, all, k = 5, nlist = 8, nprobe = 3)
         .select(col("query_id"), col("neighbor_id"))
@@ -384,6 +412,15 @@ object PipelineQueries {
         |WHERE doc_id = keeper AND lang_pred = 'en' AND quality >= 0.5
         |  AND n_tok BETWEEN 20 AND 500
         |ORDER BY doc_id""".stripMargin,
+
+    "p17_fuzzy_pairs" ->
+      """WITH d AS (SELECT doc_id, substring(text, 1, 80) AS pfx,
+        |  substring(text, 1, 12) AS blk FROM documents WHERE lang = 'en')
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | levenshtein(a.pfx, b.pfx) AS dist
+        |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "p08_knn" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -25,6 +25,10 @@ object SparkEntry {
   def resetSessionConfs(spark: SparkSession): Unit = {
     spark.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
     spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+    // queries that persist an iteration-reused input (p11 caches its
+    // k-means corpus) must not leak that cache into other queries'
+    // timings or scans
+    spark.catalog.clearCache()
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

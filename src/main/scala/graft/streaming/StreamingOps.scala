@@ -162,4 +162,34 @@ object StreamingOps {
       out.iterator
     }
   }
+
+  /** Streaming sink into a remote table: each micro-batch appends
+    * through the `graft-remote` connector (the same batched
+    * PreparedStatement write path the batch sink uses), via
+    * `foreachBatch` — the standard idiom for JDBC-family sinks, since a
+    * remote INSERT cannot participate in Spark's file-sink commit
+    * protocol.
+    *
+    * Delivery is AT-LEAST-ONCE: a micro-batch retried after a mid-batch
+    * failure re-appends its rows (the reference's writer has the same
+    * contract — append-only, no upsert). A pipeline that needs
+    * exactly-once pairs this with watermarked dedup upstream
+    * ([[dedupStream]]) and a unique key downstream, or dedups on read.
+    * State (which batch ids are committed) lives in the checkpoint dir.
+    */
+  def writeToRemote(
+      stream: DataFrame, url: String, table: String,
+      checkpointDir: String,
+      extraOptions: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.format("graft-remote")
+          .option("url", url).option("dbtable", table)
+          .options(extraOptions)
+          .mode("append").save()
+      }
+      .start()
 }

@@ -151,4 +151,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(q.lastProgress != null)
     } finally q.stop()
   }
+
+  test("streaming sink appends micro-batches into a remote table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.sources.DerbyFixture.init
+    val url = graft.sources.DerbyFixture.url
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      """CREATE TABLE stream_sink (
+        | event_id BIGINT NOT NULL,
+        | user_id BIGINT NOT NULL,
+        | value DOUBLE NOT NULL)""".stripMargin)
+    finally c.close()
+
+    val mem = MemoryStream[Event]
+    val ckpt = s"/tmp/graft_stream_ckpt_${System.nanoTime()}"
+    val q = StreamingOps.writeToRemote(
+      mem.toDF().select(col("event_id"), col("user_id"), col("value")),
+      url, "STREAM_SINK", ckpt)
+    try {
+      mem.addData(batch1.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(batch1.drop(3): _*)
+      q.processAllAvailable()
+      val back = spark.read.format("graft-remote")
+        .option("url", url).option("dbtable", "STREAM_SINK").load()
+        .orderBy(col("EVENT_ID"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(back.toSeq ==
+        batch1.map(e => (e.event_id, e.user_id, e.value)).sortBy(_._1))
+    } finally q.stop()
+  }
 }
