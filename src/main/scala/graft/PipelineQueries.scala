@@ -9,8 +9,10 @@ import graft.multimodal.MultimodalOps
 
 /** LLM-training-data pipeline operators over the `documents` and
   * `embeddings` fixtures, wired into the driver's correctness gate.
-  * SQL-expressible operators carry a DuckDB oracle; purely hash-family
-  * dependent ones (SimHash, LSH bucketing) are rows-only.
+  * Every gate carries a full DuckDB oracle: hash-dependent operators
+  * either use engine-independent hash constructions (p07 poly simhash,
+  * p12 rolling fingerprint) or are parameterized for full recall so
+  * they share the exact brute-force oracle (p05, p10).
   */
 object PipelineQueries {
 
@@ -56,8 +58,14 @@ object PipelineQueries {
         docs(s, dir).filter(col("doc_id") < 2000), "doc_id", "text", tau = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SimHash over the POLY hash family (dual 31-bit polynomial token
+    // hashes — engine-independent by construction), so unlike a
+    // xxhash-backed simhash the whole pair set is reproduced exactly by
+    // the DuckDB oracle: banding recall, verification, and signature
+    // values all carry the hard correctness signal.
     "p07_simhash" -> ((s, dir) =>
-      DedupOps.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+      DedupOps.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 3,
+          poly = true)
         .orderBy(col("id_a"), col("id_b"))),
 
     // BPE-style regex token counting (the budgeting granularity of an
@@ -233,8 +241,37 @@ object PipelineQueries {
         |  >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
 
-  /** DuckDB equivalents. p07 is hash-family dependent → rows-only. */
+  /** DuckDB equivalents — every pipeline gate carries one. */
   val oracle: Map[String, String] = Map(
+    // exact replication of SimHashPoly: dual poly token hashes packed
+    // into 62 bits, per-bit ±1 majority vote, hamming via bit_count(xor)
+    "p07_simhash" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (
+        | SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647)
+        |  | (list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 37 + x) % 2147483629) << 31) AS h
+        | FROM tok),
+        |bits AS (
+        | SELECT doc_id, r.b AS b,
+        |  sum(CASE WHEN ((h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+        | FROM th, range(0, 62) r(b)
+        | GROUP BY doc_id, r.b),
+        |sig AS (
+        | SELECT doc_id,
+        |  CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |    AS BIGINT) AS s
+        | FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "p01_text_stats" ->
       """SELECT doc_id,
         | len(string_split(text, ' ')) AS n_tokens,

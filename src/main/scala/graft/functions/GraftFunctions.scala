@@ -20,6 +20,7 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> { exprs => SimHash64(exprs.head) },
+    "simhash_poly" -> { exprs => SimHashPoly(exprs.head) },
     "minhash_sig" -> { exprs =>
       MinHashSig(exprs.head, intArg(exprs(1), "minhash_sig k")) },
     "minhash_bands" -> { exprs =>
@@ -30,7 +31,9 @@ object GraftFunctions {
       LshBuckets(exprs.head, intArg(exprs(1), "nPlanes"),
         intArg(exprs(2), "nTables")) },
     "shingle_set" -> { exprs =>
-      ShingleSet(exprs.head, intArg(exprs(1), "n")) })
+      ShingleSet(exprs.head, intArg(exprs(1), "n")) },
+    "max_ngram_freq" -> { exprs =>
+      MaxNgramFreq(exprs.head, intArg(exprs(1), "n")) })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -122,6 +122,69 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** 62-bit SimHash over DUAL polynomial token hashes: each token is
+  * hashed twice with the [[PolyFingerprint]] construction (base 31 mod
+  * 2³¹-1 and base 37 mod 2147483629) and the two 31-bit results are
+  * packed into one 62-bit value; the signature is the sign of per-bit
+  * ±1 sums across the token MULTISET. Engine-independent by
+  * construction — no hash-family secret — so a SQL oracle reproduces it
+  * bit-for-bit (the hash-family-free variant of [[SimHash64]], same
+  * trade PolyFingerprint makes vs xxhash: slightly weaker mixing for
+  * exact cross-engine reproducibility). Bits 62-63 are always 0, which
+  * the 4×16-bit chunk banding tolerates (those bits simply never
+  * differ). */
+case class SimHashPoly(child: Expression)
+  extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHashPoly", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  private def polyHash(s: String, base: Long, mod: Long): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * base + cp) % mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](62)
+    val m = arr.numElements()
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i).toString
+      val h = polyHash(s, 31L, 2147483647L) |
+        (polyHash(s, 37L, 2147483629L) << 31)
+      var b = 0
+      while (b < 62) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 62) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashPoly = copy(child = c)
+}
+
 /** Dot product of two numeric arrays, each element widened to double
   * BEFORE multiplying, accumulated left-to-right — bit-identical to
   * the HOF formulation (and to a double-precision reference engine). */
@@ -276,6 +339,50 @@ case class ShingleSet(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+}
+
+/** Highest occurrence count of any word n-gram in a token array — the
+  * numerator of the Gopher-style "top n-gram fraction" repetition
+  * signal. One loop + hash map per ROW (the groupBy-count-max spelling
+  * costs two shuffles for a per-document statistic); returns 0 when the
+  * document has fewer than n tokens. */
+case class MaxNgramFreq(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("maxNgramFreq", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Integer) $ref.nullSafeEval($c)).intValue();")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return java.lang.Integer.valueOf(0)
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      Integer]()
+    var best = 0
+    var i = 0
+    while (i <= m - n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var k = 0
+      while (k < n) { parts(k) = arr.getUTF8String(i + k); k += 1 }
+      val g = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+      val c = counts.merge(g, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MaxNgramFreq = copy(child = c)
 }
 
 /** Fused MinHash + LSH banding: computes the k = bands*rows signature
@@ -513,12 +620,16 @@ case class NearestCentroids(child: Expression,
 object native {
   def shingle_set(tokens: Column, n: Int): Column =
     Bridge.column(ShingleSet(Bridge.expression(tokens), n))
+  def max_ngram_freq(tokens: Column, n: Int): Column =
+    Bridge.column(MaxNgramFreq(Bridge.expression(tokens), n))
   def minhash_bands(shingles: Column, bands: Int, rows: Int): Column =
     Bridge.column(MinHashBands(Bridge.expression(shingles), bands, rows))
   def minhash_sig(c: Column, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), k))
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
+  def simhash_poly(c: Column): Column =
+    Bridge.column(SimHashPoly(Bridge.expression(c)))
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(
       Bridge.expression(a), Bridge.expression(b)))

@@ -102,17 +102,31 @@ object DedupOps {
   def simhash(tokens: Column): Column =
     graft.functions.native.simhash64(tokens)
 
+  /** Engine-independent 62-bit SimHash (dual polynomial token hashes —
+    * see [[graft.functions.SimHashPoly]]); unlike [[simhash]] a SQL
+    * oracle reproduces it exactly, so gates on it carry the full hard
+    * correctness signal. */
+  def simhashPoly(tokens: Column): Column =
+    graft.functions.native.simhash_poly(tokens)
+
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, using
     * 4-chunk banding (pigeonhole: ≤3 differing bits ⇒ at least one
     * 16-bit chunk identical). Candidate buckets shuffle on the chunk
-    * value; verification is bit_count(xor). */
+    * value; verification is bit_count(xor).
+    *
+    * @param poly use the cross-engine-reproducible polynomial hash
+    *             family ([[simhashPoly]]) instead of xxhash64 — same
+    *             banding, same verification, oracle-able output
+    */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucket: Int = 1000,
-      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      skewObs: Option[org.apache.spark.sql.Observation] = None,
+      poly: Boolean = false): DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for maxDist <= 3")
+    val hashFn = if (poly) simhashPoly _ else simhash _
     val sigs = df.select(col(idCol).as("id"),
-      simhash(split(col(textCol), " ")).as("sig"))
+      hashFn(split(col(textCol), " ")).as("sig"))
     val banded = sigs.select(col("id"),
       explode(expr(
         """transform(sequence(0, 3), c ->

@@ -38,6 +38,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.size < 500, s"implausibly many pairs: ${pairs.size}")
   }
 
+  test("poly simhash matches an independent reimplementation bit-for-bit") {
+    // independent reference: same construction, written separately
+    def poly(s: String, base: Long, mod: Long): Long =
+      s.foldLeft(0L)((h, c) => (h * base + c.toLong) % mod)
+    def ref(text: String): Long = {
+      val counts = new Array[Int](62)
+      text.split(" ", -1).foreach { t =>
+        val h = poly(t, 31, 2147483647L) | (poly(t, 37, 2147483629L) << 31)
+        (0 until 62).foreach(b =>
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1)
+      }
+      (0 until 62).foldLeft(0L)((s, b) => if (counts(b) > 0) s | (1L << b) else s)
+    }
+    val samples = Seq("the quick brown fox", "a", "a b a b a", "x  y")
+    import spark.implicits._
+    val got = samples.toDF("t")
+      .select(DedupOps.simhashPoly(split(col("t"), " ")))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == samples.map(ref),
+      "SimHashPoly disagrees with the reference construction")
+  }
+
+  test("poly simhash banding finds exactly the brute-force hamming pairs") {
+    val docs = Tables.table(spark, sf, "documents")
+    val sigs = docs.select(col("doc_id"),
+      DedupOps.simhashPoly(split(col("text"), " ")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val banded = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 3,
+        poly = true)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain hamming<=3 pairs")
+    assert(banded == brute,
+      s"banding missed ${brute.diff(banded)} / extra ${banded.diff(brute)}")
+  }
+
   test("embedding LSH buckets preserve high-cosine pairs (recall check)") {
     val vecs = Tables.table(spark, sf, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
