@@ -169,6 +169,24 @@ object RemoteQueries {
         .orderBy(col("n_name"))
     }),
 
+    // Complete GROUP BY aggregate pushdown: the remote engine groups and
+    // aggregates, Spark plans NO aggregate of its own — one result row
+    // per group crosses the wire (federation shape: a 100 TB remote fact
+    // table returns 25 rows). RemoteSourceSpec asserts the plan carries
+    // no Spark Aggregate node and the executed SQL contains GROUP BY.
+    "r09_remote_groupby" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "CUSTOMER")
+        .groupBy(col("C_NATIONKEY"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("C_CUSTKEY")).as("sum_key"),
+          min(col("C_CUSTKEY")).as("min_key"),
+          max(col("C_ACCTBAL")).as("max_bal"))
+        .select(col("C_NATIONKEY").as("c_nationkey"), col("n_cust"),
+          col("sum_key"), col("min_key"), col("max_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Spark-side join of two remote scans, collapsed into ONE remote SQL
     // join by SupportsPushDownJoin (JoinPushdownSpec asserts the plan has
     // no Spark join node); the group-by then aggregates the joined scan.
@@ -214,6 +232,11 @@ object RemoteQueries {
         |  AS avg_key,
         | count(*) AS n_cust
         |FROM customer""".stripMargin,
+    "r09_remote_groupby" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        | CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        | min(c_custkey) AS min_key, max(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "r08_remote_runtime_filter" ->
       """SELECT n_name, count(*) AS n_cust,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal

@@ -105,9 +105,10 @@ class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType],
   *   - limit pushdown (reference `scan.rs:154-177`);
   *   - column pruning rewrites the remote SELECT list (strictly better
   *     than the reference's decode-side pruning, SURVEY §2.1 O2);
-  *   - COUNT(*)/MIN/MAX/SUM/COUNT(col) complete aggregate pushdown —
-  *     the idiomatic Spark form of the reference's COUNT-statistics
-  *     folding (SURVEY §2.1 O5).
+  *   - COUNT(*)/MIN/MAX/SUM/AVG/COUNT(col) complete aggregate pushdown,
+  *     with or without GROUP BY columns — the idiomatic Spark form of
+  *     the reference's COUNT-statistics folding (SURVEY §2.1 O5),
+  *     extended so a federated `GROUP BY` ships only group rows.
   */
 class RemoteScanBuilder(private var table: RemoteTableImpl)
   extends ScanBuilder
@@ -131,7 +132,7 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
   private var limit: Option[Int] = None
   private var sortSql: Seq[String] = Nil
   private var offset: Option[Int] = None
-  private var agg: Option[(Seq[String], StructType)] = None
+  private var agg: Option[PushedAgg] = None
 
   /** transformed name -> raw source column (identity without transform). */
   private def renameForPushdown(name: String): Option[String] = {
@@ -159,7 +160,10 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
     required = requiredSchema
 
   override def pushLimit(n: Int): Boolean = {
-    if (rewritable) { limit = Some(n); true } else false
+    // never on top of a pushed aggregate: the agg reader renders its own
+    // SQL and a silently-ignored "pushed" limit/sort would be a lie to
+    // Catalyst (harmless for 1-row global aggs, wrong for GROUP BY rows)
+    if (rewritable && agg.isEmpty) { limit = Some(n); true } else false
   }
 
   /** ORDER BY + LIMIT pushdown (top-k): complete on single-partition
@@ -168,7 +172,7 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
-    if (!rewritable) return false
+    if (!rewritable || agg.isDefined) return false
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     val compiled = orders.toSeq.map { so =>
       so.expression() match {
@@ -188,7 +192,8 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
   /** OFFSET pushdown — single partition only (a per-partition offset
     * would drop the wrong rows) and only for dialects that render it. */
   override def pushOffset(n: Int): Boolean = {
-    if (rewritable && dialect.supportsOffset && opts.numPartitions == 1) {
+    if (rewritable && agg.isEmpty && dialect.supportsOffset &&
+        opts.numPartitions == 1) {
       offset = Some(n); true
     } else false
   }
@@ -257,20 +262,44 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
     case _ => None
   }
 
+  /** A GROUP BY column is pushable when it resolves to a remote column
+    * whose Spark type the agg reader can decode scalar-wise. */
+  private def compileGroupCol(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[(String, StructField)] =
+    aggColumn(e).flatMap { n =>
+      val f = table.remoteSchema(n)
+      f.tpe.toSpark match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+             FloatType | StringType | DateType | TimestampNTZType |
+             BooleanType | _: DecimalType =>
+          Some((dialect.quote(n), StructField(n, f.tpe.toSpark, f.nullable)))
+        case _ => None // arrays/binary/etc: grouping stays Spark-side
+      }
+    }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     // single-partition scans only: complete pushdown means Spark takes
-    // our rows as the final aggregate result
+    // our rows as the final aggregate result (with GROUP BY, one remote
+    // result row per group — the remote engine's grouping IS the final
+    // grouping, which is exactly what a federated aggregate wants: only
+    // group rows cross the wire, never input rows)
     rewritable && !hasTransform && opts.numPartitions == 1 &&
-      aggregation.groupByExpressions.isEmpty &&
+      aggregation.groupByExpressions.forall(compileGroupCol(_).isDefined) &&
       aggregation.aggregateExpressions.forall(compileAgg(_).isDefined)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!supportCompletePushDown(aggregation)) return false
+    val groups = aggregation.groupByExpressions.toSeq.map(compileGroupCol(_).get)
     val compiled = aggregation.aggregateExpressions.toSeq.map(compileAgg(_).get)
-    val schema = StructType(compiled.zipWithIndex.map { case ((_, dt), i) =>
-      StructField(s"agg_$i", dt, nullable = true)
-    })
-    agg = Some((compiled.map(_._1), schema))
+    // scan output = grouping columns then aggregates, positionally —
+    // the DSv2 complete-pushdown contract
+    val schema = StructType(groups.map(_._2) ++
+      compiled.zipWithIndex.map { case ((_, dt), i) =>
+        StructField(s"agg_$i", dt, nullable = true)
+      })
+    agg = Some(PushedAgg(groups.map(_._1) ++ compiled.map(_._1),
+      groups.map(_._1), schema))
     true
   }
 
@@ -376,6 +405,14 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
     new RemoteScan(table, pushedSql, pushed, required, limit, sortSql, offset, agg)
 }
 
+/** A pushed-down (complete) aggregate: the rendered SELECT list
+  * (grouping columns first, then aggregates), the GROUP BY column list,
+  * and the Spark schema of the result rows. */
+final case class PushedAgg(
+    select: Seq[String],
+    groupBy: Seq[String],
+    schema: StructType)
+
 /** Input split: optional extra range predicate for parallel reads,
   * plus any execution-time runtime filters (broadcast-join IN lists).
   * The reference always scans with one partition
@@ -395,7 +432,7 @@ class RemoteScan(
     limit: Option[Int],
     sortSql: Seq[String],
     offset: Option[Int],
-    agg: Option[(Seq[String], StructType)])
+    agg: Option[PushedAgg])
   extends Scan with Batch with SupportsReportStatistics
   with SupportsRuntimeV2Filtering with Logging {
 
@@ -447,7 +484,7 @@ class RemoteScan(
     }
   }
 
-  override def readSchema(): StructType = agg.map(_._2).getOrElse(required)
+  override def readSchema(): StructType = agg.map(_.schema).getOrElse(required)
 
   override def toBatch: Batch = this
 
@@ -457,7 +494,8 @@ class RemoteScan(
       s"PushedLimit: ${limit.getOrElse(-1)}, " +
       s"PushedTopN: [${sortSql.mkString(", ")}], " +
       s"PushedOffset: ${offset.getOrElse(-1)}, " +
-      s"PushedAggregates: ${agg.isDefined}"
+      s"PushedAggregates: ${agg.isDefined}, " +
+      s"PushedGroupBy: [${agg.toSeq.flatMap(_.groupBy).mkString(", ")}]"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -521,7 +559,7 @@ class RemoteReaderFactory(
     limit: Option[Int],
     sortSql: Seq[String],
     offset: Option[Int],
-    agg: Option[(Seq[String], StructType)],
+    agg: Option[PushedAgg],
     isCommand: Boolean)
   extends PartitionReaderFactory {
 
@@ -530,8 +568,8 @@ class RemoteReaderFactory(
     val filters = pushedSql ++ part.rangePredicate ++ part.runtimeSql
     if (isCommand) new ListTablesReader(opts)
     else agg match {
-      case Some((exprs, schema)) =>
-        new AggPushdownReader(opts, exprs, schema, filters)
+      case Some(a) =>
+        new AggPushdownReader(opts, a, filters)
       case None if opts.transformClass.isEmpty =>
         new FastRowReader(opts, remoteSchema, required, filters, limit,
           sortSql, offset)
@@ -725,23 +763,30 @@ class TransformRowReader(
   }
 }
 
-/** Complete aggregate pushdown: one remote `SELECT agg1, agg2 ...`
-  * row is the scan output (Spark plans no re-aggregation). */
+/** Complete aggregate pushdown: the remote `SELECT [g1, g2,] agg1 ...
+  * [GROUP BY g1, g2]` rows ARE the scan output (Spark plans no
+  * re-aggregation) — one row for a global aggregate, one row per group
+  * with GROUP BY. Only group rows cross the wire, never input rows. */
 class AggPushdownReader(
     opts: RemoteOptions,
-    aggExprs: Seq[String],
-    schema: StructType,
+    pushedAgg: PushedAgg,
     filters: Seq[String])
   extends PartitionReader[InternalRow] {
 
+  private val schema = pushedAgg.schema
   private val conn = GraftConnections.open(opts)
   private val stmt = conn.createStatement()
+  stmt.setFetchSize(opts.fetchSize)
   private val from = opts.dialect.rewriteQuery(opts.source, filters, None, None)
-  private val sql = s"SELECT ${aggExprs.mkString(", ")} FROM ($from) ${opts.dialect.subqueryAlias}A"
+  private val groupSql =
+    if (pushedAgg.groupBy.isEmpty) ""
+    else pushedAgg.groupBy.mkString(" GROUP BY ", ", ", "")
+  private val sql = s"SELECT ${pushedAgg.select.mkString(", ")} " +
+    s"FROM ($from) ${opts.dialect.subqueryAlias}A$groupSql"
+  ScanSqlLog.record(sql)
   private val rs = stmt.executeQuery(sql)
-  private var done = false
 
-  override def next(): Boolean = if (done) false else { done = true; rs.next() }
+  override def next(): Boolean = rs.next()
 
   override def get(): InternalRow = {
     val arr: Array[Any] = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -749,6 +794,9 @@ class AggPushdownReader(
         case LongType => val v = rs.getLong(i + 1); if (rs.wasNull()) null else v
         case IntegerType => val v = rs.getInt(i + 1); if (rs.wasNull()) null else v
         case ShortType => val v = rs.getShort(i + 1); if (rs.wasNull()) null else v
+        case ByteType => val v = rs.getByte(i + 1); if (rs.wasNull()) null else v
+        case BooleanType =>
+          val v = rs.getBoolean(i + 1); if (rs.wasNull()) null else v
         case DoubleType => val v = rs.getDouble(i + 1); if (rs.wasNull()) null else v
         case FloatType => val v = rs.getFloat(i + 1); if (rs.wasNull()) null else v
         case d: DecimalType =>

@@ -164,6 +164,39 @@ class RemoteSourceSpec extends AnyFunSuite {
       .contains("PushedAggregates: true"))
   }
 
+  test("GROUP BY complete aggregate pushdown: remote groups, no Spark agg") {
+    val df = remote("dbtable" -> "NATION")
+      .groupBy(col("N_REGIONKEY"))
+      .agg(count(lit(1)).as("n"), min(col("N_NATIONKEY")).as("lo"),
+        max(col("N_NATIONKEY")).as("hi"))
+      .orderBy(col("N_REGIONKEY"))
+    ScanSqlLog.clear()
+    val rows = df.collect()
+    // 10 nations, regionkey = i % 5 -> 5 groups of 2
+    assert(rows.length == 5)
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSeq == (0 until 5).map(i => (i, 2L, i, i + 5)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedGroupBy: [\"N_REGIONKEY\"]"), s"plan: $plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"Spark planned its own aggregate over a complete pushdown: $plan")
+    assert(ScanSqlLog.recent.exists(_.contains("GROUP BY")),
+      s"remote SQL missing GROUP BY: ${ScanSqlLog.recent}")
+  }
+
+  test("GROUP BY pushdown declines unsupported shapes (Spark aggregates)") {
+    // grouping by an expression (not a bare column) cannot push down
+    val df = remote("dbtable" -> "NATION")
+      .groupBy((col("N_REGIONKEY") % 2).as("parity"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("parity"))
+    val rows = df.collect()
+    assert(rows.map(r => r.getLong(1)).sum == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"expression grouping should stay Spark-side: $plan")
+  }
+
   test("multi-partition range scan returns the same rows") {
     val df = remote("dbtable" -> "NATION",
       "partitioncolumn" -> "N_NATIONKEY", "lowerbound" -> "0",
