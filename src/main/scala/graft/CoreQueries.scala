@@ -403,6 +403,77 @@ object CoreQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // ---- unpivot / melt (wide -> long) -----------------------------------
+    // the inverse of q33's pivot: per-key metric columns melt into
+    // (metric, val) rows — Expand node, per-row fan-out, no extra shuffle
+    // beyond the aggregate that feeds it
+    "q37_unpivot" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .unpivot(Array(col("c_nationkey")),
+          Array(col("n_cust"), col("min_key"), col("max_key")),
+          "metric", "val")
+        .orderBy(col("c_nationkey"), col("metric"))),
+
+    // ---- JSON functions ---------------------------------------------------
+    // parse-side surface: get_json_object path extraction plus a typed
+    // from_json struct read, over a JSON column both engines construct
+    // identically (all per-row codegen; filter pushes to the parquet scan)
+    "q38_json" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"),
+          concat(lit("{\"k\":"), col("o_orderkey"),
+            lit(",\"s\":\""), col("o_orderstatus"),
+            lit("\",\"c\":"), col("o_custkey"), lit("}")).as("js"))
+        .select(col("o_orderkey"),
+          get_json_object(col("js"), "$.k").cast(LongType).as("k"),
+          get_json_object(col("js"), "$.s").as("s"),
+          from_json(col("js"), StructType(Seq(
+            StructField("k", LongType), StructField("s", StringType),
+            StructField("c", LongType)))).getField("c").as("c"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- higher-order array functions --------------------------------------
+    // transform/filter/aggregate/zip_with/exists over the embedding
+    // arrays; double accumulation is left-to-right in both engines, and
+    // comparisons go through exact-in-both-types constants (0.0, 0.5)
+    "q39_hof" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("size(filter(embedding, x -> CAST(x AS DOUBLE) > 0.0D))")
+            .as("n_pos"),
+          expr("aggregate(embedding, 0.0D, " +
+            "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))").as("l2sq"),
+          expr("aggregate(zip_with(embedding, reverse(embedding), " +
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, " +
+            "(a, v) -> a + v)").as("dot_rev"),
+          expr("exists(embedding, x -> CAST(x AS DOUBLE) > 0.5D)")
+            .as("has_big"))
+        .orderBy(col("vec_id"))),
+
+    // ---- window-function variety -------------------------------------------
+    // lag/lead/ntile/cume_dist/first_value/dense_rank in one pass — one
+    // shuffle on the partition key serves every frame
+    "q40_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_ok"),
+          dense_rank().over(
+            Window.partitionBy(col("o_custkey")).orderBy(col("o_orderstatus")))
+            .as("dr"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -575,6 +646,56 @@ object CoreQueries {
          | ${sqlDsum("l_quantity")} AS sum_qty
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q37_unpivot" ->
+      """WITH a AS (
+        | SELECT c_nationkey, count(*) AS n_cust,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        | FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, metric, val FROM (
+        | SELECT c_nationkey, 'n_cust' AS metric, n_cust AS val FROM a
+        | UNION ALL SELECT c_nationkey, 'min_key', min_key FROM a
+        | UNION ALL SELECT c_nationkey, 'max_key', max_key FROM a)
+        |ORDER BY c_nationkey, metric""".stripMargin,
+
+    "q38_json" ->
+      """SELECT o_orderkey,
+        | CAST(json_extract(js, '$.k') AS BIGINT) AS k,
+        | json_extract_string(js, '$.s') AS s,
+        | CAST(json_extract(js, '$.c') AS BIGINT) AS c
+        |FROM (SELECT o_orderkey,
+        |  '{"k":' || o_orderkey || ',"s":"' || o_orderstatus || '","c":'
+        |    || o_custkey || '}' AS js
+        | FROM orders WHERE o_orderkey < 3000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q39_hof" ->
+      """SELECT vec_id,
+        | CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0))
+        |   AS INT) AS n_pos,
+        | list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS l2sq,
+        | list_sum(list_transform(range(1, len(embedding) + 1),
+        |   i -> CAST(embedding[i] AS DOUBLE)
+        |     * CAST(embedding[len(embedding) - i + 1] AS DOUBLE))) AS dot_rev,
+        | len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.5)) > 0
+        |   AS has_big
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q40_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_orderkey, 1) OVER w AS prev_ok,
+        | lead(o_orderkey, 1) OVER w AS next_ok,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | cume_dist() OVER w AS cd,
+        | first_value(o_orderkey) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_ok,
+        | CAST(dense_rank() OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderstatus) AS INT) AS dr
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q12_semijoin" ->
       """SELECT c_custkey, c_name FROM customer

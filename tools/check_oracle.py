@@ -6,7 +6,7 @@ oracle_sql.json, then executes each oracle SQL in DuckDB over the same
 parquet tables and compares: row count, column names, and exact values
 (columns sorted by name, rows sorted by all columns).
 
-Usage: python3 tools/check_oracle.py [sfDir] [--skip-verify]
+Usage: python3 tools/check_oracle.py [sfDir] [--skip-verify] [--only=q01,q02]
 """
 import json
 import math
@@ -24,9 +24,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+ONLY = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")),
+            None)
+
+
 def run_verify():
+    names = f" {ONLY}" if ONLY else ""
     subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}{names}'],
         cwd="/root/repo", check=True, capture_output=True, text=True)
 
 
