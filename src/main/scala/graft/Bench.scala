@@ -16,13 +16,14 @@ object Bench {
     "q01_agg", "q02_filter_agg", "q03_join_topk", "q04_window",
     "q05_topk", "q11_rollup", "q15_events_day", "q17_join6",
     "q28_rangejoin_auto", "q29_streamjoin", "q30_topk_per_key",
-    "q33_pivot", "q36_bucketed_join",
+    "q33_pivot", "q36_bucketed_join", "q38_json", "q40_window_funcs",
     "r01_remote_filter", "r04_remote_partitioned_agg",
-    "r06_remote_join_pushdown",
+    "r06_remote_join_pushdown", "r09_remote_groupby",
     "p01_text_stats", "p02_exact_dedup", "p05_minhash_lsh",
     "p07_simhash", "p08_knn", "p10_embed_lsh", "p11_ivf_knn",
     "p14_dedup_cluster", "p15_stratified_sample", "p16_quality_pipeline",
-    "p17_fuzzy_pairs",
+    "p17_fuzzy_pairs", "p18_repetition", "p19_pii", "p20_decontam",
+    "p21_packing",
     "m01_multimodal", "m02_frame_sample")
 
   def main(args: Array[String]): Unit = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.operators.{ClusterOps, DedupOps, SampleOps, TextOps, VectorOps}
+import graft.operators.{ClusterOps, DedupOps, PackingOps, SampleOps, TextOps, VectorOps}
 import graft.multimodal.MultimodalOps
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -148,6 +148,61 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Gopher-style repetition signals: duplicate n-gram fraction (2- and
+    // 3-gram) plus the top-bigram occupancy — all per-row, shuffle-free
+    // (distinct/max counting rides native expressions, never a groupBy).
+    "p18_repetition" -> ((s, dir) =>
+      docs(s, dir).filter(TextOps.tokenCount(col("text")) >= 3)
+        .select(col("doc_id"),
+          TextOps.dupNgramFraction(col("text"), 2).as("dup2_frac"),
+          TextOps.dupNgramFraction(col("text"), 3).as("dup3_frac"),
+          TextOps.topNgramFreq(col("text"), 2).as("top2_freq"),
+          TextOps.topNgramFraction(col("text"), 2).as("top2_frac"))
+        .orderBy(col("doc_id"))),
+
+    // PII detection + redaction: deterministic synthetic PII (derived
+    // from doc_id) is appended so the gate exercises real matches, then
+    // email/phone/IPv4 are counted and redacted with RE2-compatible
+    // patterns — the redacted text itself is value-compared.
+    "p19_pii" -> ((s, dir) => {
+      val piiText = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com via +1-555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+      docs(s, dir).select(col("doc_id"), piiText.as("pii"))
+        .select(col("doc_id"),
+          TextOps.piiCount(col("pii"), TextOps.EmailPattern).as("n_email"),
+          TextOps.piiCount(col("pii"), TextOps.PhonePattern).as("n_phone"),
+          TextOps.piiCount(col("pii"), TextOps.Ipv4Pattern).as("n_ip"),
+          TextOps.redactPii(col("pii")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination (GPT-3-style n-gram overlap): the eval
+    // set (doc_id % 97 == 0) contributes a broadcast shingle set; every
+    // training doc is screened per-row with array_intersect — no join,
+    // no shuffle over the corpus.
+    "p20_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = DedupOps.benchmarkShingles(
+        d.filter(col("doc_id") % 97 === 0), "text", n = 3)
+      DedupOps.contaminationCounts(
+        d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", sh, n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Concat-and-chunk sequence packing via a two-phase distributed
+    // prefix sum (see PackingOps — the Window.orderBy(id) spelling would
+    // funnel 100 TB through one task).
+    "p21_packing" -> ((s, dir) =>
+      PackingOps.packChunks(docs(s, dir), "doc_id",
+          TextOps.tokenCount(col("text")), chunkTokens = 512)
+        .select(col("id").as("doc_id"), col("n_tok"), col("start_tok"),
+          col("chunk_first"), col("chunk_last"))
+        .orderBy(col("doc_id"))),
+
     // ---- similarity search --------------------------------------------
     "p08_knn" -> ((s, dir) => {
       val all = embs(s, dir).select(col("vec_id").as("id"),
@@ -243,6 +298,74 @@ object PipelineQueries {
 
   /** DuckDB equivalents — every pipeline gate carries one. */
   val oracle: Map[String, String] = Map(
+    "p18_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS s FROM documents
+        | WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        | SELECT doc_id,
+        |  [s[i] || ' ' || s[i+1] for i in range(1, len(s))] AS g2,
+        |  [s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |    for i in range(1, len(s) - 1)] AS g3
+        | FROM t),
+        |top2 AS (
+        | SELECT doc_id, max(c) AS top2_freq FROM (
+        |   SELECT doc_id, count(*) AS c
+        |   FROM (SELECT doc_id, unnest(g2) AS b FROM g) GROUP BY doc_id, b)
+        | GROUP BY doc_id)
+        |SELECT g.doc_id,
+        | 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+        |   AS dup2_frac,
+        | 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+        |   AS dup3_frac,
+        | CAST(top2_freq AS INT) AS top2_freq,
+        | CAST(top2_freq AS DOUBLE) / CAST(len(g2) AS DOUBLE) AS top2_frac
+        |FROM g JOIN top2 ON g.doc_id = top2.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "p19_pii" -> {
+      val e = TextOps.EmailPattern
+      val ph = TextOps.PhonePattern
+      val ip = TextOps.Ipv4Pattern
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@mail.example.com via +1-555-'
+         |  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |  || ' from 10.' || (doc_id % 256) || '.0.1' AS pii
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(pii, '$e')) AS INT) AS n_email,
+         | CAST(len(regexp_extract_all(pii, '$ph')) AS INT) AS n_phone,
+         | CAST(len(regexp_extract_all(pii, '$ip')) AS INT) AS n_ip,
+         | regexp_replace(regexp_replace(regexp_replace(pii,
+         |   '$e', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g')
+         |  AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "p20_decontam" ->
+      """WITH t AS (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS gg FROM t WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, unnest(sh) AS gg FROM t WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_shared
+        |FROM train JOIN bench USING (gg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p21_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |o AS (SELECT doc_id, n_tok,
+        |  CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS start_tok
+        | FROM t)
+        |SELECT doc_id, n_tok, start_tok,
+        | start_tok // 512 AS chunk_first,
+        | (start_tok + n_tok - 1) // 512 AS chunk_last
+        |FROM o ORDER BY doc_id""".stripMargin,
     // exact replication of SimHashPoly: dual poly token hashes packed
     // into 62 bits, per-bit ±1 majority vote, hamming via bit_count(xor)
     "p07_simhash" ->

@@ -82,6 +82,30 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Distinct word n-gram shingles of a benchmark/eval set, collected
+    * to the driver. Deliberately driver-side: eval sets are small by
+    * definition (the thing you decontaminate AGAINST, not the corpus),
+    * and the collected set rides the plan as a broadcast literal — the
+    * same "tiny model ships with the closure" idiom as k-means
+    * centroids in [[VectorOps]]. */
+  def benchmarkShingles(bench: DataFrame, textCol: String, n: Int): Seq[String] =
+    bench.select(explode(shingles(col(textCol), n)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  /** Benchmark decontamination: per-document count of distinct word
+    * n-grams shared with the benchmark shingle set (GPT-3-style n-gram
+    * overlap screening). Per-row `array_intersect` against the
+    * broadcast literal — shuffle-free over the corpus, which is the
+    * 100 TB shape: one codegen pass over the scan, no join, no
+    * aggregation. Returns only contaminated documents
+    * (id, n_shared >= 1). */
+  def contaminationCounts(corpus: DataFrame, idCol: String, textCol: String,
+      benchShingles: Seq[String], n: Int): DataFrame =
+    corpus.select(col(idCol).as("doc_id"),
+        size(array_intersect(shingles(col(textCol), n),
+          typedlit(benchShingles))).as("n_shared"))
+      .filter(col("n_shared") > 0)
+
   /** Brute-force n-gram Jaccard pairs — the oracle-shaped baseline for
     * small inputs and tests; O(n²), never run this at scale. */
   def ngramJaccardPairs(

@@ -104,4 +104,53 @@ object TextOps {
     * collapsed whitespace) — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  // ---- repetition signals (Gopher-style quality rules) -----------------
+
+  /** Fraction of n-gram OCCURRENCES that are repeats of an earlier
+    * n-gram in the same document: 1 - distinct/total. The word-level
+    * form of Gopher's "fraction of characters in duplicate n-grams" —
+    * high values flag boilerplate/spam. Per-row, shuffle-free
+    * (distinct counting rides the native [[graft.functions.ShingleSet]]
+    * expression). */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val total = (tokenCount(text) - lit(n - 1)).cast("double")
+    lit(1.0) - size(graft.functions.native.shingle_set(tokens(text), n))
+      .cast("double") / total
+  }
+
+  /** Occurrence count of the document's most frequent n-gram (native
+    * [[graft.functions.MaxNgramFreq]]: one hash-map pass per row — a
+    * per-document statistic must not cost a corpus-wide shuffle). */
+  def topNgramFreq(text: Column, n: Int): Column =
+    graft.functions.native.max_ngram_freq(tokens(text), n)
+
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * n-gram — Gopher's "top n-gram fraction". */
+  def topNgramFraction(text: Column, n: Int): Column =
+    topNgramFreq(text, n).cast("double") /
+      (tokenCount(text) - lit(n - 1)).cast("double")
+
+  // ---- PII detection / redaction ---------------------------------------
+
+  /** Regex patterns restricted to plain alternation/classes/counted
+    * repeats so Java regex (Spark) and RE2 (DuckDB oracle) agree
+    * symbol-for-symbol (same constraint as [[BpeTokenPattern]]). */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val PhonePattern: String = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern: String =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact emails, then phone numbers, then IPv4 addresses (order
+    * matters: an email's domain must not be half-eaten by the IP rule).
+    * Pure regexp_replace chain — per-row codegen, shuffle-free. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, PhonePattern, "<PHONE>")
+    regexp_replace(noPhone, Ipv4Pattern, "<IP>")
+  }
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession, Tables}
+
+/** Round-3 pipeline operators: repetition signals, PII redaction,
+  * decontamination, sequence packing. */
+class Round3OpsSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("repetition stats match a hand computation") {
+    import spark.implicits._
+    // "a b a b a": bigrams [a b, b a, a b, b a] -> 2 distinct of 4,
+    // top freq 2; trigrams [a b a, b a b, a b a] -> 2 distinct of 3
+    val df = Seq("a b a b a").toDF("text")
+    val r = df.select(
+      TextOps.dupNgramFraction(col("text"), 2).as("d2"),
+      TextOps.dupNgramFraction(col("text"), 3).as("d3"),
+      TextOps.topNgramFreq(col("text"), 2).as("tf"),
+      TextOps.topNgramFraction(col("text"), 2).as("tr")).collect().head
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getDouble(1) == 1.0 - 2.0 / 3.0)
+    assert(r.getInt(2) == 2)
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("max_ngram_freq handles short docs and is order-insensitive") {
+    import spark.implicits._
+    val r = Seq("a", "a b", "x y x y x y").toDF("text")
+      .select(TextOps.topNgramFreq(col("text"), 3).as("f"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(0, 0, 2)) // trigrams of 6 tokens: "x y x" twice
+  }
+
+  test("PII redaction replaces every synthetic marker exactly once") {
+    import spark.implicits._
+    val df = Seq(
+      "write to jane.doe+spam@sub.example.org or call +1-555-123-4567 at 192.168.0.1",
+      "no pii here at all").toDF("t")
+    val r = df.select(
+      TextOps.piiCount(col("t"), TextOps.EmailPattern).as("e"),
+      TextOps.piiCount(col("t"), TextOps.PhonePattern).as("p"),
+      TextOps.piiCount(col("t"), TextOps.Ipv4Pattern).as("i"),
+      TextOps.redactPii(col("t")).as("red")).collect()
+    assert(r(0).getInt(0) == 1 && r(0).getInt(1) == 1 && r(0).getInt(2) == 1)
+    assert(r(0).getString(3) ==
+      "write to <EMAIL> or call <PHONE> at <IP>")
+    assert(r(1).getInt(0) == 0 && r(1).getString(3) == "no pii here at all")
+  }
+
+  test("decontamination flags exactly the docs sharing benchmark n-grams") {
+    val d = Tables.table(spark, sf, "documents")
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    val sh = DedupOps.benchmarkShingles(bench, "text", 3)
+    assert(sh.nonEmpty)
+    val flagged = DedupOps.contaminationCounts(
+      d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", sh, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // brute-force reference via explode + join
+    val benchSet = sh.toSet
+    val ref = d.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), DedupOps.shingles(col("text"), 3).as("sh"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[String](1).count(benchSet.contains)))
+      .filter(_._2 > 0).toMap
+    assert(flagged == ref)
+  }
+
+  test("packing offsets equal the sequential prefix sum (and span chunks)") {
+    val d = Tables.table(spark, sf, "documents")
+    val got = PackingOps.packChunks(d, "doc_id",
+        TextOps.tokenCount(col("text")), chunkTokens = 512, parts = 7)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val seq = d.select(col("doc_id"), TextOps.tokenCount(col("text")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._1)
+    var acc = 0L
+    val want = seq.map { case (id, n) =>
+      val s = acc; acc += n
+      (id, n, s, s / 512, (s + n - 1) / 512)
+    }
+    assert(got.toSeq == want.toSeq)
+    // the whole stream is covered without gaps
+    assert(got.last._3 + got.last._2 == acc)
+  }
+
+  test("packing is independent of the partition count") {
+    val d = Tables.table(spark, sf, "documents")
+    def run(p: Int) = PackingOps.packChunks(d, "doc_id",
+        TextOps.tokenCount(col("text")), 512, parts = p)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13))
+  }
+}
