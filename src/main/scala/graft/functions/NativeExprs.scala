@@ -341,6 +341,56 @@ case class ShingleSet(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
 }
 
+/** Count of array elements present in a fixed string set that rides
+  * the plan (decontamination screens, stopword lists, blocklists). The
+  * set is hashed ONCE per expression instance — `array_intersect`
+  * against a literal re-builds the hash set on every row, which at a
+  * million-shingle eval set and 100 TB of rows is the dominant cost of
+  * the whole screen. Distinctness of the counted matches follows the
+  * child array (pair with [[ShingleSet]], which is distinct). */
+case class InSetCount(child: Expression, elements: Seq[String])
+  extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("inSetCount", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Integer) $ref.nullSafeEval($c)).intValue();")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"in_set_count needs array<string>, got $other")
+    }
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      math.max(16, elements.size * 2))
+    elements.foreach(e =>
+      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(e)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    var n = 0
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(n)
+  }
+
+  override protected def withNewChildInternal(c: Expression): InSetCount = copy(child = c)
+}
+
 /** Highest occurrence count of any word n-gram in a token array — the
   * numerator of the Gopher-style "top n-gram fraction" repetition
   * signal. One loop + hash map per ROW (the groupBy-count-max spelling
@@ -622,6 +672,8 @@ object native {
     Bridge.column(ShingleSet(Bridge.expression(tokens), n))
   def max_ngram_freq(tokens: Column, n: Int): Column =
     Bridge.column(MaxNgramFreq(Bridge.expression(tokens), n))
+  def in_set_count(tokens: Column, elements: Seq[String]): Column =
+    Bridge.column(InSetCount(Bridge.expression(tokens), elements))
   def minhash_bands(shingles: Column, bands: Int, rows: Int): Column =
     Bridge.column(MinHashBands(Bridge.expression(shingles), bands, rows))
   def minhash_sig(c: Column, k: Int): Column =

@@ -102,8 +102,11 @@ object DedupOps {
   def contaminationCounts(corpus: DataFrame, idCol: String, textCol: String,
       benchShingles: Seq[String], n: Int): DataFrame =
     corpus.select(col(idCol).as("doc_id"),
-        size(array_intersect(shingles(col(textCol), n),
-          typedlit(benchShingles))).as("n_shared"))
+        // native set-membership count: the benchmark set is hashed once
+        // per executor, not per row (array_intersect re-hashes the
+        // literal on every row — a scale-killer at eval-set sizes)
+        graft.functions.native.in_set_count(shingles(col(textCol), n),
+          benchShingles).as("n_shared"))
       .filter(col("n_shared") > 0)
 
   /** Brute-force n-gram Jaccard pairs — the oracle-shaped baseline for
