@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.operators.{ClusterOps, DedupOps, PackingOps, SampleOps, TextOps, VectorOps}
+import graft.operators.{ClusterOps, DedupOps, LmOps, PackingOps, SampleOps, TextOps, VectorOps}
 import graft.multimodal.MultimodalOps
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -203,6 +203,19 @@ object PipelineQueries {
           col("chunk_first"), col("chunk_last"))
         .orderBy(col("doc_id"))),
 
+    // Corpus-unigram LM scoring (CCNet-style likelihood filter): counts
+    // are one distributed groupBy, the probability table broadcasts with
+    // the plan, scoring is per-row — avg token probability rather than
+    // ln-perplexity so the oracle reproduces it bit-for-bit.
+    "p22_unigram_lm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val probs = LmOps.unigramProbs(d, "text")
+      d.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok"),
+          LmOps.avgTokenProb(col("text"), probs).as("avg_tok_prob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity search --------------------------------------------
     "p08_knn" -> ((s, dir) => {
       val all = embs(s, dir).select(col("vec_id").as("id"),
@@ -352,6 +365,20 @@ object PipelineQueries {
         |SELECT doc_id, CAST(count(*) AS INT) AS n_shared
         |FROM train JOIN bench USING (gg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p22_unigram_lm" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+        |pm AS (SELECT map(list(t), list(CAST(c AS DOUBLE) / (SELECT n FROM tot)))
+        |         AS m FROM cnt)
+        |SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        | list_sum(list_transform(string_split(text, ' '),
+        |   t -> coalesce(element_at(m, t)[1], CAST(0.0 AS DOUBLE))))
+        |  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_prob
+        |FROM documents, pm ORDER BY doc_id""".stripMargin,
 
     "p21_packing" ->
       """WITH t AS (SELECT doc_id,

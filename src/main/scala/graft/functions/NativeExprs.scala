@@ -391,6 +391,59 @@ case class InSetCount(child: Expression, elements: Seq[String])
   override protected def withNewChildInternal(c: Expression): InSetCount = copy(child = c)
 }
 
+/** Sum of per-token scores from a fixed (token -> double) table that
+  * rides the plan, accumulated left-to-right in document order —
+  * the scoring half of a broadcast-model LM filter (unigram
+  * probabilities, stopword weights, toxicity lexicons). Unknown tokens
+  * score `default`. The table is hashed once per expression instance
+  * (same rationale as [[InSetCount]]). */
+case class TokenScoreSum(child: Expression, entries: Seq[(String, Double)],
+    default: Double)
+  extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenScoreSum", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Double) $ref.nullSafeEval($c)).doubleValue();")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_score_sum needs array<string>, got $other")
+    }
+
+  @transient private lazy val table: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      java.lang.Double](math.max(16, entries.size * 2))
+    entries.foreach { case (k, v) =>
+      m.put(org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        java.lang.Double.valueOf(v))
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      val v = if (arr.isNullAt(i)) null else table.get(arr.getUTF8String(i))
+      acc += (if (v == null) default else v.doubleValue())
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenScoreSum = copy(child = c)
+}
+
 /** Highest occurrence count of any word n-gram in a token array — the
   * numerator of the Gopher-style "top n-gram fraction" repetition
   * signal. One loop + hash map per ROW (the groupBy-count-max spelling
@@ -674,6 +727,9 @@ object native {
     Bridge.column(MaxNgramFreq(Bridge.expression(tokens), n))
   def in_set_count(tokens: Column, elements: Seq[String]): Column =
     Bridge.column(InSetCount(Bridge.expression(tokens), elements))
+  def token_score_sum(tokens: Column, entries: Seq[(String, Double)],
+      default: Double = 0.0): Column =
+    Bridge.column(TokenScoreSum(Bridge.expression(tokens), entries, default))
   def minhash_bands(shingles: Column, bands: Int, rows: Int): Column =
     Bridge.column(MinHashBands(Bridge.expression(shingles), bands, rows))
   def minhash_sig(c: Column, k: Int): Column =

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics language-model scoring — the CCNet-style "filter
+  * by LM likelihood" quality stage. A real pipeline plugs a pretrained
+  * model in at the same call site; this stand-in estimates unigram
+  * probabilities from the corpus itself, which keeps the whole operator
+  * engine-reproducible (count/total divisions and left-to-right double
+  * sums — deliberately NOT ln()/perplexity, whose libm rounding differs
+  * across engines and would break exact verification; the plumbing is
+  * identical either way).
+  *
+  * Scale shape: counting is one distributed groupBy; only the
+  * VOCABULARY reaches the driver (bounded — cap to top-K with a floor
+  * default at web scale), and it rides the plan as a broadcast table
+  * hashed once per executor ([[graft.functions.TokenScoreSum]]).
+  * Scoring is per-row, shuffle-free.
+  */
+object LmOps {
+
+  /** Unigram probabilities (token -> count/total) estimated from the
+    * corpus. @param topK keep only the most frequent topK tokens
+    * (0 = all); everything else scores the caller's default. */
+  def unigramProbs(df: DataFrame, textCol: String,
+      topK: Int = 0): Seq[(String, Double)] = {
+    val counted = df.select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val kept = if (topK > 0) counted.orderBy(col("c").desc, col("t")).limit(topK)
+      else counted
+    val rows = kept.collect()
+    // total over the FULL corpus, not just kept rows, so capped tables
+    // still give true probabilities
+    val total =
+      if (topK > 0) df.select(sum(size(TextOps.tokens(col(textCol)))))
+        .collect().head.getLong(0).toDouble
+      else rows.map(_.getLong(1)).sum.toDouble
+    rows.map(r => r.getString(0) -> r.getLong(1).toDouble / total)
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Mean unigram probability of the document's tokens (higher = more
+    * in-distribution). Left-to-right accumulation over the token order,
+    * so any engine reproduces it bit-for-bit. */
+  def avgTokenProb(text: Column, probs: Seq[(String, Double)],
+      default: Double = 0.0): Column =
+    graft.functions.native.token_score_sum(TextOps.tokens(text), probs, default) /
+      TextOps.tokenCount(text).cast("double")
+}

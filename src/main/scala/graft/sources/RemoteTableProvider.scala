@@ -213,6 +213,12 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
     case _: CountStar => Some(("COUNT(1)", LongType))
     case c: Count if !c.isDistinct =>
       aggColumn(c.column).map(n => (s"COUNT(${dialect.quote(n)})", LongType))
+    case c: Count if c.isDistinct =>
+      // exact remote COUNT(DISTINCT col): complete pushdown only, so the
+      // remote engine's distinct set IS the final answer (a partial
+      // distinct count cannot be merged)
+      aggColumn(c.column).map(n =>
+        (s"COUNT(DISTINCT ${dialect.quote(n)})", LongType))
     case m: Min =>
       aggColumn(m.column).map { n =>
         (s"MIN(${dialect.quote(n)})",

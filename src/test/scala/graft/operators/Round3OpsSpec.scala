@@ -89,6 +89,25 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(got.last._3 + got.last._2 == acc)
   }
 
+  test("unigram LM scoring matches a hand computation (incl. OOV default)") {
+    import spark.implicits._
+    val df = Seq("a a b", "b c").toDF("text")
+    val probs = LmOps.unigramProbs(df, "text")
+    // counts: a=2, b=2, c=1, total=5
+    assert(probs.toMap == Map("a" -> 0.4, "b" -> 0.4, "c" -> 0.2))
+    val scored = df.select(LmOps.avgTokenProb(col("text"), probs).as("p"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(scored == Seq((0.4 + 0.4 + 0.4) / 3.0, (0.4 + 0.2) / 2.0))
+    // unseen tokens score the default
+    val oov = Seq("z z").toDF("text")
+      .select(LmOps.avgTokenProb(col("text"), probs, default = 0.001))
+      .collect().head.getDouble(0)
+    assert(oov == 0.001)
+    // topK capping keeps true probabilities over the full total
+    val top = LmOps.unigramProbs(df, "text", topK = 2).toMap
+    assert(top == Map("a" -> 0.4, "b" -> 0.4))
+  }
+
   test("packing is independent of the partition count") {
     val d = Tables.table(spark, sf, "documents")
     def run(p: Int) = PackingOps.packChunks(d, "doc_id",

@@ -184,6 +184,20 @@ class RemoteSourceSpec extends AnyFunSuite {
       s"remote SQL missing GROUP BY: ${ScanSqlLog.recent}")
   }
 
+  test("COUNT(DISTINCT col) complete aggregate pushdown") {
+    val df = remote("dbtable" -> "NATION")
+      .agg(countDistinct(col("N_REGIONKEY")).as("n_regions"),
+        count(lit(1)).as("n"))
+    ScanSqlLog.clear()
+    val row = df.collect().head
+    assert(row.getLong(0) == 5 && row.getLong(1) == 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: true"), s"plan: $plan")
+    assert(!plan.contains("HashAggregate"), s"plan: $plan")
+    assert(ScanSqlLog.recent.exists(_.contains("COUNT(DISTINCT")),
+      s"remote SQL missing COUNT(DISTINCT: ${ScanSqlLog.recent}")
+  }
+
   test("GROUP BY pushdown declines unsupported shapes (Spark aggregates)") {
     // grouping by an expression (not a bare column) cannot push down
     val df = remote("dbtable" -> "NATION")
