@@ -108,6 +108,22 @@ class Round3OpsSpec extends AnyFunSuite {
     assert(top == Map("a" -> 0.4, "b" -> 0.4))
   }
 
+  test("decontamination and LM scoring plans are shuffle-free over the corpus") {
+    val d = Tables.table(spark, sf, "documents")
+    val sh = DedupOps.benchmarkShingles(
+      d.filter(col("doc_id") % 97 === 0), "text", 3)
+    val screen = DedupOps.contaminationCounts(
+      d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", sh, 3)
+    val screenPlan = screen.queryExecution.executedPlan.toString
+    assert(!screenPlan.contains("Exchange"),
+      s"decontamination screen should be one per-row pass: $screenPlan")
+    val probs = LmOps.unigramProbs(d, "text")
+    val scored = d.select(LmOps.avgTokenProb(col("text"), probs))
+    val scorePlan = scored.queryExecution.executedPlan.toString
+    assert(!scorePlan.contains("Exchange"),
+      s"LM scoring should be one per-row pass: $scorePlan")
+  }
+
   test("packing is independent of the partition count") {
     val d = Tables.table(spark, sf, "documents")
     def run(p: Int) = PackingOps.packChunks(d, "doc_id",
