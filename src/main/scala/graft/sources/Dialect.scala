@@ -135,6 +135,29 @@ trait Dialect extends Serializable {
   }
 
   /** COUNT(1) including pushed filters (reference `connection/mod.rs:454-512`). */
+  /** Remote DDL column type for a Spark type — used by the catalog's
+    * CREATE TABLE. ANSI defaults; dialects override where they deviate.
+    * Types without a faithful remote image (arrays, maps, structs) are
+    * refused loudly rather than stringified. */
+  def ddlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => "BOOLEAN"
+      case ByteType | ShortType => "SMALLINT"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case FloatType => "REAL"
+      case DoubleType => "DOUBLE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case StringType => "VARCHAR(4000)"
+      case BinaryType => "BLOB"
+      case DateType => "DATE"
+      case TimestampNTZType | TimestampType => "TIMESTAMP"
+      case other => throw new IllegalArgumentException(
+        s"no $name DDL type for Spark type $other")
+    }
+  }
+
   def countQuery(source: RemoteSource, filters: Seq[String] = Nil): String =
     s"SELECT COUNT(1) FROM ${fromClause(source)}${whereClause(filters)}"
 

@@ -1,0 +1,173 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Transform => PartitionTransform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 `TableCatalog` over one remote database — the Spark-catalog
+  * form of the reference's `ctx.register_table(...)` federation setup
+  * (`integration-tests/src/utils.rs:23-39`), lifted from "register each
+  * table by hand" to "mount the whole database":
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.rdb", "graft.sources.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.rdb.url", "jdbc:derby:/tmp/db")
+  * spark.sql("SELECT * FROM rdb.APP.NATION")       // federated scan
+  * spark.sql("SHOW TABLES IN rdb.APP")
+  * spark.sql("CREATE TABLE rdb.APP.T (id BIGINT, name STRING)")
+  * spark.sql("INSERT INTO rdb.APP.T SELECT ...")   // connector write path
+  * }}}
+  *
+  * Namespaces are remote schemas (via `DatabaseMetaData.getSchemas`),
+  * tables resolve lazily to [[RemoteTableImpl]] (schema inference runs
+  * once per `loadTable`, driver-side, like the reference's
+  * `RemoteTable::try_new`), and every option set under
+  * `spark.sql.catalog.<name>.*` (fetchsize, dialect, credentials...)
+  * flows into each table. CREATE TABLE renders dialect DDL from the
+  * Spark schema; REPLACE/ALTER/RENAME are rejected like the
+  * reference's overwrite path (`table.rs:434-441`).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var baseOptions: Map[String, String] = Map.empty
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    baseOptions = options.asCaseSensitiveMap().asScala.toMap
+    require(baseOptions.contains("url"),
+      s"catalog $name needs spark.sql.catalog.$name.url")
+  }
+
+  override def name(): String = catalogName
+
+  private def opts(extra: (String, String)*): RemoteOptions =
+    RemoteOptions((baseOptions -- Seq("dbtable", "query", "command")) ++ extra)
+
+  private def withConnection[A](f: java.sql.Connection => A): A = {
+    val conn = GraftConnections.open(opts())
+    try f(conn) finally GraftConnections.close(conn)
+  }
+
+  private def tableRef(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  // ---- tables -----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    withConnection { conn =>
+      val schema = if (namespace.isEmpty) null else namespace.mkString(".")
+      val rs = conn.getMetaData.getTables(null, schema, "%",
+        Array("TABLE", "VIEW"))
+      val out = Seq.newBuilder[Identifier]
+      while (rs.next()) {
+        val ns = Option(rs.getString("TABLE_SCHEM")).toArray
+        out += Identifier.of(ns, rs.getString("TABLE_NAME"))
+      }
+      rs.close()
+      out.result().toArray
+    }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException((ident.namespace() :+ ident.name()).toSeq)
+    new RemoteTableImpl(opts("dbtable" -> tableRef(ident)), None)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    withConnection { conn =>
+      val schema = if (ident.namespace().isEmpty) null
+        else ident.namespace().mkString(".")
+      val rs = conn.getMetaData.getTables(null, schema, ident.name(),
+        Array("TABLE", "VIEW"))
+      val found = rs.next()
+      rs.close()
+      found
+    }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[PartitionTransform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "remote tables do not support partition transforms")
+    val o = opts("dbtable" -> tableRef(ident))
+    val d = o.dialect
+    val cols = schema.fields.map { f =>
+      val nn = if (f.nullable) "" else " NOT NULL"
+      s"${d.quote(f.name)} ${d.ddlType(f.dataType)}$nn"
+    }
+    val parts = ident.namespace() :+ ident.name()
+    val ddl = s"CREATE TABLE ${d.tableName(parts)} (${cols.mkString(", ")})"
+    withConnection { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(ddl) finally st.close()
+    }
+    new RemoteTableImpl(o, Some(schema))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported (append-only connector)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val d = opts().dialect
+    withConnection { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"DROP TABLE ${d.tableName(ident.namespace() :+ ident.name())}")
+      finally st.close()
+    }
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: RENAME TABLE is not supported")
+
+  // ---- namespaces (remote schemas) ---------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    withConnection { conn =>
+      val rs = conn.getMetaData.getSchemas
+      val out = Seq.newBuilder[Array[String]]
+      while (rs.next()) out += Array(rs.getString("TABLE_SCHEM"))
+      rs.close()
+      out.result().toArray
+    }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else Array.empty // remote schemas are one level deep
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      listNamespaces().exists(_.sameElements(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: CREATE NAMESPACE is not supported")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "graft catalog: DROP NAMESPACE is not supported")
+}

@@ -70,6 +70,16 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
   def upperBound: Option[Long] = map.get("upperbound").map(_.toLong)
   def numPartitions: Int = map.getOrElse("numpartitions", "1").toInt
 
+  /** Monotonically-increasing integral column driving incremental
+    * micro-batch reads (`spark.readStream` over a growing remote
+    * table); each trigger ships only `col > lastOffset AND col <=
+    * latest`. */
+  def streamingColumn: Option[String] = map.get("streamingcolumn")
+  /** Exclusive lower bound for the FIRST micro-batch (default: read the
+    * whole table, then increments). */
+  def streamingStart: Long =
+    map.getOrElse("streamingstart", Long.MinValue.toString).toLong
+
   def transformClass: Option[String] = map.get("transformclass")
   def transform: Transform = transformClass match {
     case Some(c) => Class.forName(c).getDeclaredConstructor()

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.StructType
+
+/** Stream offset = the highest value of the monotonic column shipped so
+  * far (exclusive lower bound of the next batch). */
+final case class RemoteOffset(max: Long) extends Offset {
+  override def json(): String = max.toString
+}
+
+/** Incremental micro-batch reads from a growing remote table — the
+  * streaming complement of `StreamingOps.writeToRemote` (round-2
+  * sink). The reference is strictly bounded (`Boundedness::Bounded`,
+  * `scan.rs:60-65`); this is beyond-reference surface built on the same
+  * scan machinery: each trigger runs one tiny remote `SELECT MAX(col)`
+  * to discover the new high-water mark, then a normal connector scan
+  * with the range predicate `col > lo AND col <= hi` folded into the
+  * rewritten SQL next to the pushed filters. Offsets are checkpointed
+  * by Spark, so restarts resume at the committed high-water mark
+  * (at-least-once per range; rows appearing with already-passed column
+  * values are missed — the standard incremental-JDBC-ingest contract).
+  */
+class RemoteMicroBatchStream(
+    opts: RemoteOptions,
+    remoteSchema: RemoteSchema,
+    transformedSchema: StructType,
+    required: StructType,
+    pushedSql: Seq[String])
+  extends MicroBatchStream with Logging {
+
+  private val col = opts.streamingColumn.get
+  private val q = opts.dialect.quote(col)
+
+  override def initialOffset(): Offset = RemoteOffset(opts.streamingStart)
+
+  /** One scalar remote query per trigger; honors pushed filters so the
+    * high-water mark and the batch see the same row set. */
+  override def latestOffset(): Offset = {
+    val from = opts.dialect.rewriteQuery(opts.source, pushedSql, None, None)
+    val sql = s"SELECT MAX($q) FROM ($from) ${opts.dialect.subqueryAlias}W"
+    val conn = GraftConnections.open(opts)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(sql)
+        val hi =
+          if (rs.next()) {
+            val v = rs.getLong(1)
+            if (rs.wasNull()) opts.streamingStart else v
+          } else opts.streamingStart
+        RemoteOffset(hi)
+      } finally st.close()
+    } finally GraftConnections.close(conn)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[RemoteOffset].max
+    val hi = end.asInstanceOf[RemoteOffset].max
+    if (hi <= lo) Array.empty
+    else Array(RemotePartition(0, Some(s"$q > $lo AND $q <= $hi")))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RemoteReaderFactory(opts, remoteSchema, transformedSchema, required,
+      pushedSql, limit = None, sortSql = Nil, offset = None, agg = None,
+      isCommand = false)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def deserializeOffset(json: String): Offset = RemoteOffset(json.toLong)
+}

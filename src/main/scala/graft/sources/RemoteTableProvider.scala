@@ -83,11 +83,17 @@ class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType],
     case RemoteSource.Query(_) => "graft_remote_query"
   }
   override def schema(): StructType = transformedSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       // writes may omit auto-increment columns (the writer maps by name
       // and strips all-NULL identity columns like reference insert.rs:157-205)
       TableCapability.ACCEPT_ANY_SCHEMA)
+    // incremental micro-batch reads over a monotonic column
+    if (opts.streamingColumn.isDefined)
+      caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RemoteScanBuilder(this)
@@ -530,6 +536,25 @@ class RemoteScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new RemoteReaderFactory(opts, table.remoteSchema, table.transformedSchema,
       required, pushedSql, limit, sortSql, offset, agg, table.isCommand)
+
+  /** Incremental micro-batch stream over `streamingcolumn` (a
+    * monotonically-increasing integral column, e.g. an identity key):
+    * each trigger reads `col > lastOffset AND col <= remote MAX(col)`.
+    * Pushed filters and column pruning apply to every micro-batch.
+    * At-least-once per committed range; rows that appear with
+    * already-passed column values are missed — the standard contract of
+    * incremental JDBC ingestion. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(opts.streamingColumn.isDefined,
+      "streaming read needs option streamingcolumn=<monotonic column>")
+    require(agg.isEmpty && limit.isEmpty && sortSql.isEmpty && offset.isEmpty,
+      "streaming read does not compose with limit/top-N/offset/aggregate pushdown")
+    require(!table.isCommand && opts.dialect.isRewritable(opts.source),
+      "streaming read needs a rewritable table or SELECT query source")
+    new RemoteMicroBatchStream(opts, table.remoteSchema,
+      table.transformedSchema, required, pushedSql)
+  }
 
   /** Exact COUNT(1)-backed statistics (reference `table.rs:417-426`,
     * `scan.rs:128-152`): runs once per scan, honors pushed filters,

@@ -68,8 +68,22 @@ class RemoteDataWriter(
       throw new UnsupportedOperationException("cannot INSERT into a query source")
   }
 
-  private val fields: Array[RemoteField] =
-    writeSchema.fields.map(f => remoteSchema(f.name))
+  /** Written fields map to remote columns BY NAME (the contract that
+    * lets writers omit auto-increment columns). SQL `INSERT INTO t
+    * VALUES ...` reaches an ACCEPT_ANY_SCHEMA table with synthetic
+    * col1..colN names (Spark skips output resolution) — when NO name
+    * resolves and the arity matches the remote table exactly, fall back
+    * to positional mapping; a partial name match stays a loud error
+    * (silent positional guessing could scramble columns). */
+  private val fields: Array[RemoteField] = {
+    val byName = remoteSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val resolved = writeSchema.fields.map(f => byName.get(f.name.toLowerCase))
+    if (resolved.forall(_.isDefined)) resolved.map(_.get)
+    else if (resolved.forall(_.isEmpty) &&
+        writeSchema.fields.length == remoteSchema.fields.length)
+      remoteSchema.fields.toArray
+    else writeSchema.fields.map(f => remoteSchema(f.name)) // loud error
+  }
   private val sparkTypes: Array[DataType] = writeSchema.fields.map(_.dataType)
   private val autoIncIdx: Set[Int] =
     fields.zipWithIndex.collect { case (f, i) if f.autoIncrement => i }.toSet

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The TableCatalog mount: SQL users address the remote database as a
+  * Spark catalog — SELECT, SHOW TABLES, CREATE TABLE + INSERT all route
+  * through the connector. */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    DerbyFixture.init
+    s.conf.set("spark.sql.catalog.rdb", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.rdb.url", DerbyFixture.url)
+    s
+  }
+
+  test("SELECT through the catalog is a connector scan with pushdown") {
+    val df = spark.sql(
+      "SELECT N_NAME FROM rdb.APP.NATION WHERE N_REGIONKEY = 2 ORDER BY N_NAME")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("BRAZIL", "GERMANY")) // fixture regionkey = i % 5 -> ids 2, 7
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-remote"), s"plan: $plan")
+    assert(plan.contains("N_REGIONKEY"), s"filter should push: $plan")
+  }
+
+  test("SHOW TABLES lists the remote schema's tables") {
+    val tables = spark.sql("SHOW TABLES IN rdb.APP")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(tables.contains("NATION"))
+  }
+
+  test("SHOW NAMESPACES lists remote schemas") {
+    val ns = spark.sql("SHOW NAMESPACES IN rdb")
+      .collect().map(_.getString(0)).toSet
+    assert(ns.contains("APP"))
+  }
+
+  test("CREATE TABLE + INSERT + SELECT round-trips through the connector") {
+    spark.sql("DROP TABLE IF EXISTS rdb.APP.CAT_RT")
+    spark.sql("CREATE TABLE rdb.APP.CAT_RT (ID BIGINT, NAME STRING, SCORE DOUBLE)")
+    spark.sql("INSERT INTO rdb.APP.CAT_RT VALUES (1, 'a', 0.5), (2, 'b', 1.5)")
+    // named-column insert routes by name (and may reorder)
+    spark.sql(
+      "INSERT INTO rdb.APP.CAT_RT (SCORE, ID, NAME) VALUES (2.5, 3, 'c')")
+    val back = spark.sql("SELECT ID, NAME, SCORE FROM rdb.APP.CAT_RT ORDER BY ID")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(back == Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, "c", 2.5)))
+    assert(spark.sql("SHOW TABLES IN rdb.APP").select("tableName")
+      .collect().map(_.getString(0)).toSet.contains("CAT_RT"))
+    spark.sql("DROP TABLE rdb.APP.CAT_RT")
+    assert(!spark.sql("SHOW TABLES IN rdb.APP").select("tableName")
+      .collect().map(_.getString(0)).toSet.contains("CAT_RT"))
+  }
+
+  test("catalog aggregate pushdown composes (COUNT through SQL)") {
+    val df = spark.sql("SELECT count(*) AS n FROM rdb.APP.NATION")
+    assert(df.collect().head.getLong(0) == 10)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("PushedAggregates: true"))
+  }
+
+  test("unsupported DDL fails loudly") {
+    intercept[Exception] {
+      spark.sql("ALTER TABLE rdb.APP.NATION ADD COLUMN X INT")
+    }
+  }
+}
