@@ -56,11 +56,24 @@ class RemoteMicroBatchStream(
     } finally GraftConnections.close(conn)
   }
 
+  /** A steady-state micro-batch is one partition; a large range (the
+    * backlog on first start) splits into `numpartitions` value-range
+    * slices so the catch-up read parallelizes like a batch range scan. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[RemoteOffset].max
     val hi = end.asInstanceOf[RemoteOffset].max
+    val n = opts.numPartitions
     if (hi <= lo) Array.empty
-    else Array(RemotePartition(0, Some(s"$q > $lo AND $q <= $hi")))
+    else if (n <= 1 || hi - lo < n) {
+      Array(RemotePartition(0, Some(s"$q > $lo AND $q <= $hi")))
+    } else {
+      val stride = (hi - lo) / n
+      (0 until n).map { i =>
+        val a = lo + i * stride
+        val b = if (i == n - 1) hi else lo + (i + 1) * stride
+        RemotePartition(i, Some(s"$q > $a AND $q <= $b")): InputPartition
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -58,6 +58,45 @@ class RemoteStreamReadSpec extends AnyFunSuite {
     }
   }
 
+  test("backlog ranges split into numpartitions contiguous slices") {
+    val opts = RemoteOptions(Map("url" -> "jdbc:derby:memory:x",
+      "dbtable" -> "T", "streamingcolumn" -> "ID", "numpartitions" -> "4"))
+    val stream = new RemoteMicroBatchStream(opts,
+      RemoteSchema(Seq(RemoteField("ID", RemoteType.RInt8, nullable = false))),
+      new org.apache.spark.sql.types.StructType(),
+      new org.apache.spark.sql.types.StructType(), Nil)
+    def preds(lo: Long, hi: Long): Seq[String] =
+      stream.planInputPartitions(RemoteOffset(lo), RemoteOffset(hi))
+        .map(_.asInstanceOf[RemotePartition].rangePredicate.get).toSeq
+    // steady state: one partition
+    assert(preds(10, 12) == Seq("\"ID\" > 10 AND \"ID\" <= 12"))
+    // backlog: 4 contiguous slices covering (0, 100] exactly
+    val backlog = preds(0, 100)
+    assert(backlog == Seq(
+      "\"ID\" > 0 AND \"ID\" <= 25", "\"ID\" > 25 AND \"ID\" <= 50",
+      "\"ID\" > 50 AND \"ID\" <= 75", "\"ID\" > 75 AND \"ID\" <= 100"))
+    // empty range: no partitions
+    assert(stream.planInputPartitions(RemoteOffset(5), RemoteOffset(5)).isEmpty)
+  }
+
+  test("streaming read with numpartitions ships a backlog correctly") {
+    withTable { (url, table) =>
+      insert(url, table, (1L to 40L).map(i => i -> s"p$i"): _*)
+      val sdf = spark.readStream.format("graft-remote")
+        .option("url", url).option("dbtable", table)
+        .option("streamingcolumn", "ID").option("numpartitions", "4")
+        .load()
+      val name = s"rstream_${System.nanoTime()}"
+      val q = sdf.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table(name).collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == (1L to 40L), s"backlog rows: $got")
+      } finally q.stop()
+    }
+  }
+
   test("streamingstart skips the backlog; filters push into each batch") {
     withTable { (url, table) =>
       insert(url, table, 1L -> "old", 2L -> "old")
