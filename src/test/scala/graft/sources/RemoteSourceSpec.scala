@@ -198,6 +198,23 @@ class RemoteSourceSpec extends AnyFunSuite {
       s"remote SQL missing COUNT(DISTINCT: ${ScanSqlLog.recent}")
   }
 
+  test("filter + GROUP BY pushdown compose in one remote SQL") {
+    val df = remote("dbtable" -> "NATION")
+      .filter(col("N_NATIONKEY") < 6)
+      .groupBy(col("N_REGIONKEY"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("N_REGIONKEY"))
+    ScanSqlLog.clear()
+    val rows = df.collect()
+    // keys 0..5, regionkey = i % 5 -> region 0 has {0, 5}, 1..4 one each
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((0, 2L), (1, 1L), (2, 1L), (3, 1L), (4, 1L)))
+    val sql = ScanSqlLog.recent.filter(s => s.contains("GROUP BY"))
+    assert(sql.exists(s => s.contains("WHERE") && s.contains("GROUP BY")),
+      s"filter and grouping should share one remote query: ${ScanSqlLog.recent}")
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+  }
+
   test("GROUP BY pushdown declines unsupported shapes (Spark aggregates)") {
     // grouping by an expression (not a bare column) cannot push down
     val df = remote("dbtable" -> "NATION")
