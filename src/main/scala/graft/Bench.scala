@@ -23,7 +23,7 @@ object Bench {
     "p07_simhash", "p08_knn", "p10_embed_lsh", "p11_ivf_knn",
     "p14_dedup_cluster", "p15_stratified_sample", "p16_quality_pipeline",
     "p17_fuzzy_pairs", "p18_repetition", "p19_pii", "p20_decontam",
-    "p21_packing", "p22_unigram_lm",
+    "p21_packing", "p22_unigram_lm", "p23_quantize",
     "m01_multimodal", "m02_frame_sample")
 
   def main(args: Array[String]): Unit = {

