@@ -14,18 +14,25 @@ import org.apache.spark.sql.functions._
   * the one genuinely sequential step in a data pipeline — computed with
   * the classic two-phase distributed scan:
   *
-  *   1. range-partition by id and sort within partitions (one shuffle);
-  *   2. per-partition LOCAL running sums in a single `mapPartitions`
-  *      pass (justified imperative per-partition logic: a running
+  *   1. bucket rows by a DETERMINISTIC function of the id
+  *      (`pid = (id - min) div stride`) — NOT `repartitionByRange`,
+  *      whose boundaries come from seeded sampling and can differ
+  *      between the two passes below, silently mis-keying the base
+  *      offsets;
+  *   2. per-bucket TOTALS (numPartitions rows, not data) are collected,
+  *      cumulated on the driver, and shipped back as a broadcast
+  *      base-offset map (the same "tiny model rides the plan" idiom as
+  *      k-means centroids in [[VectorOps]]);
+  *   3. per-bucket LOCAL running sums in a single `mapPartitions` pass
+  *      (justified imperative per-partition logic: a running
   *      accumulator has no declarative spelling that avoids a
-  *      single-task global window);
-  *   3. per-partition TOTALS — numPartitions rows, not data — are
-  *      collected, cumulated on the driver, and shipped back as a
-  *      broadcast base-offset map (the same "tiny model rides the
-  *      plan" idiom as k-means centroids in [[VectorOps]]).
+  *      single-task global window); buckets are contiguous under the
+  *      (pid, id) sort, so the accumulator resets on bucket change and
+  *      stays correct even when several buckets share a physical
+  *      partition.
   *
-  * At 100 TB this is one shuffle plus two linear passes; the driver
-  * never sees more rows than there are partitions. The naive
+  * At 100 TB this is one shuffle plus two aggregate-light passes; the
+  * driver never sees more rows than there are buckets. The naive
   * `Window.orderBy(id)` spelling funnels the whole corpus through ONE
   * task — the scale-killer this operator exists to avoid.
   */
@@ -35,7 +42,7 @@ object PackingOps {
     * @param idCol       total-order key (unique)
     * @param weight      per-row token count (any integral expression)
     * @param chunkTokens context-window size in tokens
-    * @param parts       range partitions (default: shuffle partitions)
+    * @param parts       id-range buckets (default: shuffle partitions)
     * @return (id, n_tok, start_tok, chunk_first, chunk_last) — the
     *         global token offset and the inclusive window range each
     *         document spans
@@ -47,30 +54,43 @@ object PackingOps {
     import spark.implicits._
     val nParts = if (parts > 0) parts
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df
+    val base = df
       .select(col(idCol).cast("long").as("id"), weight.cast("long").as("n"))
-      .repartitionByRange(nParts, col("id"))
-      .sortWithinPartitions("id")
-      .select(spark_partition_id().as("pid"), col("id"), col("n"))
-      .as[(Int, Long, Long)]
-    // pass 1 of the scan: per-partition totals (numPartitions rows) ->
-    // exclusive cumsum on the driver. Deliberately driver-side: the
-    // result is O(partitions), never O(rows).
-    val totals = ranged.groupBy("pid").agg(sum("n").as("t"))
+    val boundRow = base.agg(min("id"), max("id")).collect().head
+    if (boundRow.isNullAt(0)) {
+      // empty input: empty output with the right schema
+      return base.select(col("id"), col("n").as("n_tok"),
+        col("n").as("start_tok"), col("n").as("chunk_first"),
+        col("n").as("chunk_last")).limit(0)
+    }
+    val lo = boundRow.getLong(0)
+    val stride = math.max(1L, (boundRow.getLong(1) - lo) / nParts + 1)
+    val withPid = base.withColumn("pid",
+      expr(s"CAST((id - $lo) DIV $stride AS INT)"))
+    // pass 1 of the scan: per-bucket totals (map-side combined -> tiny)
+    // cumulated on the driver. Deliberately driver-side: the result is
+    // O(buckets), never O(rows).
+    val totals = withPid.groupBy("pid").agg(sum("n").as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val bases = {
       var acc = 0L
       totals.map { case (pid, t) => val b = acc; acc += t; (pid, b) }.toMap
     }
-    // pass 2: local running sums; iterator order inside a partition is
-    // the sortWithinPartitions order, so the accumulator is exact and
-    // deterministic under task retry
-    val local = ranged.mapPartitions { it =>
-      var acc = 0L
-      it.map { case (pid, id, n) =>
-        val start = acc; acc += n; (pid, id, n, start)
-      }
-    }.toDF("pid", "id", "n_tok", "local_start")
+    // pass 2: local running sums; (pid, id) sort makes buckets
+    // contiguous, so the accumulator resets per bucket and the result
+    // is deterministic under any pid -> physical-partition mapping
+    val local = withPid.select(col("pid"), col("id"), col("n"))
+      .repartition(nParts, col("pid"))
+      .sortWithinPartitions("pid", "id")
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        var cur = Int.MinValue
+        var acc = 0L
+        it.map { case (pid, id, n) =>
+          if (pid != cur) { cur = pid; acc = 0L }
+          val start = acc; acc += n; (pid, id, n, start)
+        }
+      }.toDF("pid", "id", "n_tok", "local_start")
     local
       .select(col("id"),
         col("n_tok"),
