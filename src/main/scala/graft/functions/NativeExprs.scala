@@ -157,15 +157,33 @@ case class SimHashPoly(child: Expression)
     h
   }
 
+  /** Token-hash memo, task-local (expressions deserialize per task, so
+    * no cross-thread sharing). Natural-language token frequency is
+    * Zipf-distributed — a bounded cache catches most of the mass; past
+    * the cap, misses just recompute. Keys are copied: a UTF8String from
+    * ArrayData is a view into a buffer Spark reuses. */
+  @transient private lazy val cache =
+    new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+      java.lang.Long](1 << 12)
+  private val cacheCap = 1 << 16
+
+  private def tokenHash(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val hit = cache.get(u)
+    if (hit != null) return hit.longValue()
+    val s = u.toString
+    val h = polyHash(s, 31L, 2147483647L) |
+      (polyHash(s, 37L, 2147483629L) << 31)
+    if (cache.size < cacheCap) cache.put(u.copy(), java.lang.Long.valueOf(h))
+    h
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val counts = new Array[Int](62)
     val m = arr.numElements()
     var i = 0
     while (i < m) {
-      val s = arr.getUTF8String(i).toString
-      val h = polyHash(s, 31L, 2147483647L) |
-        (polyHash(s, 37L, 2147483629L) << 31)
+      val h = tokenHash(arr.getUTF8String(i))
       var b = 0
       while (b < 62) {
         if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

@@ -97,6 +97,41 @@ class RemoteStreamReadSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quality pipeline over a growing remote table") {
+    // the federation-ingest story end-to-end: remote incremental source
+    // -> per-row text analysis (token count, quality, langid, PII
+    // redaction) -> sink; stateless ops run unchanged under streaming
+    withTable { (url, table) =>
+      import graft.operators.TextOps
+      insert(url, table, 1L -> "the cat and the dog", 2L -> "x")
+      val sdf = spark.readStream.format("graft-remote")
+        .option("url", url).option("dbtable", table)
+        .option("streamingcolumn", "ID")
+        .load()
+        .select(col("ID"),
+          TextOps.tokenCount(col("PAYLOAD")).as("n_tok"),
+          TextOps.langId(col("PAYLOAD")).as("lang"),
+          TextOps.redactPii(concat(col("PAYLOAD"),
+            lit(" mail a@b.example.org"))).as("red"))
+        .filter(col("n_tok") >= 2)
+      val name = s"rstream_${System.nanoTime()}"
+      val q = sdf.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        insert(url, table, 3L -> "der hund und die katze nicht")
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+            r.getString(3))).sortBy(_._1).toSeq
+        assert(got == Seq(
+          (1L, 5, "en", "the cat and the dog mail <EMAIL>"),
+          (3L, 6, "de", "der hund und die katze nicht mail <EMAIL>")),
+          s"got: $got")
+      } finally q.stop()
+    }
+  }
+
   test("streamingstart skips the backlog; filters push into each batch") {
     withTable { (url, table) =>
       insert(url, table, 1L -> "old", 2L -> "old")
