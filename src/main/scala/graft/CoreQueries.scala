@@ -474,6 +474,24 @@ object CoreQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // ---- LATERAL correlated subquery --------------------------------------
+    // top-1-per-group via LATERAL ... ORDER BY ... LIMIT 1 — the SQL
+    // spelling Catalyst decorrelates into a join + per-key window (the
+    // same plan q30's custom operator optimizes); exercises correlated
+    // LIMIT decorrelation end-to-end
+    "q41_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT n_nationkey, n_name, t.top_cust, t.top_bal
+          |FROM nation_v n,
+          |LATERAL (SELECT c_custkey AS top_cust, c_acctbal AS top_bal
+          |         FROM customer_v
+          |         WHERE c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+          |ORDER BY n_nationkey""".stripMargin)
+    }),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -696,6 +714,15 @@ object CoreQueries {
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q41_lateral" ->
+      """SELECT n_nationkey, n_name, t.top_cust, t.top_bal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey AS top_cust, c_acctbal AS top_bal
+        |         FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q12_semijoin" ->
       """SELECT c_custkey, c_name FROM customer

@@ -18,6 +18,23 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Evaluate a foldable array<string> argument (e.g. `array('a','b')`)
+    * to the driver-side Seq the set-backed expressions need. */
+  private def stringSeqArg(e: Expression, what: String): Seq[String] = {
+    require(e.foldable, s"$what must be a foldable array<string> literal")
+    val arr = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  private def doubleArg(e: Expression, what: String): Double = e.eval(null) match {
+    case d: java.lang.Double => d
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case i: java.lang.Integer => i.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> { exprs => SimHash64(exprs.head) },
     "simhash_poly" -> { exprs => SimHashPoly(exprs.head) },
@@ -33,7 +50,37 @@ object GraftFunctions {
     "shingle_set" -> { exprs =>
       ShingleSet(exprs.head, intArg(exprs(1), "n")) },
     "max_ngram_freq" -> { exprs =>
-      MaxNgramFreq(exprs.head, intArg(exprs(1), "n")) })
+      MaxNgramFreq(exprs.head, intArg(exprs(1), "n")) },
+    // in_set_count(tokens, array('a','b'))
+    "in_set_count" -> { exprs =>
+      InSetCount(exprs.head, stringSeqArg(exprs(1), "in_set_count set")) },
+    // token_score_sum(tokens, array('a','b'), array(0.1, 0.2), default)
+    "token_score_sum" -> { exprs =>
+      val keys = stringSeqArg(exprs(1), "token_score_sum keys")
+      require(exprs(2).foldable, "token_score_sum values must be foldable")
+      val vals = {
+        import org.apache.spark.sql.types._
+        val a = exprs(2).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        // SQL decimal literals (array(0.1, 0.2)) arrive as DECIMAL
+        val elemType = exprs(2).dataType.asInstanceOf[ArrayType].elementType
+        (0 until a.numElements()).map(i => elemType match {
+          case DoubleType => a.getDouble(i)
+          case FloatType => a.getFloat(i).toDouble
+          case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+          case IntegerType => a.getInt(i).toDouble
+          case LongType => a.getLong(i).toDouble
+          case other => throw new IllegalArgumentException(
+            s"token_score_sum values: unsupported element type $other")
+        })
+      }
+      require(keys.size == vals.size,
+        s"token_score_sum: ${keys.size} keys but ${vals.size} values")
+      val default =
+        if (exprs.length > 3) doubleArg(exprs(3), "token_score_sum default")
+        else 0.0
+      TokenScoreSum(exprs.head, keys.zip(vals), default)
+    })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -26,6 +26,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sh") == viaApi)
   }
 
+  test("set-backed functions are callable from SQL with array literals") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        | in_set_count(split('a b c b', ' '), array('b', 'z')) AS n_in,
+        | token_score_sum(split('a b q', ' '),
+        |   array('a', 'b'), array(0.25, 0.5), 0.125D) AS score,
+        | simhash_poly(split('x y', ' ')) AS sp,
+        | max_ngram_freq(split('a b a b a', ' '), 2) AS mf
+        |""".stripMargin).collect().head
+    assert(row.getAs[Int]("n_in") == 2)
+    assert(row.getAs[Double]("score") == 0.25 + 0.5 + 0.125)
+    assert(row.getAs[Int]("mf") == 2)
+    val viaApi = spark.range(1)
+      .select(native.simhash_poly(split(lit("x y"), " ")))
+      .collect().head.getLong(0)
+    assert(row.getAs[Long]("sp") == viaApi)
+    // decimal-literal value arrays work too
+    val dec = spark.sql(
+      """SELECT token_score_sum(array('k'), array('k'), array(0.5)) AS s"""
+    ).collect().head.getDouble(0)
+    assert(dec == 0.5)
+  }
+
   test("poly fingerprint matches the reference recurrence incl. astral chars") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
