@@ -187,6 +187,20 @@ object RemoteQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // The TableCatalog mount: plain SQL over the remote DB as a Spark
+    // catalog (SELECT + aggregate through the connector with pushdown).
+    // GraftCatalogSpec asserts plan shapes; this gate asserts values.
+    "r10_catalog_select" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      s.conf.set("spark.sql.catalog.graftrdb", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftrdb.url", url)
+      s.sql(
+        """SELECT N_REGIONKEY AS n_regionkey, count(*) AS n_nations,
+          | min(N_NAME) AS first_name
+          |FROM graftrdb.APP.NATION
+          |GROUP BY N_REGIONKEY ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // Spark-side join of two remote scans, collapsed into ONE remote SQL
     // join by SupportsPushDownJoin (JoinPushdownSpec asserts the plan has
     // no Spark join node); the group-by then aggregates the joined scan.
@@ -232,6 +246,9 @@ object RemoteQueries {
         |  AS avg_key,
         | count(*) AS n_cust
         |FROM customer""".stripMargin,
+    "r10_catalog_select" ->
+      """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "r09_remote_groupby" ->
       """SELECT c_nationkey, count(*) AS n_cust,
         | CAST(sum(c_custkey) AS BIGINT) AS sum_key,
