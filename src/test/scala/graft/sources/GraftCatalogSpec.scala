@@ -63,6 +63,23 @@ class GraftCatalogSpec extends AnyFunSuite {
       .contains("PushedAggregates: true"))
   }
 
+  test("catalog SQL join collapses into one remote query (join pushdown)") {
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    try {
+      val df = spark.sql(
+        """SELECT n.N_NAME, count(*) AS n_rows
+          |FROM rdb.APP.NATION n JOIN rdb.APP.NATION r
+          |  ON n.N_REGIONKEY = r.N_REGIONKEY
+          |GROUP BY n.N_NAME ORDER BY n.N_NAME""".stripMargin)
+      // 10 nations, 2 per region -> each joins to 2 rows of its region
+      val rows = df.collect()
+      assert(rows.length == 10 && rows.forall(_.getLong(1) == 2))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+        s"catalog join should push to the remote DB: $plan")
+    } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+  }
+
   test("unsupported DDL fails loudly") {
     intercept[Exception] {
       spark.sql("ALTER TABLE rdb.APP.NATION ADD COLUMN X INT")
