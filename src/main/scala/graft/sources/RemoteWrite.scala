@@ -89,6 +89,16 @@ class RemoteDataWriter(
     fields.zipWithIndex.collect { case (f, i) if f.autoIncrement => i }.toSet
 
   private val conn: Connection = GraftConnections.open(opts)
+  /** Task-level atomicity: the whole task writes in ONE transaction,
+    * committed at DataWriter.commit and rolled back at abort — so a
+    * failed/speculated/retried task never leaves partial batches behind
+    * (without this, every mid-task failure at 100 TB scale is silent
+    * duplicate rows on retry). Job-level atomicity is not promised —
+    * same contract as Spark's JDBC writer. Drivers without transaction
+    * support fall back to auto-commit (at-least-once, logged). */
+  private val transactional: Boolean =
+    try { conn.setAutoCommit(false); true }
+    catch { case _: java.sql.SQLException => false }
   private val literalizer: Literalizer = opts.map.get("literalizerclass") match {
     case Some(c) => Class.forName(c).getDeclaredConstructor()
       .newInstance().asInstanceOf[Literalizer]
@@ -221,10 +231,15 @@ class RemoteDataWriter(
 
   override def commit(): WriterCommitMessage = {
     flush()
+    if (transactional) conn.commit()
     RemoteCommit(written)
   }
 
-  override def abort(): Unit = ()
+  override def abort(): Unit =
+    if (transactional) {
+      try conn.rollback()
+      catch { case _: java.sql.SQLException => () } // abort must not mask the cause
+    }
 
   override def close(): Unit = GraftConnections.close(conn)
 }

@@ -267,6 +267,34 @@ class RemoteSourceSpec extends AnyFunSuite {
     assert(v == java.time.LocalDateTime.parse("2024-03-15T10:30:45.123456"))
   }
 
+  test("failed write task rolls back every flushed batch (task atomicity)") {
+    import spark.implicits._
+    val table = "TX_ROLLBACK"
+    val c = DriverManager.getConnection(DerbyFixture.url)
+    val st = c.createStatement()
+    try st.executeUpdate(s"DROP TABLE $table") catch { case _: Exception => () }
+    st.executeUpdate(s"CREATE TABLE $table (ID INT NOT NULL)")
+    st.close(); c.close()
+    // one partition, batchsize 2: batch {1,2} flushes fine, then the
+    // NULL violates NOT NULL and fails the task mid-write
+    val bad = Seq[Integer](1, 2, 3, null).toDF("ID").coalesce(1)
+    intercept[Exception] {
+      bad.write.format("graft-remote")
+        .option("url", DerbyFixture.url).option("dbtable", table)
+        .option("batchsize", "2")
+        .mode("append").save()
+    }
+    val back = remote("dbtable" -> table)
+    assert(back.count() == 0,
+      "a failed task must not leave its earlier flushed batches behind")
+    // and a clean write through the same path still lands
+    Seq[Integer](7, 8).toDF("ID").coalesce(1)
+      .write.format("graft-remote")
+      .option("url", DerbyFixture.url).option("dbtable", table)
+      .mode("append").save()
+    assert(remote("dbtable" -> table).count() == 2)
+  }
+
   test("append write via PreparedStatement batch, then read back") {
     import spark.implicits._
     val df = Seq((100, "ZAMBIA", 4), (101, "ZIMBABWE", 4))
