@@ -492,6 +492,23 @@ object CoreQueries {
           |ORDER BY n_nationkey""".stripMargin)
     }),
 
+    // ---- bag-semantics set operations ------------------------------------
+    // INTERSECT ALL / EXCEPT ALL keep multiplicities (q06 covers the
+    // distinct forms); counts verify the bag semantics exactly
+    "q42_setops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey").as("ck"))
+      val recent = o.filter(col("o_orderdate") >=
+          to_timestamp(lit("1996-01-01")))
+        .select(col("o_custkey").as("ck"))
+      hi.intersectAll(recent).groupBy(col("ck"))
+        .agg(count(lit(1)).as("n_both"))
+        .join(hi.exceptAll(recent).groupBy(col("ck"))
+          .agg(count(lit(1)).as("n_only_hi")), Seq("ck"), "full_outer")
+        .orderBy(col("ck"))
+    }),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -714,6 +731,21 @@ object CoreQueries {
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q42_setops_all" ->
+      """WITH hi AS (SELECT o_custkey AS ck FROM orders
+        |            WHERE o_totalprice > 150000.0),
+        |recent AS (SELECT o_custkey AS ck FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+        |both_n AS (SELECT ck, count(*) AS n_both
+        |           FROM (SELECT ck FROM hi INTERSECT ALL
+        |                 SELECT ck FROM recent) GROUP BY ck),
+        |only_hi AS (SELECT ck, count(*) AS n_only_hi
+        |            FROM (SELECT ck FROM hi EXCEPT ALL
+        |                  SELECT ck FROM recent) GROUP BY ck)
+        |SELECT coalesce(b.ck, o.ck) AS ck, b.n_both, o.n_only_hi
+        |FROM both_n b FULL OUTER JOIN only_hi o ON b.ck = o.ck
+        |ORDER BY ck""".stripMargin,
 
     "q41_lateral" ->
       """SELECT n_nationkey, n_name, t.top_cust, t.top_bal

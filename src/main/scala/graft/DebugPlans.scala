@@ -10,7 +10,8 @@ object DebugPlans {
     val qs = if (args.nonEmpty) args.toSeq
       else Seq("q01_agg","q03_join_topk","q17_join6","q02_filter_agg",
         "q28_rangejoin_auto","q30_topk_per_key","q31_salted_join",
-        "q32_asof_bucketed","r06_remote_join_pushdown","p11_ivf_knn")
+        "q32_asof_bucketed","r06_remote_join_pushdown","p11_ivf_knn",
+        "r09_remote_groupby","p20_decontam","p21_packing","p22_unigram_lm")
     for (q <- qs) {
       println(s"==== $q")
       SparkEntry.resetSessionConfs(spark)
