@@ -52,6 +52,10 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
   /** Rows per ColumnarBatch on the columnar read path. */
   def columnarBatchSize: Int = map.getOrElse("columnarbatchsize", "4096").toInt
   def literalInsert: Boolean = map.getOrElse("literalinsert", "false").toBoolean
+  /** Job-atomic append: tasks write a staging table; job commit moves
+    * the whole batch into the target in one transactional
+    * INSERT..SELECT (all-or-nothing even across task failures). */
+  def stagingWrite: Boolean = map.getOrElse("stagingwrite", "false").toBoolean
   /** Execution-time runtime-filter (broadcast-join IN list) pushdown
     * into the remote WHERE clause — the connector-side analogue of
     * dynamic partition pruning. On by default; purely an optimization

@@ -27,7 +27,29 @@ class RemoteWriteBuilder(
   extends WriteBuilder {
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new RemoteBatchWrite(opts, remoteSchema, writeSchema)
+    override def toBatch: BatchWrite =
+      if (opts.stagingWrite)
+        new StagedRemoteBatchWrite(opts, remoteSchema, writeSchema)
+      else new RemoteBatchWrite(opts, remoteSchema, writeSchema)
+  }
+}
+
+/** Written fields map to remote columns BY NAME (the contract that
+  * lets writers omit auto-increment columns). SQL `INSERT INTO t
+  * VALUES ...` reaches an ACCEPT_ANY_SCHEMA table with synthetic
+  * col1..colN names (Spark skips output resolution) — when NO name
+  * resolves and the arity matches the remote table exactly, fall back
+  * to positional mapping; a partial name match stays a loud error
+  * (silent positional guessing could scramble columns). */
+private[sources] object WriteFields {
+  def resolve(remoteSchema: RemoteSchema, writeSchema: StructType): Array[RemoteField] = {
+    val byName = remoteSchema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val resolved = writeSchema.fields.map(f => byName.get(f.name.toLowerCase))
+    if (resolved.forall(_.isDefined)) resolved.map(_.get)
+    else if (resolved.forall(_.isEmpty) &&
+        writeSchema.fields.length == remoteSchema.fields.length)
+      remoteSchema.fields.toArray
+    else writeSchema.fields.map(f => remoteSchema(f.name)) // loud error
   }
 }
 
@@ -44,6 +66,101 @@ class RemoteBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** JOB-atomic append (`stagingwrite=true`, beyond-reference surface):
+  * tasks write into a fresh staging table (exactly-once per partition —
+  * Spark's commit coordinator admits one attempt, and each task is one
+  * transaction); at job commit the whole batch moves into the target
+  * with ONE transactional `INSERT INTO target SELECT FROM staging`, so
+  * readers of the target see all of the append or none of it, even if
+  * the job dies half-written. Auto-increment columns that stayed
+  * all-NULL across the WHOLE job are stripped from the final insert
+  * (the per-task form of `insert.rs:157-205`, lifted to job scope).
+  * The direct path (default) matches the reference: task-level
+  * atomicity only. */
+class StagedRemoteBatchWrite(
+    opts: RemoteOptions,
+    remoteSchema: RemoteSchema,
+    writeSchema: StructType)
+  extends BatchWrite {
+
+  private val targetParts: Seq[String] = opts.source match {
+    case RemoteSource.TableRef(parts) => parts
+    case RemoteSource.Query(_) =>
+      throw new UnsupportedOperationException("cannot INSERT into a query source")
+  }
+  private val stagingName: String =
+    s"GRAFT_STG_${java.util.UUID.randomUUID().toString.replace("-", "").take(10).toUpperCase}"
+  private val stagingParts: Seq[String] = targetParts.init :+ stagingName
+  private val dialect = opts.dialect
+
+  private val writeFields: Array[RemoteField] =
+    WriteFields.resolve(remoteSchema, writeSchema)
+  // staging columns are plain nullable columns: identity values (even
+  // NULL ones) land in staging verbatim, stripping is decided once at
+  // job commit over the whole batch
+  private val stagingRemoteSchema: RemoteSchema =
+    RemoteSchema(writeFields.toSeq.map(_.copy(autoIncrement = false,
+      nullable = true)))
+  private val stagingOpts: RemoteOptions = RemoteOptions(
+    opts.map + ("dbtable" -> stagingParts.mkString(".")))
+
+  // driver-side staging DDL, before any task launches
+  locally {
+    val cols = writeFields.map(f =>
+      s"${dialect.quote(f.name)} ${dialect.ddlType(f.tpe.toSpark)}")
+    withConn { st =>
+      st.executeUpdate(
+        s"CREATE TABLE ${dialect.tableName(stagingParts)} (${cols.mkString(", ")})")
+    }
+  }
+
+  private def withConn[A](f: java.sql.Statement => A): A = {
+    val conn = GraftConnections.open(opts)
+    try {
+      val st = conn.createStatement()
+      try f(st) finally st.close()
+    } finally GraftConnections.close(conn)
+  }
+
+  private def dropStaging(): Unit =
+    try withConn(_.executeUpdate(s"DROP TABLE ${dialect.tableName(stagingParts)}"))
+    catch { case _: java.sql.SQLException => () }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new RemoteDataWriterFactory(stagingOpts, stagingRemoteSchema, writeSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    try {
+      val conn = GraftConnections.open(opts)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          // strip identity columns that stayed all-NULL across the job
+          val live = writeFields.filter { f =>
+            !f.autoIncrement || {
+              val rs = st.executeQuery(s"SELECT COUNT(${dialect.quote(f.name)}) " +
+                s"FROM ${dialect.tableName(stagingParts)}")
+              rs.next(); val n = rs.getLong(1); rs.close(); n > 0
+            }
+          }
+          val cols = live.map(f => dialect.quote(f.name)).mkString(", ")
+          st.executeUpdate(
+            s"INSERT INTO ${dialect.tableName(targetParts)} ($cols) " +
+            s"SELECT $cols FROM ${dialect.tableName(stagingParts)}")
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: java.sql.SQLException => () }
+            throw e
+        } finally st.close()
+      } finally GraftConnections.close(conn)
+    } finally dropStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = dropStaging()
 }
 
 class RemoteDataWriterFactory(
@@ -68,22 +185,8 @@ class RemoteDataWriter(
       throw new UnsupportedOperationException("cannot INSERT into a query source")
   }
 
-  /** Written fields map to remote columns BY NAME (the contract that
-    * lets writers omit auto-increment columns). SQL `INSERT INTO t
-    * VALUES ...` reaches an ACCEPT_ANY_SCHEMA table with synthetic
-    * col1..colN names (Spark skips output resolution) — when NO name
-    * resolves and the arity matches the remote table exactly, fall back
-    * to positional mapping; a partial name match stays a loud error
-    * (silent positional guessing could scramble columns). */
-  private val fields: Array[RemoteField] = {
-    val byName = remoteSchema.fields.map(f => f.name.toLowerCase -> f).toMap
-    val resolved = writeSchema.fields.map(f => byName.get(f.name.toLowerCase))
-    if (resolved.forall(_.isDefined)) resolved.map(_.get)
-    else if (resolved.forall(_.isEmpty) &&
-        writeSchema.fields.length == remoteSchema.fields.length)
-      remoteSchema.fields.toArray
-    else writeSchema.fields.map(f => remoteSchema(f.name)) // loud error
-  }
+  private val fields: Array[RemoteField] =
+    WriteFields.resolve(remoteSchema, writeSchema)
   private val sparkTypes: Array[DataType] = writeSchema.fields.map(_.dataType)
   private val autoIncIdx: Set[Int] =
     fields.zipWithIndex.collect { case (f, i) if f.autoIncrement => i }.toSet

@@ -295,6 +295,63 @@ class RemoteSourceSpec extends AnyFunSuite {
     assert(remote("dbtable" -> table).count() == 2)
   }
 
+  test("staged write (stagingwrite=true) is job-atomic and cleans up") {
+    import spark.implicits._
+    val table = "STG_TGT"
+    val c = DriverManager.getConnection(DerbyFixture.url)
+    val st = c.createStatement()
+    try st.executeUpdate(s"DROP TABLE $table") catch { case _: Exception => () }
+    st.executeUpdate(s"CREATE TABLE $table (ID INT NOT NULL)")
+    st.close(); c.close()
+    def stagingTables: Seq[String] = remote("command" -> "list_tables")
+      .collect().map(_.getString(0)).filter(_.startsWith("GRAFT_STG")).toSeq
+    // FAILURE: the NULL passes into nullable staging, then the job-commit
+    // INSERT..SELECT violates the target's NOT NULL -> one rollback, so
+    // the rows the healthy partition wrote never became visible
+    intercept[Exception] {
+      Seq[Integer](1, 2, 3, null).toDF("ID").repartition(2)
+        .write.format("graft-remote")
+        .option("url", DerbyFixture.url).option("dbtable", table)
+        .option("stagingwrite", "true")
+        .mode("append").save()
+    }
+    assert(remote("dbtable" -> table).count() == 0,
+      "job-atomic append must be all-or-nothing")
+    assert(stagingTables.isEmpty, "staging table must be dropped on failure")
+    // SUCCESS: everything lands exactly once, staging dropped
+    Seq[Integer](5, 6, 7).toDF("ID").repartition(2)
+      .write.format("graft-remote")
+      .option("url", DerbyFixture.url).option("dbtable", table)
+      .option("stagingwrite", "true")
+      .mode("append").save()
+    assert(remote("dbtable" -> table).collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(5, 6, 7))
+    assert(stagingTables.isEmpty, "staging table must be dropped on success")
+  }
+
+  test("staged write strips all-NULL identity columns at job scope") {
+    import spark.implicits._
+    val table = "STG_IDENT"
+    val c = DriverManager.getConnection(DerbyFixture.url)
+    val st = c.createStatement()
+    try st.executeUpdate(s"DROP TABLE $table") catch { case _: Exception => () }
+    st.executeUpdate(
+      s"""CREATE TABLE $table (
+         | id INT NOT NULL GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+         | name VARCHAR(64) NOT NULL)""".stripMargin)
+    st.close(); c.close()
+    Seq((null: Integer, "staged_a"), (null: Integer, "staged_b"))
+      .toDF("ID", "NAME")
+      .write.format("graft-remote")
+      .option("url", DerbyFixture.url).option("dbtable", table)
+      .option("stagingwrite", "true")
+      .mode("append").save()
+    val back = remote("dbtable" -> table).collect()
+    // Derby generated the ids (GENERATED ALWAYS rejects explicit values)
+    assert(back.length == 2 && back.forall(!_.isNullAt(0)))
+    assert(back.map(_.getInt(0)).distinct.length == 2)
+  }
+
   test("append write via PreparedStatement batch, then read back") {
     import spark.implicits._
     val df = Seq((100, "ZAMBIA", 4), (101, "ZIMBABWE", 4))
