@@ -509,6 +509,22 @@ object CoreQueries {
         .orderBy(col("ck"))
     }),
 
+    // ---- correlated scalar subquery in the SELECT list --------------------
+    // a distinct decorrelation path from q16's WHERE-clause scalar:
+    // Catalyst rewrites the per-row subquery into a left outer join +
+    // aggregate
+    "q43_select_subquery" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_v43")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_v43")
+      s.sql(
+        """SELECT n_nationkey, n_name,
+          | (SELECT count(*) FROM supplier_v43
+          |  WHERE s_nationkey = n_nationkey) AS n_sup,
+          | (SELECT coalesce(max(s_acctbal), -1.0) FROM supplier_v43
+          |  WHERE s_nationkey = n_nationkey) AS max_bal
+          |FROM nation_v43 ORDER BY n_nationkey""".stripMargin)
+    }),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -731,6 +747,14 @@ object CoreQueries {
         |FROM orders WHERE o_custkey < 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q43_select_subquery" ->
+      """SELECT n_nationkey, n_name,
+        | (SELECT count(*) FROM supplier
+        |  WHERE s_nationkey = n_nationkey) AS n_sup,
+        | (SELECT coalesce(max(s_acctbal), -1.0) FROM supplier
+        |  WHERE s_nationkey = n_nationkey) AS max_bal
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q42_setops_all" ->
       """WITH hi AS (SELECT o_custkey AS ck FROM orders
