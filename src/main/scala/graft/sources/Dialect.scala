@@ -228,9 +228,16 @@ trait Dialect extends Serializable {
     f match {
       case EqualTo(a, v) => literal(v).map(l => s"${col(a)} = $l")
       case EqualNullSafe(a, v) =>
+        // null-safe equality must be TOTAL (TRUE or FALSE, never
+        // UNKNOWN): the common `(c = l OR (c IS NULL AND l IS NULL))`
+        // spelling yields UNKNOWN for a NULL column vs non-null
+        // literal, which under Not(...) silently drops rows — pushed
+        // filters are Exact, so Spark never re-checks. `UNKNOWN AND
+        // FALSE = FALSE` makes this form total. (Found by
+        // DialectFuzzSpec's three-valued-logic differential fuzzer.)
         if (v == null) Some(s"${col(a)} IS NULL")
         else literal(v).map(l =>
-          s"(${col(a)} = $l OR (${col(a)} IS NULL AND $l IS NULL))")
+          s"(${col(a)} = $l AND ${col(a)} IS NOT NULL)")
       case GreaterThan(a, v) => literal(v).map(l => s"${col(a)} > $l")
       case GreaterThanOrEqual(a, v) => literal(v).map(l => s"${col(a)} >= $l")
       case LessThan(a, v) => literal(v).map(l => s"${col(a)} < $l")
@@ -486,12 +493,13 @@ object MdbDialect extends Dialect {
 
   /** MDB's SQL parser rejects parenthesized WHERE predicates, and
     * `whereClause` joins pushed filters with bare AND — so a filter
-    * whose rendering NEEDS parens (Or, In-lists, EqualNullSafe,
-    * Not(...)) cannot be pushed without either invalid SQL or an
-    * AND/OR precedence change. Decline those (`None` ⇒ Spark
-    * re-evaluates them post-scan); And joins paren-free sides with
-    * bare AND, which is safe because any OR-containing side is
-    * itself declined (OR only renders parenthesized). */
+    * whose rendering NEEDS parens (Or, In-lists, Not(...)) cannot be
+    * pushed without either invalid SQL or an AND/OR precedence change.
+    * Decline those (`None` ⇒ Spark re-evaluates them post-scan); And
+    * joins paren-free sides with bare AND, which is safe because any
+    * OR-containing side is itself declined (OR only renders
+    * parenthesized). EqualNullSafe pushes: its 3VL-total rendering is
+    * a pure AND conjunction. */
   override def compileFilter(
       f: Filter, rename: String => String = identity): Option[String] = f match {
     case And(l, r) =>

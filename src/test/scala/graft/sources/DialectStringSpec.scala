@@ -61,16 +61,19 @@ class DialectStringSpec extends AnyFunSuite {
     assert(sql.contains("ORDER BY ordinal_position"))
   }
 
-  test("MDB: paren-requiring filters (OR / IN / null-safe / NOT) are declined") {
+  test("MDB: paren-requiring filters (OR / IN / NOT) are declined") {
     import org.apache.spark.sql.sources.{EqualNullSafe, In, Not, Or}
     // MDB joins pushed filters with bare AND and strips parens; pushing
     // an OR would silently change AND/OR precedence ('(a) OR (b) AND c'),
-    // and IN/NOT/null-safe cannot render paren-free — so all decline and
-    // Spark re-evaluates them post-scan.
+    // and IN/NOT cannot render paren-free — so those decline and Spark
+    // re-evaluates them post-scan.
     assert(MdbDialect.compileFilter(Or(EqualTo("a", 1), EqualTo("b", 2)), identity).isEmpty)
     assert(MdbDialect.compileFilter(In("a", Array(1, 2)), identity).isEmpty)
     assert(MdbDialect.compileFilter(Not(EqualTo("a", 1)), identity).isEmpty)
-    assert(MdbDialect.compileFilter(EqualNullSafe("a", 1), identity).isEmpty)
+    // null-safe equality renders as a pure AND conjunction since the
+    // 3VL-total rewrite — paren-free, so MDB can push it safely
+    assert(MdbDialect.compileFilter(EqualNullSafe("a", 1), identity)
+      .contains("[a] = 1 AND [a] IS NOT NULL"))
     // empty IN renders paren-free ('1 = 0') and null-safe-vs-null is IS NULL
     assert(MdbDialect.compileFilter(In("a", Array.empty[Any]), identity).contains("1 = 0"))
     assert(MdbDialect.compileFilter(EqualNullSafe("a", null), identity)
