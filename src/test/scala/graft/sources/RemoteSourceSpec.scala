@@ -228,6 +228,50 @@ class RemoteSourceSpec extends AnyFunSuite {
       s"expression grouping should stay Spark-side: $plan")
   }
 
+  test("timestamp/date edge cases round-trip (reference timestamp_test shape)") {
+    // reference fixture covers pre-epoch, year-0001, year-9999 and
+    // sub-second precision (SURVEY §5, postgres_init.sql tail); the
+    // proleptic-calendar boundary (pre-1582 dates) is where JDBC
+    // Date/Timestamp vs java.time rebasing bugs live
+    val table = "EDGE_TS"
+    val c = DriverManager.getConnection(DerbyFixture.url)
+    val st = c.createStatement()
+    try st.executeUpdate(s"DROP TABLE $table") catch { case _: Exception => () }
+    st.executeUpdate(
+      s"CREATE TABLE $table (ID INT NOT NULL, TS TIMESTAMP, DT DATE)")
+    val edges = Seq(
+      (1, "0001-01-03 00:00:00", "0001-01-03"),
+      (2, "1582-10-04 12:00:00", "1582-10-04"), // Julian/Gregorian cutover eve
+      (3, "1969-12-31 23:59:59.123456", "1969-12-31"), // pre-epoch
+      (4, "1970-01-01 00:00:00", "1970-01-01"),
+      (5, "9999-12-31 23:59:59.999999", "9999-12-31"))
+    val ps = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?, ?)")
+    edges.foreach { case (id, ts, dt) =>
+      ps.setInt(1, id)
+      ps.setTimestamp(2, java.sql.Timestamp.valueOf(ts))
+      ps.setDate(3, java.sql.Date.valueOf(dt))
+      ps.addBatch()
+    }
+    ps.executeBatch(); ps.close()
+    // source of truth: what the JDBC driver itself hands back
+    val rs = st.executeQuery(s"SELECT ID, TS, DT FROM $table ORDER BY ID")
+    val direct = Iterator.continually(rs).takeWhile(_.next()).map { r =>
+      (r.getInt(1), r.getTimestamp(2).toLocalDateTime, r.getDate(3).toLocalDate)
+    }.toSeq
+    rs.close(); st.close(); c.close()
+    // both decode paths must agree with the driver value-for-value
+    for (columnar <- Seq("true", "false")) {
+      val got = remote("dbtable" -> table, "columnarread" -> columnar)
+        .orderBy(col("ID")).collect().map { r =>
+          // DateType's external type is java.sql.Date under the default
+          // (non-java8API) setting — normalize to LocalDate
+          (r.getInt(0), r.getAs[java.time.LocalDateTime](1),
+            r.getDate(2).toLocalDate)
+        }.toSeq
+      assert(got == direct, s"columnarread=$columnar: $got vs $direct")
+    }
+  }
+
   test("multi-partition range scan returns the same rows") {
     val df = remote("dbtable" -> "NATION",
       "partitioncolumn" -> "N_NATIONKEY", "lowerbound" -> "0",
