@@ -115,8 +115,13 @@ object TextOps {
     * expression). */
   def dupNgramFraction(text: Column, n: Int): Column = {
     val total = (tokenCount(text) - lit(n - 1)).cast("double")
-    lit(1.0) - size(graft.functions.native.shingle_set(tokens(text), n))
-      .cast("double") / total
+    // Documents shorter than n tokens have zero n-grams: define the
+    // fraction as 0.0 rather than NULL (Spark div-by-zero) or a value
+    // outside [0,1] from a negative denominator.
+    when(total > 0,
+      lit(1.0) - size(graft.functions.native.shingle_set(tokens(text), n))
+        .cast("double") / total)
+      .otherwise(lit(0.0))
   }
 
   /** Occurrence count of the document's most frequent n-gram (native
@@ -127,9 +132,11 @@ object TextOps {
 
   /** Fraction of n-gram occurrences taken by the single most frequent
     * n-gram — Gopher's "top n-gram fraction". */
-  def topNgramFraction(text: Column, n: Int): Column =
-    topNgramFreq(text, n).cast("double") /
-      (tokenCount(text) - lit(n - 1)).cast("double")
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val total = (tokenCount(text) - lit(n - 1)).cast("double")
+    when(total > 0, topNgramFreq(text, n).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
 
   // ---- PII detection / redaction ---------------------------------------
 

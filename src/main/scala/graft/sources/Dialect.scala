@@ -135,6 +135,11 @@ trait Dialect extends Serializable {
   }
 
   /** COUNT(1) including pushed filters (reference `connection/mod.rs:454-512`). */
+  /** DDL type for String columns. Documents routinely exceed a few KB,
+    * so the default is Derby's VARCHAR ceiling (32672); dialects with
+    * an unbounded text type override to TEXT/CLOB. */
+  def stringDdlType: String = "VARCHAR(32672)"
+
   /** Remote DDL column type for a Spark type — used by the catalog's
     * CREATE TABLE. ANSI defaults; dialects override where they deviate.
     * Types without a faithful remote image (arrays, maps, structs) are
@@ -149,7 +154,7 @@ trait Dialect extends Serializable {
       case FloatType => "REAL"
       case DoubleType => "DOUBLE"
       case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
-      case StringType => "VARCHAR(4000)"
+      case StringType => stringDdlType
       case BinaryType => "BLOB"
       case DateType => "DATE"
       case TimestampNTZType | TimestampType => "TIMESTAMP"
@@ -384,6 +389,7 @@ object DerbyDialect extends Dialect {
 /** Postgres-family rendering (reference `connection/postgres.rs`). */
 object PostgresDialect extends Dialect {
   val name = "postgres"
+  override def stringDdlType: String = "TEXT"
   override def binaryLiteral(b: Array[Byte]): String =
     "E'\\\\x" + b.map("%02x".format(_)).mkString + "'"
 
@@ -407,6 +413,7 @@ object PostgresDialect extends Dialect {
 /** MySQL rendering (reference `connection/mysql.rs`): backtick idents. */
 object MySqlDialect extends Dialect {
   val name = "mysql"
+  override def stringDdlType: String = "TEXT"
   override def quote(ident: String): String =
     "`" + ident.replace("`", "``") + "`"
 }
@@ -414,12 +421,14 @@ object MySqlDialect extends Dialect {
 /** SQLite rendering (reference `connection/sqlite.rs`). */
 object SqliteDialect extends Dialect {
   val name = "sqlite"
+  override def stringDdlType: String = "TEXT"
 }
 
 /** Oracle rendering: no LIMIT — wrap with ROWNUM like the reference
   * (`connection/mod.rs:321-334,362-379`). */
 object OracleDialect extends Dialect {
   val name = "oracle"
+  override def stringDdlType: String = "CLOB"
   override def supportsOffset: Boolean = false
   override protected def applyLimit(
       sql: String, limit: Option[Int], offset: Option[Int] = None): String =
@@ -436,6 +445,7 @@ object OracleDialect extends Dialect {
   * plain `LIMIT n` rewrites (`rewrite_query`, mod.rs:277-296). */
 object DmDialect extends Dialect {
   val name = "dm"
+  override def stringDdlType: String = "CLOB"
   override def binaryLiteral(b: Array[Byte]): String =
     "HEXTORAW('" + b.map("%02x".format(_)).mkString + "')"
 }
@@ -446,6 +456,7 @@ object DmDialect extends Dialect {
   * `LIMIT n`. */
 object GaussDbDialect extends Dialect {
   val name = "gaussdb"
+  override def stringDdlType: String = "TEXT"
   override def binaryLiteral(b: Array[Byte]): String =
     "E'\\\\x" + b.map("%02x".format(_)).mkString + "'"
 }
@@ -462,6 +473,7 @@ object GaussDbDialect extends Dialect {
   *   - no COUNT(1) statistics query (`try_count1_query`, mod.rs:458). */
 object MdbDialect extends Dialect {
   val name = "mdb"
+  override def stringDdlType: String = "LONGTEXT"
   override def quote(ident: String): String =
     "[" + ident.replace("]", "]]") + "]"
   override def isRewritable(source: RemoteSource): Boolean = source match {

@@ -57,15 +57,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   // ---- tables -----------------------------------------------------------
 
+  /** `DatabaseMetaData.getTables` treats its schema/table arguments as
+    * JDBC LIKE patterns — a lookup for `MY_TABLE` also matches
+    * `MYXTABLE`. Escaping is driver-dependent (Derby declares NO
+    * search-string escape at all), so the pattern is only narrowed
+    * when the driver declares an escape, and matches are ALWAYS
+    * post-filtered by exact name: LIKE can overmatch but never
+    * undermatch a literal identifier, so exact filtering is complete. */
+  private def likeEscape(conn: java.sql.Connection, ident: String): String = {
+    val esc = conn.getMetaData.getSearchStringEscape
+    if (esc == null || esc.isEmpty) ident
+    else ident.replace(esc, esc + esc)
+      .replace("_", esc + "_")
+      .replace("%", esc + "%")
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     withConnection { conn =>
-      val schema = if (namespace.isEmpty) null else namespace.mkString(".")
-      val rs = conn.getMetaData.getTables(null, schema, "%",
+      val wantSchema = if (namespace.isEmpty) null else namespace.mkString(".")
+      val rs = conn.getMetaData.getTables(null,
+        if (wantSchema == null) null else likeEscape(conn, wantSchema), "%",
         Array("TABLE", "VIEW"))
       val out = Seq.newBuilder[Identifier]
       while (rs.next()) {
-        val ns = Option(rs.getString("TABLE_SCHEM")).toArray
-        out += Identifier.of(ns, rs.getString("TABLE_NAME"))
+        val schem = rs.getString("TABLE_SCHEM")
+        if (wantSchema == null || wantSchema == schem)
+          out += Identifier.of(Option(schem).toArray, rs.getString("TABLE_NAME"))
       }
       rs.close()
       out.result().toArray
@@ -79,11 +96,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean =
     withConnection { conn =>
-      val schema = if (ident.namespace().isEmpty) null
+      val wantSchema = if (ident.namespace().isEmpty) null
         else ident.namespace().mkString(".")
-      val rs = conn.getMetaData.getTables(null, schema, ident.name(),
+      val rs = conn.getMetaData.getTables(null,
+        if (wantSchema == null) null else likeEscape(conn, wantSchema),
+        likeEscape(conn, ident.name()),
         Array("TABLE", "VIEW"))
-      val found = rs.next()
+      var found = false
+      while (!found && rs.next())
+        found = rs.getString("TABLE_NAME") == ident.name() &&
+          (wantSchema == null || wantSchema == rs.getString("TABLE_SCHEM"))
       rs.close()
       found
     }

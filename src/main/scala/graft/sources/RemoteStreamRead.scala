@@ -63,8 +63,15 @@ class RemoteMicroBatchStream(
     val lo = start.asInstanceOf[RemoteOffset].max
     val hi = end.asInstanceOf[RemoteOffset].max
     val n = opts.numPartitions
+    // The default streamingStart is Long.MinValue, where `hi - lo`
+    // overflows; such a range is unsliceable (strides would also
+    // overflow), so the first backlog reads as one partition unless
+    // the user sets a finite `streamingstart`.
+    val range = try Some(Math.subtractExact(hi, lo)) catch {
+      case _: ArithmeticException => None
+    }
     if (hi <= lo) Array.empty
-    else if (n <= 1 || hi - lo < n) {
+    else if (n <= 1 || range.forall(_ < n)) {
       Array(RemotePartition(0, Some(s"$q > $lo AND $q <= $hi")))
     } else {
       val stride = (hi - lo) / n

@@ -37,16 +37,21 @@ class RemoteWriteBuilder(
 /** Written fields map to remote columns BY NAME (the contract that
   * lets writers omit auto-increment columns). SQL `INSERT INTO t
   * VALUES ...` reaches an ACCEPT_ANY_SCHEMA table with synthetic
-  * col1..colN names (Spark skips output resolution) — when NO name
-  * resolves and the arity matches the remote table exactly, fall back
-  * to positional mapping; a partial name match stays a loud error
-  * (silent positional guessing could scramble columns). */
+  * col1..colN names (Spark skips output resolution) — ONLY when every
+  * write column carries such a synthetic name and the arity matches
+  * the remote table exactly do we fall back to positional mapping.
+  * Any other all-miss (e.g. a DataFrame whose columns are simply
+  * misnamed) stays a loud error: silent positional guessing could
+  * scramble columns whose types happen to coincide. */
 private[sources] object WriteFields {
+  private val SyntheticCol = "(?i)col\\d+".r
   def resolve(remoteSchema: RemoteSchema, writeSchema: StructType): Array[RemoteField] = {
     val byName = remoteSchema.fields.map(f => f.name.toLowerCase -> f).toMap
     val resolved = writeSchema.fields.map(f => byName.get(f.name.toLowerCase))
+    val allSynthetic =
+      writeSchema.fields.forall(f => SyntheticCol.matches(f.name))
     if (resolved.forall(_.isDefined)) resolved.map(_.get)
-    else if (resolved.forall(_.isEmpty) &&
+    else if (resolved.forall(_.isEmpty) && allSynthetic &&
         writeSchema.fields.length == remoteSchema.fields.length)
       remoteSchema.fields.toArray
     else writeSchema.fields.map(f => remoteSchema(f.name)) // loud error

@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Regression specs for the round-3 ADVICE findings. */
+class Round4FixSpec extends AnyFunSuite {
+  private lazy val spark = { DerbyFixture.init; SparkTestSession.spark }
+
+  // ---- WriteFields positional fallback is synthetic-names-only ---------
+
+  private val remote2 = RemoteSchema(Seq(
+    RemoteField("a", RemoteType.RInt4),
+    RemoteField("b", RemoteType.RVarchar(10))))
+
+  test("positional write fallback fires only for synthetic col1..colN names") {
+    val synthetic = StructType(Seq(
+      StructField("col1", IntegerType), StructField("col2", StringType)))
+    assert(WriteFields.resolve(remote2, synthetic).map(_.name).toSeq ==
+      Seq("a", "b"))
+    // case-insensitive synthetic names still qualify
+    val upper = StructType(Seq(
+      StructField("COL1", IntegerType), StructField("COL2", StringType)))
+    assert(WriteFields.resolve(remote2, upper).map(_.name).toSeq ==
+      Seq("a", "b"))
+  }
+
+  test("all-miss with NON-synthetic names is a loud error, not positional") {
+    val misnamed = StructType(Seq(
+      StructField("x", IntegerType), StructField("y", StringType)))
+    intercept[Exception] { WriteFields.resolve(remote2, misnamed) }
+    // partial miss stays loud too
+    val partial = StructType(Seq(
+      StructField("a", IntegerType), StructField("y", StringType)))
+    intercept[Exception] { WriteFields.resolve(remote2, partial) }
+  }
+
+  // ---- streaming backlog slicing overflow guard ------------------------
+
+  private def streamWith(extra: (String, String)*): RemoteMicroBatchStream = {
+    val opts = RemoteOptions(Map(
+      "url" -> DerbyFixture.url, "dbtable" -> "NATION",
+      "streamingcolumn" -> "ID") ++ extra)
+    val rs = RemoteSchema(Seq(
+      RemoteField("ID", RemoteType.RInt8, nullable = false)))
+    val st = StructType(Seq(StructField("ID", LongType, nullable = false)))
+    new RemoteMicroBatchStream(opts, rs, st, st, Nil)
+  }
+
+  test("first-batch backlog from default streamingStart is one partition (no overflow wrap)") {
+    val s = streamWith("numpartitions" -> "8")
+    // lo = Long.MinValue (default start): hi - lo overflows; must take
+    // the single-partition branch deliberately, not by wrap accident,
+    // and the emitted predicate must be well-formed.
+    val parts = s.planInputPartitions(RemoteOffset(Long.MinValue), RemoteOffset(1000L))
+    assert(parts.length == 1)
+  }
+
+  test("finite streamingstart backlog still slices into numpartitions") {
+    val s = streamWith("numpartitions" -> "4", "streamingstart" -> "0")
+    val parts = s.planInputPartitions(RemoteOffset(0L), RemoteOffset(1000L))
+    assert(parts.length == 4)
+  }
+
+  // ---- catalog LIKE-pattern escaping -----------------------------------
+
+  test("tableExists does not treat '_' in identifiers as a LIKE wildcard") {
+    val c = DriverManager.getConnection(DerbyFixture.url)
+    val st = c.createStatement()
+    try st.executeUpdate("CREATE TABLE LIKEXESC (K INT)")
+    catch { case _: Exception => () }
+    st.close(); c.close()
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = new GraftCatalog()
+    val cco = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("url", DerbyFixture.url))
+    cat.initialize("g", cco)
+    // LIKE semantics would match LIKEXESC for pattern LIKE_ESC; escaped
+    // lookup must say the underscored table does not exist.
+    assert(!cat.tableExists(Identifier.of(Array.empty[String], "LIKE_ESC")))
+    assert(cat.tableExists(Identifier.of(Array.empty[String], "LIKEXESC")))
+  }
+
+  // ---- wide string DDL --------------------------------------------------
+
+  test("catalog CREATE TABLE + append round-trips a >4000-char document") {
+    assert(DerbyDialect.ddlType(StringType) == "VARCHAR(32672)")
+    assert(PostgresDialect.ddlType(StringType) == "TEXT")
+    assert(OracleDialect.ddlType(StringType) == "CLOB")
+    val c = DriverManager.getConnection(DerbyFixture.url)
+    val st = c.createStatement()
+    try st.executeUpdate("DROP TABLE WIDE_DOC") catch { case _: Exception => () }
+    st.executeUpdate(
+      s"CREATE TABLE WIDE_DOC (ID INT, TXT ${DerbyDialect.ddlType(StringType)})")
+    st.close(); c.close()
+    val doc = "x" * 20000
+    import spark.implicits._
+    Seq((1, doc)).toDF("ID", "TXT")
+      .write.format("graft-remote")
+      .option("url", DerbyFixture.url).option("dbtable", "WIDE_DOC")
+      .mode("append").save()
+    val back = spark.read.format("graft-remote")
+      .option("url", DerbyFixture.url).option("dbtable", "WIDE_DOC")
+      .load().collect()
+    assert(back.length == 1 && back(0).getString(1) == doc)
+  }
+
+  // ---- short-document n-gram fraction guard ----------------------------
+
+  test("dupNgramFraction and topNgramFraction are 0.0 for docs shorter than n") {
+    import spark.implicits._
+    val df = Seq("one two", "a", "", "one one one one").toDF("text")
+    val out = df.select(
+      graft.operators.TextOps.dupNgramFraction(col("text"), 3).as("dup"),
+      graft.operators.TextOps.topNgramFraction(col("text"), 3).as("top"))
+      .collect()
+    // first three rows have < 3 tokens → defined 0.0, never NULL/negative
+    (0 to 2).foreach { i =>
+      assert(!out(i).isNullAt(0) && out(i).getDouble(0) == 0.0)
+      assert(!out(i).isNullAt(1) && out(i).getDouble(1) == 0.0)
+    }
+    // 4 tokens, n=3: 2 trigram occurrences, 1 distinct → dup 0.5, top 1.0
+    assert(out(3).getDouble(0) == 0.5)
+    assert(out(3).getDouble(1) == 1.0)
+  }
+}
