@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.sql.Connection
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+/** Pool introspection — the reference's `PoolState`
+  * (`connection/mod.rs:56-60`): total live physical connections and
+  * how many of them are idle in the pool. */
+final case class PoolState(connections: Int, idleConnections: Int)
+
+/** Bounded per-JVM JDBC connection pool — the Spark-executor analogue
+  * of the reference's bb8 pools (`table.rs:469-493` LazyPool,
+  * `connection/postgres.rs:65-95` pool construction with
+  * `pool_max_size`/`pool_min_idle`/`pool_idle_timeout`, defaults
+  * 10/0/600 s, `connection/options.rs:90-93`).
+  *
+  * Why this matters at cluster scale: executors are long-lived JVMs
+  * running many short scan/write tasks. Without a pool, a 1,000-task
+  * stage against one remote database is a connection storm the remote
+  * will refuse; with an executor-scoped bounded pool, each executor
+  * holds at most `poolmaxsize` physical connections regardless of how
+  * many tasks it schedules, and sequential tasks reuse warm
+  * connections instead of paying a handshake each.
+  *
+  * Pools are keyed by connection identity (url + credentials + driver)
+  * and created lazily on first borrow, like the reference's
+  * `LazyPool.get_or_init_pool`. A JVM-wide daemon reaper closes idle
+  * connections older than the idle timeout, keeping `poolminidle`
+  * spares (the bb8 idle-reaper semantics).
+  */
+object GraftConnectionPool {
+
+  final case class PoolKey(
+      url: String,
+      user: Option[String],
+      password: Option[String],
+      driver: Option[String])
+
+  def keyOf(opts: RemoteOptions): PoolKey =
+    PoolKey(opts.url, opts.user, opts.password, opts.driverClass)
+
+  /** One bounded pool for one remote identity. Borrowed connections
+    * are exclusively owned until released; idle ones are validated on
+    * checkout so a remote-side kill never surfaces as a dead handle. */
+  final class Pool(
+      val key: PoolKey,
+      val maxSize: Int,
+      val minIdle: Int,
+      val idleTimeoutMs: Long) {
+
+    private final case class Idle(conn: Connection, since: Long)
+
+    private val lock = new Object
+    private var idle = List.empty[Idle] // most recently released first
+    private var live = 0                // physical: idle + borrowed
+    private var closedFlag = false      // drained pools stop caching
+    val physicalOpens = new AtomicLong(0)
+    val physicalCloses = new AtomicLong(0)
+
+    def state: PoolState = lock.synchronized(PoolState(live, idle.size))
+
+    private def quietClose(c: Connection): Unit = {
+      try c.close() catch { case scala.util.control.NonFatal(_) => () }
+      physicalCloses.incrementAndGet()
+    }
+
+    private def isUsable(c: Connection): Boolean =
+      try !c.isClosed && c.isValid(2) catch {
+        case scala.util.control.NonFatal(_) => false
+      }
+
+    def borrow(physicalOpen: () => Connection, checkoutTimeoutMs: Long): Connection = {
+      val deadline = System.nanoTime() + checkoutTimeoutMs * 1000000L
+      while (true) {
+        var mustOpen = false
+        var candidate: Connection = null
+        lock.synchronized {
+          var found: Connection = null
+          while (found == null && idle.nonEmpty) {
+            val h = idle.head
+            idle = idle.tail
+            if (isUsable(h.conn)) found = h.conn
+            else { live -= 1; quietClose(h.conn) } // dead idle: drop + retry
+          }
+          if (found != null) candidate = found
+          else if (live < maxSize) { live += 1; mustOpen = true }
+          else {
+            val waitMs = (deadline - System.nanoTime()) / 1000000L
+            if (waitMs <= 0) throw new java.sql.SQLTransientConnectionException(
+              s"connection pool for ${key.url} exhausted: " +
+                s"$maxSize connections all in use after ${checkoutTimeoutMs}ms")
+            lock.wait(waitMs)
+          }
+        }
+        if (candidate != null) return candidate
+        if (mustOpen) {
+          // open OUTSIDE the lock: a slow remote handshake must not
+          // serialize every other task on this executor
+          try return physicalOpen()
+          catch {
+            case e: Throwable =>
+              lock.synchronized { live -= 1; lock.notifyAll() }
+              throw e
+          }
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+
+    /** Return a connection to the pool. Transactional state is wiped
+      * (rollback + autoCommit restore) so the next borrower always
+      * sees a clean session; unusable handles are discarded. */
+    def release(c: Connection): Unit = {
+      val clean =
+        try {
+          if (c.isClosed) false
+          else {
+            if (!c.getAutoCommit) { c.rollback(); c.setAutoCommit(true) }
+            c.clearWarnings()
+            true
+          }
+        } catch { case scala.util.control.NonFatal(_) => false }
+      lock.synchronized {
+        if (clean && !closedFlag) idle ::= Idle(c, System.currentTimeMillis())
+        else { live -= 1; quietClose(c) }
+        lock.notifyAll()
+      }
+    }
+
+    /** Close idle connections older than the idle timeout, keeping
+      * `minIdle` spares (newest kept). Called by the reaper daemon and
+      * directly by specs for deterministic tests. */
+    def reap(nowMs: Long = System.currentTimeMillis()): Int = lock.synchronized {
+      val (fresh, stale) = idle.partition(nowMs - _.since < idleTimeoutMs)
+      val spares = math.max(0, minIdle - fresh.size)
+      val (kept, toClose) = stale.splitAt(spares) // stale is newest-first
+      idle = fresh ++ kept
+      toClose.foreach { i => live -= 1; quietClose(i.conn) }
+      toClose.size
+    }
+
+    /** Close every idle connection (spec teardown). Borrowed ones are
+      * untouched — they close on release via the emptied pool check. */
+    def drain(): Unit = lock.synchronized {
+      closedFlag = true
+      idle.foreach(i => { live -= 1; quietClose(i.conn) })
+      idle = Nil
+      lock.notifyAll()
+    }
+  }
+
+  private val pools = new ConcurrentHashMap[PoolKey, Pool]()
+
+  /** Reference `pool_ttl_check_interval` default (`options.rs:93`). */
+  private val reapPeriodMs = 30000L
+  private lazy val reaper: Thread = {
+    val t = new Thread(() => {
+      while (true) {
+        Thread.sleep(reapPeriodMs)
+        pools.values().forEach(p =>
+          try p.reap() catch { case scala.util.control.NonFatal(_) => () })
+      }
+    }, "graft-connection-pool-reaper")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  def poolFor(opts: RemoteOptions): Pool = {
+    val p = pools.computeIfAbsent(keyOf(opts), _ =>
+      new Pool(keyOf(opts), opts.poolMaxSize, opts.poolMinIdle,
+        opts.poolIdleTimeoutMs))
+    reaper // start the daemon on first pool creation
+    p
+  }
+
+  def state(opts: RemoteOptions): PoolState =
+    Option(pools.get(keyOf(opts))).map(_.state).getOrElse(PoolState(0, 0))
+
+  /** Drop every pool and close all idle connections (spec isolation). */
+  def drainAll(): Unit = {
+    val it = pools.values().iterator()
+    while (it.hasNext) { it.next().drain(); it.remove() }
+  }
+}

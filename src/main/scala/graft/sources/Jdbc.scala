@@ -8,31 +8,56 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** JVM-wide connection bookkeeping — the analogue of the reference's
+/** JVM-wide connection checkout — the analogue of the reference's
   * `Pool` trait + state introspection (`connection/mod.rs:51-93`,
   * pool-lifecycle test `integration-tests/tests/postgres.rs:403-439`).
   *
-  * Executors are long-lived JVMs, so per-task open/close with counters
-  * (Spark's JDBC idiom) replaces bb8 pooling; the counters let tests
-  * assert no connection leaks.
+  * `open`/`close` are logical borrow/release: with pooling on (the
+  * default), a release parks the physical connection in the bounded
+  * per-JVM [[GraftConnectionPool]] for the next task instead of
+  * closing it. The opened/closed counters track the borrow/release
+  * pairing, so the leak invariant (every checkout returned) stays
+  * assertable independent of pooling.
   */
 object GraftConnections {
   val opened = new AtomicLong(0)
   val closed = new AtomicLong(0)
   def state: (Long, Long) = (opened.get, closed.get)
 
-  def open(opts: RemoteOptions): Connection = {
+  /** Which pool a borrowed connection must be returned to; absent for
+    * unpooled (`pool=false`) connections, which close physically. */
+  private val borrowedFrom =
+    new java.util.concurrent.ConcurrentHashMap[Connection, GraftConnectionPool.Pool]()
+
+  private[sources] def physicalOpen(opts: RemoteOptions): Connection = {
     opts.driverClass.foreach(Class.forName(_))
     val props = new Properties()
     opts.user.foreach(props.setProperty("user", _))
     opts.password.foreach(props.setProperty("password", _))
-    val c = DriverManager.getConnection(opts.url, props)
+    DriverManager.getConnection(opts.url, props)
+  }
+
+  def open(opts: RemoteOptions): Connection = {
+    val c =
+      if (opts.poolEnabled) {
+        val pool = GraftConnectionPool.poolFor(opts)
+        val conn = pool.borrow(() => {
+          val pc = physicalOpen(opts)
+          pool.physicalOpens.incrementAndGet()
+          pc
+        }, opts.poolCheckoutTimeoutMs)
+        borrowedFrom.put(conn, pool)
+        conn
+      } else physicalOpen(opts)
     opened.incrementAndGet()
     c
   }
 
   def close(c: Connection): Unit = {
-    try c.close() finally closed.incrementAndGet()
+    try {
+      val pool = borrowedFrom.remove(c)
+      if (pool != null) pool.release(c) else c.close()
+    } finally closed.incrementAndGet()
   }
 
   def withConnection[T](opts: RemoteOptions)(f: Connection => T): T = {

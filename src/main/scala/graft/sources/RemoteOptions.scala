@@ -69,6 +69,24 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
   def enableStatistics: Boolean =
     map.getOrElse("enablestatistics", "false").toBoolean
 
+  /** Bounded per-JVM connection pool (reference bb8 pools,
+    * `connection/options.rs:90-93` defaults 10/0/600 s). On by
+    * default: per-task physical connections are an anti-pattern at
+    * cluster scale (a 1,000-task stage = a connection storm). */
+  def poolEnabled: Boolean = map.getOrElse("pool", "true").toBoolean
+  /** Max physical connections per (url, credentials) per JVM. */
+  def poolMaxSize: Int = map.getOrElse("poolmaxsize", "10").toInt
+  /** Idle spares the reaper keeps alive (reference pool_min_idle). */
+  def poolMinIdle: Int = map.getOrElse("poolminidle", "0").toInt
+  /** Seconds an idle connection may park before the reaper closes it
+    * (reference pool_idle_timeout, default 600 s). */
+  def poolIdleTimeoutMs: Long =
+    map.getOrElse("poolidletimeout", "600").toLong * 1000L
+  /** Milliseconds a task waits for a free slot when the pool is at
+    * capacity before failing loudly. */
+  def poolCheckoutTimeoutMs: Long =
+    map.getOrElse("poolcheckouttimeout", "30000").toLong
+
   def partitionColumn: Option[String] = map.get("partitioncolumn")
   def lowerBound: Option[Long] = map.get("lowerbound").map(_.toLong)
   def upperBound: Option[Long] = map.get("upperbound").map(_.toLong)

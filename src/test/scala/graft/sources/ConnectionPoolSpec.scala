@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.sql.DriverManager
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Bounded-pool lifecycle — the Spark-side port of the reference's
+  * pool-state integration test (`integration-tests/tests/postgres.rs:403-439`:
+  * assert pool connections/idle counts across scans). */
+class ConnectionPoolSpec extends AnyFunSuite {
+
+  private def freshDb(tag: String): String = {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val url = s"jdbc:derby:/tmp/graft_pool_${tag}_${System.nanoTime()};create=true"
+    val c = DriverManager.getConnection(url)
+    val st = c.createStatement()
+    st.executeUpdate("CREATE TABLE T (K INT)")
+    st.executeUpdate("INSERT INTO T VALUES (1), (2), (3)")
+    st.close(); c.close()
+    url
+  }
+
+  private def opts(url: String, extra: (String, String)*): RemoteOptions =
+    RemoteOptions(Map("url" -> url, "dbtable" -> "T") ++ extra)
+
+  test("sequential tasks reuse one physical connection") {
+    val url = freshDb("reuse")
+    val o = opts(url)
+    val pool = GraftConnectionPool.poolFor(o)
+    val before = pool.physicalOpens.get
+    // 5 sequential checkouts: every one after the first must hit the
+    // warm idle connection, not a new handshake
+    (1 to 5).foreach { _ =>
+      GraftConnections.withConnection(o) { c =>
+        val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM T")
+        rs.next(); assert(rs.getLong(1) == 3)
+      }
+    }
+    assert(pool.physicalOpens.get - before == 1,
+      s"expected 1 physical open, got ${pool.physicalOpens.get - before}")
+    val st = GraftConnectionPool.state(o)
+    assert(st.connections == 1 && st.idleConnections == 1, s"state $st")
+  }
+
+  test("scans through the DataFrame API reuse pooled connections") {
+    val spark = SparkTestSession.spark
+    val url = freshDb("scan")
+    val o = opts(url)
+    GraftConnectionPool.poolFor(o).drain()
+    GraftConnectionPool.drainAll()
+    val pool = GraftConnectionPool.poolFor(o)
+    val before = pool.physicalOpens.get
+    val df = spark.read.format("graft-remote").option("url", url)
+      .option("dbtable", "T").load()
+    assert(df.count() == 3)
+    assert(df.count() == 3)
+    val (opened, closed) = GraftConnections.state
+    assert(opened == closed, s"borrow/release pairing: $opened != $closed")
+    val physical = pool.physicalOpens.get - before
+    // schema inference + 2 count jobs = several logical checkouts, but
+    // far fewer physical connections (all sequential → exactly 1)
+    assert(physical == 1, s"expected 1 physical connection, got $physical")
+  }
+
+  test("parallel checkouts never exceed poolmaxsize") {
+    val url = freshDb("cap")
+    val o = opts(url, "poolmaxsize" -> "2")
+    val pool = GraftConnectionPool.poolFor(o)
+    assert(pool.maxSize == 2)
+    val maxSeen = new AtomicInteger(0)
+    val start = new CountDownLatch(1)
+    val ex = Executors.newFixedThreadPool(8)
+    val futures = (1 to 8).map { _ =>
+      ex.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          GraftConnections.withConnection(o) { c =>
+            val s = pool.state
+            maxSeen.updateAndGet(m => math.max(m, s.connections))
+            val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM T")
+            rs.next(); assert(rs.getLong(1) == 3)
+            Thread.sleep(20) // force overlap so the cap actually binds
+          }
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(_.get(30, TimeUnit.SECONDS))
+    ex.shutdown()
+    assert(maxSeen.get <= 2, s"pool exceeded cap: ${maxSeen.get}")
+    assert(pool.state.connections <= 2)
+  }
+
+  test("exhausted pool times out loudly instead of hanging") {
+    val url = freshDb("exhaust")
+    val o = opts(url, "poolmaxsize" -> "1", "poolcheckouttimeout" -> "150")
+    val c1 = GraftConnections.open(o)
+    try {
+      val e = intercept[java.sql.SQLTransientConnectionException] {
+        GraftConnections.open(o)
+      }
+      assert(e.getMessage.contains("exhausted"))
+    } finally GraftConnections.close(c1)
+    // after release the slot is free again
+    GraftConnections.withConnection(o)(c => assert(!c.isClosed))
+  }
+
+  test("reaper closes idle connections past the timeout, keeping minIdle spares") {
+    val url = freshDb("reap")
+    val o = opts(url, "poolidletimeout" -> "0", "poolminidle" -> "1",
+      "poolmaxsize" -> "4")
+    val pool = GraftConnectionPool.poolFor(o)
+    // park 3 idle connections
+    val cs = (1 to 3).map(_ => GraftConnections.open(o))
+    cs.foreach(GraftConnections.close)
+    assert(pool.state.idleConnections == 3)
+    val closedNow = pool.reap()
+    assert(closedNow == 2, s"reaped $closedNow")
+    val st = pool.state
+    assert(st.idleConnections == 1 && st.connections == 1, s"state $st")
+  }
+
+  test("release rolls back uncommitted work and restores autoCommit") {
+    val url = freshDb("txn")
+    val o = opts(url)
+    val c1 = GraftConnections.open(o)
+    c1.setAutoCommit(false)
+    val st1 = c1.createStatement()
+    st1.executeUpdate("INSERT INTO T VALUES (99)")
+    st1.close()
+    GraftConnections.close(c1) // no commit: release must roll back
+    GraftConnections.withConnection(o) { c2 =>
+      assert(c2.getAutoCommit, "autoCommit not restored on reuse")
+      val rs = c2.createStatement().executeQuery(
+        "SELECT COUNT(*) FROM T WHERE K = 99")
+      rs.next(); assert(rs.getLong(1) == 0, "uncommitted insert leaked")
+    }
+  }
+
+  test("pool=false bypasses pooling (physical close per task)") {
+    val url = freshDb("nopool")
+    val o = opts(url, "pool" -> "false")
+    val c = GraftConnections.open(o)
+    GraftConnections.close(c)
+    assert(c.isClosed, "unpooled connection must close physically")
+    assert(GraftConnectionPool.state(o) == PoolState(0, 0))
+  }
+}
