@@ -46,6 +46,9 @@ object ConnectorBench {
       timestamp_micros(col("id") * 1000000L).as("C_TS"))
 
     val t0 = System.nanoTime()
+    // default bounded pool (10): Derby's single writer lock thrashes
+    // with more concurrent writers, so capping below the 32 tasks is
+    // measured as fast or faster than 32 unpooled connections
     df.write.format("graft-remote").option("url", url)
       .option("dbtable", "BENCH_T").option("batchsize", "1000")
       .mode("append").save()
@@ -79,5 +82,14 @@ object ConnectorBench {
       s"row count mismatch: $n / $n2 / $n3 != $rows")
     println(s"""{"rows":$rows,"insert_ms":$insertMs,"count_pushdown_ms":$countMs,"scan2col_ms":$scanMs,"full_scan_ms":$fullScanMs}""")
     spark.stop()
+    // embedded Derby DBs are ~1 GB at 1M rows; don't accrete in /tmp
+    graft.sources.GraftConnectionPool.drainAll()
+    try DriverManager.getConnection(s"jdbc:derby:$db;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // XJ015/08006 = clean shutdown
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(db))
   }
 }

@@ -74,8 +74,13 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
     * default: per-task physical connections are an anti-pattern at
     * cluster scale (a 1,000-task stage = a connection storm). */
   def poolEnabled: Boolean = map.getOrElse("pool", "true").toBoolean
-  /** Max physical connections per (url, credentials) per JVM. */
-  def poolMaxSize: Int = map.getOrElse("poolmaxsize", "10").toInt
+  /** Max physical connections per (url, credentials) per JVM. A task
+    * holds its connection for the task's whole lifetime (scan cursor /
+    * write transaction), so the floor is the JVM's concurrent-task
+    * count — a cap below it would park runnable tasks on checkout
+    * until timeout. Default: max(reference's 10, executor cores). */
+  def poolMaxSize: Int = map.get("poolmaxsize").map(_.toInt).getOrElse(
+    math.max(10, Runtime.getRuntime.availableProcessors()))
   /** Idle spares the reaper keeps alive (reference pool_min_idle). */
   def poolMinIdle: Int = map.getOrElse("poolminidle", "0").toInt
   /** Seconds an idle connection may park before the reaper closes it
@@ -83,9 +88,10 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
   def poolIdleTimeoutMs: Long =
     map.getOrElse("poolidletimeout", "600").toLong * 1000L
   /** Milliseconds a task waits for a free slot when the pool is at
-    * capacity before failing loudly. */
+    * capacity before failing loudly. Generous default: holders are
+    * whole tasks, which legitimately run minutes. */
   def poolCheckoutTimeoutMs: Long =
-    map.getOrElse("poolcheckouttimeout", "30000").toLong
+    map.getOrElse("poolcheckouttimeout", "300000").toLong
 
   def partitionColumn: Option[String] = map.get("partitioncolumn")
   def lowerBound: Option[Long] = map.get("lowerbound").map(_.toLong)
