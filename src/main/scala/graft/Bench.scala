@@ -63,28 +63,42 @@ object Bench {
     try BucketedTables.ensure(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] bucketed fixture setup failed: $e") }
+    // Noise immunity: time each query REPS times in-process and report
+    // the per-query MEDIAN. A single-shot timing conflates the query
+    // with whatever the machine was doing that second (observed: 1.8×
+    // total swings under background load); the median of 3+ strips the
+    // outlier without hiding a real regression.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     var errors = List.empty[String]
     val results = headline.map { name =>
-      // q28/r06 legitimately set session confs their own execution needs
-      // (optimizer rewrites fire at execution, not build); reset them
-      // BEFORE each query so no query times under another's leaked confs
-      SparkEntry.resetSessionConfs(spark)
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      // a failed query must be VISIBLE, not a fast fake timing
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors ::= s"$name: ${e.getClass.getSimpleName}"
-          System.err.println(s"[bench] $name FAILED: $e")
+      val times = (1 to reps).flatMap { _ =>
+        // q28/r06 legitimately set session confs their own execution
+        // needs (optimizer rewrites fire at execution, not build);
+        // reset them BEFORE each rep so no rep times under another's
+        // leaked confs
+        SparkEntry.resetSessionConfs(spark)
+        val t0 = System.nanoTime()
+        // a failed query must be VISIBLE, not a fast fake timing
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            errors ::= s"$name: ${e.getClass.getSimpleName}"
+            System.err.println(s"[bench] $name FAILED: $e")
+            None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val median =
+        if (times.isEmpty) 0.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.reverse
       .map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
