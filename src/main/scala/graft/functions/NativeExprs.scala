@@ -124,15 +124,24 @@ case class SimHash64(child: Expression)
 
 /** 62-bit SimHash over DUAL polynomial token hashes: each token is
   * hashed twice with the [[PolyFingerprint]] construction (base 31 mod
-  * 2³¹-1 and base 37 mod 2147483629) and the two 31-bit results are
-  * packed into one 62-bit value; the signature is the sign of per-bit
-  * ±1 sums across the token MULTISET. Engine-independent by
-  * construction — no hash-family secret — so a SQL oracle reproduces it
-  * bit-for-bit (the hash-family-free variant of [[SimHash64]], same
-  * trade PolyFingerprint makes vs xxhash: slightly weaker mixing for
-  * exact cross-engine reproducibility). Bits 62-63 are always 0, which
-  * the 4×16-bit chunk banding tolerates (those bits simply never
-  * differ). */
+  * 2³¹-1 and base 37 mod 2147483629), each 31-bit result is finalized
+  * with a murmur-style fmix32 avalanche (masked to 31 bits), and the
+  * two are packed into one 62-bit value; the signature is the sign of
+  * per-bit ±1 sums across the token MULTISET. Engine-independent by
+  * construction — no hash-family secret — so a SQL oracle reproduces
+  * it bit-for-bit (the hash-family-free variant of [[SimHash64]]).
+  *
+  * The finalizer is load-bearing, not cosmetic: a raw polynomial hash
+  * of a short token is a SMALL number ("a" → 97), so without
+  * avalanching the high bits of every common token's hash are zero,
+  * every document's high signature bits collapse to 0, and hamming
+  * distances shrink until banding explodes (measured at sf0.1:
+  * 61,581 "near-dup" pairs raw vs 505 finalized — a 100× candidate
+  * blow-up from bit bias, not real similarity). fmix32 is expressed in
+  * overflow-safe BIGINT arithmetic (decomposed 16×32-bit multiplies
+  * mod 2³²) so DuckDB reproduces it without 64-bit wraparound.
+  * Bits 62-63 are always 0, which the 4×16-bit chunk banding
+  * tolerates (those bits simply never differ). */
 case class SimHashPoly(child: Expression)
   extends UnaryExpression {
 
@@ -167,12 +176,24 @@ case class SimHashPoly(child: Expression)
       java.lang.Long](1 << 12)
   private val cacheCap = 1 << 16
 
+  /** fmix32 finalizer masked to 31 bits. 64-bit products are masked to
+    * 2³² — bit-identical to the oracle's decomposed-multiply form. */
+  private def fmix31(x0: Long): Long = {
+    var x = x0 & 0xFFFFFFFFL
+    x ^= x >>> 16
+    x = (x * 0x85ebca6bL) & 0xFFFFFFFFL
+    x ^= x >>> 13
+    x = (x * 0xc2b2ae35L) & 0xFFFFFFFFL
+    x ^= x >>> 16
+    x & 0x7FFFFFFFL
+  }
+
   private def tokenHash(u: org.apache.spark.unsafe.types.UTF8String): Long = {
     val hit = cache.get(u)
     if (hit != null) return hit.longValue()
     val s = u.toString
-    val h = polyHash(s, 31L, 2147483647L) |
-      (polyHash(s, 37L, 2147483629L) << 31)
+    val h = fmix31(polyHash(s, 31L, 2147483647L)) |
+      (fmix31(polyHash(s, 37L, 2147483629L)) << 31)
     if (cache.size < cacheCap) cache.put(u.copy(), java.lang.Long.valueOf(h))
     h
   }

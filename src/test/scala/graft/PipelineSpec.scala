@@ -42,10 +42,17 @@ class PipelineSpec extends AnyFunSuite {
     // independent reference: same construction, written separately
     def poly(s: String, base: Long, mod: Long): Long =
       s.foldLeft(0L)((h, c) => (h * base + c.toLong) % mod)
+    def fmix31(x0: Long): Long = {
+      var x = x0 & 0xFFFFFFFFL
+      x ^= x >>> 16; x = (x * 0x85ebca6bL) & 0xFFFFFFFFL
+      x ^= x >>> 13; x = (x * 0xc2b2ae35L) & 0xFFFFFFFFL
+      x ^= x >>> 16; x & 0x7FFFFFFFL
+    }
     def ref(text: String): Long = {
       val counts = new Array[Int](62)
       text.split(" ", -1).foreach { t =>
-        val h = poly(t, 31, 2147483647L) | (poly(t, 37, 2147483629L) << 31)
+        val h = fmix31(poly(t, 31, 2147483647L)) |
+          (fmix31(poly(t, 37, 2147483629L)) << 31)
         (0 until 62).foreach(b =>
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1)
       }
