@@ -209,7 +209,11 @@ object PipelineQueries {
     // ln-perplexity so the oracle reproduces it bit-for-bit.
     "p22_unigram_lm" -> ((s, dir) => {
       val d = docs(s, dir)
-      val probs = LmOps.unigramProbs(d, "text")
+      // topK=16 binds on the 31-token fixture vocabulary: out-of-table
+      // tokens score the 0.0 default while the full-corpus total keeps
+      // the kept probabilities true — the exact shape a 100 TB corpus
+      // needs (bounded driver/broadcast table, unbounded token tail)
+      val probs = LmOps.unigramProbs(d, "text", topK = 16)
       d.select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_tok"),
           LmOps.avgTokenProb(col("text"), probs).as("avg_tok_prob"))
@@ -386,8 +390,9 @@ object PipelineQueries {
         | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
         |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+        |kept AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 16),
         |pm AS (SELECT map(list(t), list(CAST(c AS DOUBLE) / (SELECT n FROM tot)))
-        |         AS m FROM cnt)
+        |         AS m FROM kept)
         |SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
         | list_sum(list_transform(string_split(text, ' '),

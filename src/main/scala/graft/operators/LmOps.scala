@@ -21,10 +21,14 @@ import org.apache.spark.sql.functions._
 object LmOps {
 
   /** Unigram probabilities (token -> count/total) estimated from the
-    * corpus. @param topK keep only the most frequent topK tokens
-    * (0 = all); everything else scores the caller's default. */
+    * corpus. @param topK keep only the most frequent topK tokens;
+    * everything else scores the caller's default. The default cap is
+    * deliberate: on a web corpus the distinct-token tail (typos,
+    * garbage) is unbounded, and this table is collect()ed to the
+    * driver and broadcast — an uncapped call is a driver OOM at scale.
+    * Pass 0 to opt out explicitly (small closed vocabularies only). */
   def unigramProbs(df: DataFrame, textCol: String,
-      topK: Int = 0): Seq[(String, Double)] = {
+      topK: Int = 65536): Seq[(String, Double)] = {
     val counted = df.select(explode(TextOps.tokens(col(textCol))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
     val kept = if (topK > 0) counted.orderBy(col("c").desc, col("t")).limit(topK)

@@ -110,6 +110,26 @@ class Round4FixSpec extends AnyFunSuite {
     assert(back.length == 1 && back(0).getString(1) == doc)
   }
 
+  // ---- unigram-LM vocabulary cap ---------------------------------------
+
+  test("unigramProbs caps the collected vocabulary; totals stay full-corpus") {
+    import spark.implicits._
+    // "a" x6, "b" x4, "c" x2, "d" x1 -> 13 tokens total
+    val df = Seq("a a a b b", "a a a b b c", "c d").toDF("text")
+    val capped = graft.operators.LmOps.unigramProbs(df, "text", topK = 2)
+    assert(capped.size == 2, s"cap not applied: ${capped.size}")
+    assert(capped.toMap.keySet == Set("a", "b"))
+    // probabilities divide by the FULL corpus total (13), not the kept
+    // mass — capped tables must stay true probabilities
+    assert(capped.toMap.apply("a") == 6.0 / 13.0)
+    assert(capped.toMap.apply("b") == 4.0 / 13.0)
+    // the default is bounded (driver-side collect of an unbounded
+    // web-corpus vocabulary is an OOM); 0 is the explicit opt-out
+    val dflt = graft.operators.LmOps.unigramProbs(df, "text")
+    assert(dflt.size == 4)
+    assert(graft.operators.LmOps.unigramProbs(df, "text", topK = 0).size == 4)
+  }
+
   // ---- short-document n-gram fraction guard ----------------------------
 
   test("dupNgramFraction and topNgramFraction are 0.0 for docs shorter than n") {
