@@ -24,7 +24,7 @@ object Bench {
     "p14_dedup_cluster", "p15_stratified_sample", "p16_quality_pipeline",
     "p17_fuzzy_pairs", "p18_repetition", "p19_pii", "p20_decontam",
     "p21_packing", "p22_unigram_lm", "p23_quantize",
-    "m01_multimodal", "m02_frame_sample")
+    "m01_multimodal", "m02_frame_sample", "m03_resize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

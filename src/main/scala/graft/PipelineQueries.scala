@@ -286,24 +286,42 @@ object PipelineQueries {
             .as("recall_ok"))
     }),
 
-    // ---- multimodal plumbing (stubbed decode) --------------------------
+    // ---- multimodal: REAL javax.imageio decode -------------------------
+    // Documents render as genuine 24-bit BMP files (hand-written wire
+    // layout: bottom-up rows, BGR, 4-byte padding; dims varied so the
+    // padding path is exercised); the decode stage reads them back with
+    // javax.imageio and digests the decoded pixel stream. The pixel
+    // stream is the doc's ASCII bytes cyclically, so DuckDB reproduces
+    // the expected pixels from text alone — any writer/decoder mismatch
+    // (channel order, row order, padding) breaks the hash.
     "m01_multimodal" -> ((s, dir) => {
-      val feats = MultimodalOps.extractFeatures(
-        MultimodalOps.documentsAsAssets(s, dir))
-      feats.toDF().select(col("asset_id"), col("n_bytes"), col("tag"))
+      val feats = MultimodalOps.extractImageFeatures(
+        MultimodalOps.imageAssets(s, dir))
+      feats.toDF().select(col("asset_id"), col("width"), col("height"),
+          col("n_bytes"), col("tag"), col("sum_r"))
         .orderBy(col("asset_id"))
     }),
 
-    // frame sampling plumbing: every 2nd 64-byte chunk per asset; the
-    // fixture text is pure ASCII so DuckDB's char-substring oracle sees
-    // exactly the same bytes the Spark chunker does
+    // frame sampling with real decode: 8 concatenated BMP frames per
+    // "video" asset, every 2nd frame located by offset arithmetic,
+    // decoded via javax.imageio, pixel-digested
     "m02_frame_sample" -> ((s, dir) => {
-      val frames = MultimodalOps.sampleFrames(
-        MultimodalOps.documentsAsAssets(s, dir), frameBytes = 64, stride = 2)
+      val frames = MultimodalOps.sampleDecodedFrames(
+        MultimodalOps.videoAssets(s, dir, nFrames = 8), stride = 2)
       frames.toDF().select(col("asset_id"), col("frame_idx"),
-          md5(col("frame")).as("frame_tag"),
-          length(col("frame")).cast("int").as("frame_bytes"))
+          col("width"), col("height"), col("frame_tag"))
         .orderBy(col("asset_id"), col("frame_idx"))
+    }),
+
+    // real resize: decode -> nearest-neighbor downsample (factor 2) ->
+    // re-encode BMP -> decode again for verification; the full
+    // encode/decode/resize chain must land on the oracle's pixels
+    "m03_resize" -> ((s, dir) => {
+      val feats = MultimodalOps.extractImageFeatures(
+        MultimodalOps.resizeImages(MultimodalOps.imageAssets(s, dir), factor = 2))
+      feats.toDF().select(col("asset_id"), col("width"), col("height"),
+          col("tag"))
+        .orderBy(col("asset_id"))
     }))
 
   /** Exact brute-force cosine pair oracle, shared by p09 (brute force)
@@ -709,22 +727,61 @@ object PipelineQueries {
     // drift possible).
     "p10_embed_lsh" -> exactCosinePairsOracle,
 
+    // decoded-pixel oracle: the BMP pixel stream is the ASCII text
+    // repeated cyclically, so repeat()+substring reproduces exactly the
+    // bytes javax.imageio must decode (dims derived from doc_id as in
+    // MultimodalOps.imageDims; n_bytes = 54-byte header + padded rows)
     "m01_multimodal" ->
-      """SELECT doc_id AS asset_id,
-        | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-        | md5(text) AS tag
-        |FROM documents ORDER BY asset_id""".stripMargin,
+      """WITH d AS (
+        | SELECT doc_id, text, 13 + doc_id % 4 AS w, 6 + doc_id % 3 AS h
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, w, h,
+        |  substring(repeat(text, CAST(ceil(384.0 / length(text)) AS INT) + 1),
+        |    1, CAST(w * h * 3 AS INT)) AS px
+        | FROM d)
+        |SELECT doc_id AS asset_id, CAST(w AS INT) AS width,
+        | CAST(h AS INT) AS height,
+        | CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT) AS n_bytes,
+        | md5(px) AS tag,
+        | CAST(list_sum(list_transform(range(0, CAST(w * h AS INT)),
+        |   i -> unicode(substring(px, CAST(1 + i * 3 AS INT), 1)))) AS BIGINT)
+        |  AS sum_r
+        |FROM s ORDER BY asset_id""".stripMargin,
 
     "m02_frame_sample" ->
-      """WITH bound AS (
-        | SELECT CAST(ceil(max(length(text)) / 64.0) AS BIGINT) AS n
+      """WITH d AS (
+        | SELECT doc_id, text, 13 + doc_id % 4 AS w, 6 + doc_id % 3 AS h
         | FROM documents),
-        |idx AS (SELECT unnest(range(0, (SELECT n FROM bound))) AS i)
-        |SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
-        | md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_tag,
-        | CAST(length(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS INT)
-        |  AS frame_bytes
-        |FROM documents, idx
-        |WHERE i * 64 < length(text) AND i % 2 = 0
-        |ORDER BY asset_id, frame_idx""".stripMargin)
+        |s AS (
+        | SELECT doc_id, w, h,
+        |  repeat(text, CAST(ceil(3072.0 / length(text)) AS INT) + 1) AS str
+        | FROM d),
+        |f AS (SELECT unnest(range(0, 8)) AS fi)
+        |SELECT doc_id AS asset_id, CAST(fi AS INT) AS frame_idx,
+        | CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        | md5(substring(str, CAST(1 + fi * w * h * 3 AS INT),
+        |   CAST(w * h * 3 AS INT))) AS frame_tag
+        |FROM s, f WHERE fi % 2 = 0
+        |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    // nearest-neighbor downsample by 2: output pixel (x,y) = source
+    // pixel (2x,2y); RGB triples lifted straight out of the source
+    // pixel string
+    "m03_resize" ->
+      """WITH d AS (
+        | SELECT doc_id, text, 13 + doc_id % 4 AS w, 6 + doc_id % 3 AS h
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, w, h, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh,
+        |  substring(repeat(text, CAST(ceil(384.0 / length(text)) AS INT) + 1),
+        |    1, CAST(w * h * 3 AS INT)) AS px
+        | FROM d)
+        |SELECT doc_id AS asset_id, CAST(ow AS INT) AS width,
+        | CAST(oh AS INT) AS height,
+        | md5(array_to_string(list_transform(range(0, CAST(ow * oh AS INT)),
+        |   j -> substring(px,
+        |     CAST(1 + (((j // ow) * 2) * w + (j % ow) * 2) * 3 AS INT), 3)),
+        |  '')) AS tag
+        |FROM s ORDER BY asset_id""".stripMargin)
 }

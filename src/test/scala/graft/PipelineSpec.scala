@@ -123,6 +123,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames == Set((1L, 0, 100), (1L, 2, 100), (2L, 0, 3)))
   }
 
+  test("hand-written BMP decodes via javax.imageio to the exact seed stream") {
+    import graft.multimodal.MultimodalOps._
+    // dims 13..16 x 6..8 cover 0/1/2-byte row padding
+    for (w <- 13 to 16; h <- 6 to 8) {
+      val seed = Array.tabulate[Byte](97)(i => ((i * 7 + 3) % 127).toByte)
+      val (dw, dh, rgb) = decodeRgb(syntheticBmp(seed, w, h))
+      assert((dw, dh) == (w, h))
+      val expected = Array.tabulate[Byte](w * h * 3)(i => seed(i % seed.length))
+      assert(rgb.toSeq == expected.toSeq, s"pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("decodeRgb handles a second real codec: ImageIO PNG round-trip") {
+    import graft.multimodal.MultimodalOps._
+    val (w, h) = (15, 7)
+    val seed = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val (_, _, rgb) = decodeRgb(syntheticBmp(seed, w, h))
+    // re-encode those pixels with the JVM's PNG writer...
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(p) & 0xFF) << 16) | ((rgb(p + 1) & 0xFF) << 8)
+        | (rgb(p + 2) & 0xFF))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    // ...and decode the PNG through the same path: identical pixels
+    val (pw, ph, prgb) = decodeRgb(bos.toByteArray)
+    assert((pw, ph) == (w, h) && prgb.toSeq == rgb.toSeq)
+  }
+
+  test("undecodable payload fails loudly") {
+    intercept[IllegalArgumentException] {
+      graft.multimodal.MultimodalOps.decodeRgb("not an image".getBytes)
+    }
+  }
+
   test("resize stub downsamples deterministically and tags the media type") {
     import spark.implicits._
     val assets = Seq(graft.multimodal.MediaAsset(
