@@ -25,7 +25,26 @@ object RemoteQueries {
     "NATION" -> "CREATE TABLE NATION (N_NATIONKEY INT, N_NAME VARCHAR(64), N_REGIONKEY INT)",
     "SUPPLIER" -> "CREATE TABLE SUPPLIER (S_SUPPKEY BIGINT, S_NAME VARCHAR(64), S_NATIONKEY INT, S_ACCTBAL DOUBLE)",
     "CUSTOMER" -> ("CREATE TABLE CUSTOMER (C_CUSTKEY BIGINT, C_NAME VARCHAR(64), " +
-      "C_NATIONKEY INT, C_ACCTBAL DOUBLE, C_MKTSEGMENT VARCHAR(16))"))
+      "C_NATIONKEY INT, C_ACCTBAL DOUBLE, C_MKTSEGMENT VARCHAR(16))"),
+    // nested-column fixture: a scalar JSON column the reader decodes as
+    // a typed struct (reference SdeGeometry shape, oracle.rs:528-650)
+    "GEO" -> "CREATE TABLE GEO (G_KEY INT, G_GEOM VARCHAR(2048))")
+
+  /** Fixture DataFrame per remote table (GEO derives from nation: the
+    * struct payload is assembled with to_json at write time, then must
+    * decode back through the struct-column read path). */
+  private def fixtureDf(spark: SparkSession, dir: String, table: String): DataFrame =
+    table match {
+      case "GEO" =>
+        Tables.table(spark, dir, "nation")
+          .select(col("n_nationkey").cast(IntegerType).as("G_KEY"),
+            to_json(struct(
+              col("n_nationkey").cast(IntegerType).as("entity"),
+              (col("n_regionkey") + 1).cast(IntegerType).as("numpts"),
+              (col("n_nationkey") * 1.5).as("minx"),
+              encode(col("n_name"), "UTF-8").as("points"))).as("G_GEOM"))
+      case t => Tables.table(spark, dir, t.toLowerCase)
+    }
 
   /** Copy the fixtures into Derby through the connector write path;
     * idempotent per JVM, fresh tables per run. Returns the JDBC url. */
@@ -38,7 +57,7 @@ object RemoteQueries {
     // run's tables are valid iff the row counts match — skip the
     // rewrite then instead of paying it once per JVM
     val counts = ddl.keys.map(t =>
-      t -> Tables.table(spark, dir, t.toLowerCase).count()).toMap
+      t -> fixtureDf(spark, dir, t).count()).toMap
     val c = DriverManager.getConnection(url)
     val st = c.createStatement()
     val upToDate = ddl.keys.forall { t =>
@@ -55,7 +74,7 @@ object RemoteQueries {
     }
     st.close(); c.close()
     if (!upToDate) ddl.keys.foreach { table =>
-      Tables.table(spark, dir, table.toLowerCase)
+      fixtureDf(spark, dir, table)
         .write.format("graft-remote")
         .option("url", url).option("dbtable", table)
         .mode("append").save()
@@ -216,6 +235,22 @@ object RemoteQueries {
             .as("bal"))
         .select(col("N_NAME").as("n_name"), col("n_sup"), col("bal"))
         .orderBy(col("n_name"))
+    }),
+
+    // Nested-struct decode end-to-end: the remote scalar JSON column is
+    // declared a typed struct via structcol.<name>; the reader decodes
+    // it to InternalRow (reference SdeGeometry assembly,
+    // connection/oracle.rs:528-650) and Spark addresses the fields
+    "r11_struct_decode" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "GEO",
+        "structcol.g_geom" -> "entity INT, numpts INT, minx DOUBLE, points BINARY")
+        .select(col("G_KEY").as("g_key"),
+          col("G_GEOM.entity").as("entity"),
+          col("G_GEOM.numpts").as("numpts"),
+          col("G_GEOM.minx").as("minx"),
+          decode(col("G_GEOM.points"), "UTF-8").as("pt_name"))
+        .orderBy(col("g_key"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -259,5 +294,13 @@ object RemoteQueries {
         | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_name < 'NATION_13'
-        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the struct fields reconstruct from nation directly: the gate
+    // verifies JSON encode (write) -> struct decode (read) is lossless
+    "r11_struct_decode" ->
+      """SELECT n_nationkey AS g_key, n_nationkey AS entity,
+        | n_regionkey + 1 AS numpts,
+        | n_nationkey * 1.5 AS minx,
+        | n_name AS pt_name
+        |FROM nation ORDER BY g_key""".stripMargin)
 }

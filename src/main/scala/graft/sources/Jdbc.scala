@@ -88,6 +88,90 @@ object ScanSqlLog {
   def clear(): Unit = q.clear()
 }
 
+/** JSON-backed nested-struct decode — the Spark-native analogue of the
+  * reference assembling Oracle's SdeGeometry object columns into an
+  * Arrow StructArray (`connection/oracle.rs:528-650`,
+  * `schema.rs:282-331`). The remote carries the struct as a scalar
+  * JSON document (the portable cross-DB encoding: Derby VARCHAR,
+  * Postgres JSON, Oracle CLOB); the reader parses it straight into an
+  * InternalRow against the REQUIRED schema — which, under Spark's
+  * nested-schema pruning, may be a SUBSET of the declared struct, so
+  * decode follows the pruned shape, never the full declaration.
+  * Binary fields travel base64-encoded. */
+object JsonStructDecode {
+  import com.fasterxml.jackson.databind.JsonNode
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** JSON document → InternalRow of `st` (Catalyst values). */
+  def parse(s: String, st: StructType): org.apache.spark.sql.catalyst.InternalRow =
+    toRow(mapper.readTree(s), st)
+
+  private def toRow(node: JsonNode, st: StructType)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val arr = new Array[Any](st.fields.length)
+    var i = 0
+    while (i < st.fields.length) {
+      val f = st.fields(i)
+      val n = node.get(f.name)
+      arr(i) = if (n == null || n.isNull) null else convert(n, f.dataType)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+  }
+
+  private def convert(n: JsonNode, dt: DataType): Any = dt match {
+    case IntegerType => n.intValue()
+    case LongType => n.longValue()
+    case ShortType => n.shortValue()
+    case ByteType => n.numberValue().byteValue()
+    case DoubleType => n.doubleValue()
+    case FloatType => n.floatValue()
+    case BooleanType => n.booleanValue()
+    case StringType => UTF8String.fromString(n.asText())
+    case BinaryType => java.util.Base64.getDecoder.decode(n.asText())
+    case d: DecimalType =>
+      Decimal(BigDecimal(n.decimalValue()).setScale(d.scale,
+        BigDecimal.RoundingMode.HALF_UP), d.precision, d.scale)
+    case nested: StructType => toRow(n, nested)
+    case ArrayType(et, _) =>
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.tabulate[Any](n.size())(i =>
+          if (n.get(i).isNull) null else convert(n.get(i), et)))
+    case other => throw new IllegalArgumentException(
+      s"JSON struct decode: unsupported field type $other")
+  }
+
+  /** JSON document → external Row (Transform path: user code sees java
+    * values, not Catalyst ones). */
+  def parseExternal(s: String, st: StructType): org.apache.spark.sql.Row =
+    toExternalRow(mapper.readTree(s), st)
+
+  private def toExternalRow(node: JsonNode, st: StructType)
+      : org.apache.spark.sql.Row = {
+    val arr = new Array[Any](st.fields.length)
+    var i = 0
+    while (i < st.fields.length) {
+      val f = st.fields(i)
+      val n = node.get(f.name)
+      arr(i) = if (n == null || n.isNull) null else externalConvert(n, f.dataType)
+      i += 1
+    }
+    org.apache.spark.sql.Row.fromSeq(arr.toIndexedSeq)
+  }
+
+  private def externalConvert(n: JsonNode, dt: DataType): Any = dt match {
+    case StringType => n.asText()
+    case nested: StructType => toExternalRow(n, nested)
+    case ArrayType(et, _) =>
+      (0 until n.size()).map(i =>
+        if (n.get(i).isNull) null else externalConvert(n.get(i), et))
+    case d: DecimalType =>
+      BigDecimal(n.decimalValue()).setScale(d.scale, BigDecimal.RoundingMode.HALF_UP)
+    case _ => convert(n, dt)
+  }
+}
+
 object Jdbc {
 
   /** java.sql.Types -> RemoteType (SURVEY.md §1.3 mapping, driven by
@@ -134,8 +218,8 @@ object Jdbc {
     * `isAutoIncrement`), falling back to the generic 1-row probe +
     * result-set metadata (reference `connection/mysql.rs:83-92`,
     * `connection/dm/mod.rs:91-106`). */
-  def inferSchema(opts: RemoteOptions): RemoteSchema =
-    GraftConnections.withConnection(opts) { c =>
+  def inferSchema(opts: RemoteOptions): RemoteSchema = {
+    val inferred = GraftConnections.withConnection(opts) { c =>
       val viaCatalog = opts.source match {
         case RemoteSource.TableRef(parts) =>
           try opts.dialect.catalogInference(c, parts)
@@ -143,6 +227,29 @@ object Jdbc {
         case _ => None
       }
       viaCatalog.getOrElse(probeSchema(c, opts))
+    }
+    overlayStructCols(inferred, opts.structCols)
+  }
+
+  /** Re-type user-declared struct columns: the remote probe sees a
+    * scalar (VARCHAR/JSON/CLOB) column; `structcol.<name>` declares its
+    * JSON payload decodes as a typed struct — the user-schema analogue
+    * of the reference's SdeGeometry mapping (`schema.rs:282-331`). */
+  def overlayStructCols(rs: RemoteSchema,
+      structCols: Map[String, StructType]): RemoteSchema =
+    if (structCols.isEmpty) rs
+    else {
+      val unknown = structCols.keys.filterNot(n =>
+        rs.fields.exists(_.name.equalsIgnoreCase(n)))
+      require(unknown.isEmpty,
+        s"structcol declared for absent column(s): ${unknown.mkString(", ")}")
+      RemoteSchema(rs.fields.map { f =>
+        structCols.collectFirst {
+          case (n, st) if n.equalsIgnoreCase(f.name) =>
+            f.copy(tpe = RemoteType.RStruct(st.fields.toSeq.map(sf =>
+              RemoteField(sf.name, RemoteType.fromSpark(sf.dataType), sf.nullable))))
+        }.getOrElse(f)
+      })
     }
 
   /** Generic probe-based inference (any SELECT-capable backend). */
@@ -249,6 +356,18 @@ object Jdbc {
     Array.tabulate(n)(java.lang.reflect.Array.get(raw, _))
   }
 
+  /** Getter honoring the REQUIRED Spark type: struct columns decode
+    * against the (possibly nested-pruned) required shape; everything
+    * else dispatches on the remote type as usual. */
+  def catalystGetter(f: RemoteField, requiredType: DataType): (ResultSet, Int) => Any =
+    (f.tpe, requiredType) match {
+      case (RemoteType.RStruct(_), st: StructType) => (rs, i) => {
+        val v = rs.getString(i)
+        if (v == null) null else JsonStructDecode.parse(v, st)
+      }
+      case _ => catalystGetter(f)
+    }
+
   /** Catalyst-value getter per field — the port of the reference's
     * per-type Arrow builders (`connection/postgres.rs:680-1268` etc.),
     * producing InternalRow-compatible values. */
@@ -317,7 +436,7 @@ object Jdbc {
   def columnarSupported(fields: Seq[RemoteField]): Boolean = {
     import RemoteType._
     fields.forall(_.tpe match {
-      case RArray(_) => false
+      case RArray(_) | RStruct(_) => false
       case _ => true
     })
   }
@@ -454,6 +573,12 @@ object Jdbc {
           val v = rs.getArray(i)
           if (v == null) null
           else sqlArrayElements(v).map(e => if (e == null) null else conv(e)).toSeq
+        }
+      case RStruct(fs) =>
+        val st = StructType(fs.map(f => StructField(f.name, f.tpe.toSpark, f.nullable)))
+        (rs, i) => {
+          val v = rs.getString(i)
+          if (v == null) null else JsonStructDecode.parseExternal(v, st)
         }
       case _ => (rs, i) => rs.getString(i)
     }

@@ -108,6 +108,17 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
   def streamingStart: Long =
     map.getOrElse("streamingstart", Long.MinValue.toString).toLong
 
+  /** `structcol.<name> = <spark ddl>` declares that a scalar remote
+    * column (VARCHAR/JSON/CLOB) carries a JSON document decoding as a
+    * typed struct — the reference's SdeGeometry-style nested column
+    * (`schema.rs:282-331`), generalized. */
+  def structCols: Map[String, org.apache.spark.sql.types.StructType] =
+    map.collect {
+      case (k, v) if k.toLowerCase.startsWith("structcol.") =>
+        k.substring("structcol.".length) ->
+          org.apache.spark.sql.types.StructType.fromDDL(v)
+    }
+
   def transformClass: Option[String] = map.get("transformclass")
   def transform: Transform = transformClass match {
     case Some(c) => Class.forName(c).getDeclaredConstructor()

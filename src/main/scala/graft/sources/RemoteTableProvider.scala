@@ -709,7 +709,10 @@ class FastRowReader(
     Some(requiredFields.map(_.name)), sortSql, offset)
   ScanSqlLog.record(sql)
   private val rs = stmt.executeQuery(sql)
-  private val getters = requiredFields.map(Jdbc.catalystGetter)
+  // required-typed getters: struct columns decode against the pruned shape
+  private val getters = requiredFields.zip(required.fields).map {
+    case (rf, sf) => Jdbc.catalystGetter(rf, sf.dataType)
+  }
   private val width = requiredFields.length
 
   override def next(): Boolean = rs.next()

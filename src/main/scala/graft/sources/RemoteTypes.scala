@@ -69,6 +69,30 @@ object RemoteType {
       StructField(f.name, f.tpe.toSpark, f.nullable)))
     val typeName = s"STRUCT<${fields.map(f => s"${f.name}:${f.tpe.typeName}").mkString(",")}>"
   }
+
+  /** Spark type → remote type (used by user-declared struct columns,
+    * where the declaration arrives as Spark DDL). Inverse of `toSpark`
+    * on the unambiguous subset; refuses loudly elsewhere. */
+  def fromSpark(dt: DataType): RemoteType = dt match {
+    case BooleanType => RBool
+    case ByteType => RInt1
+    case ShortType => RInt2
+    case IntegerType => RInt4
+    case LongType => RInt8
+    case FloatType => RFloat4
+    case DoubleType => RFloat8
+    case d: DecimalType => RDecimal(d.precision, d.scale)
+    case StringType => RText
+    case BinaryType => RBinary
+    case DateType => RDate
+    case TimestampType => RTimestampTz
+    case TimestampNTZType => RTimestampNtz
+    case s: StructType => RStruct(s.fields.toSeq.map(f =>
+      RemoteField(f.name, fromSpark(f.dataType), f.nullable)))
+    case a: ArrayType => RArray(fromSpark(a.elementType))
+    case other => throw new IllegalArgumentException(
+      s"no remote type for Spark type $other")
+  }
 }
 
 /** Reference `RemoteField` (`schema.rs:604-620`). */
