@@ -28,7 +28,13 @@ object RemoteQueries {
       "C_NATIONKEY INT, C_ACCTBAL DOUBLE, C_MKTSEGMENT VARCHAR(16))"),
     // nested-column fixture: a scalar JSON column the reader decodes as
     // a typed struct (reference SdeGeometry shape, oracle.rs:528-650)
-    "GEO" -> "CREATE TABLE GEO (G_KEY INT, G_GEOM VARCHAR(2048))")
+    "GEO" -> "CREATE TABLE GEO (G_KEY INT, G_GEOM VARCHAR(2048))",
+    // literal-SQL insert fixture (reference Literalize path): written
+    // with literalinsert=true so every value below travels as a
+    // rendered SQL literal — embedded quotes, DATE, DECIMAL, DOUBLE,
+    // BIGINT — not as a PreparedStatement parameter
+    "LIT" -> ("CREATE TABLE LIT (L_KEY INT, L_NAME VARCHAR(80), L_DAY DATE, " +
+      "L_DEC DECIMAL(12,4), L_BAL DOUBLE, L_BIG BIGINT)"))
 
   /** Fixture DataFrame per remote table (GEO derives from nation: the
     * struct payload is assembled with to_json at write time, then must
@@ -43,8 +49,24 @@ object RemoteQueries {
               (col("n_regionkey") + 1).cast(IntegerType).as("numpts"),
               (col("n_nationkey") * 1.5).as("minx"),
               encode(col("n_name"), "UTF-8").as("points"))).as("G_GEOM"))
+      case "LIT" =>
+        Tables.table(spark, dir, "nation")
+          .select(col("n_nationkey").cast(IntegerType).as("L_KEY"),
+            // embedded single quote exercises string-literal escaping
+            concat(col("n_name"), lit("'s")).as("L_NAME"),
+            date_add(to_date(lit("1992-01-01")), col("n_nationkey"))
+              .as("L_DAY"),
+            (col("n_nationkey").cast(DecimalType(12, 4)) + lit(0.1234))
+              .cast(DecimalType(12, 4)).as("L_DEC"),
+            (col("n_nationkey") * 1.5).as("L_BAL"),
+            (col("n_nationkey").cast(LongType) * 1000000007L).as("L_BIG"))
       case t => Tables.table(spark, dir, t.toLowerCase)
     }
+
+  /** Extra write options per fixture table (LIT goes through the
+    * literal-SQL insert path). */
+  private def writeOptions(table: String): Map[String, String] =
+    if (table == "LIT") Map("literalinsert" -> "true") else Map.empty
 
   /** Copy the fixtures into Derby through the connector write path;
     * idempotent per JVM, fresh tables per run. Returns the JDBC url. */
@@ -77,6 +99,7 @@ object RemoteQueries {
       fixtureDf(spark, dir, table)
         .write.format("graft-remote")
         .option("url", url).option("dbtable", table)
+        .options(writeOptions(table))
         .mode("append").save()
     }
     prepared += url
@@ -251,6 +274,20 @@ object RemoteQueries {
           col("G_GEOM.minx").as("minx"),
           decode(col("G_GEOM.points"), "UTF-8").as("pt_name"))
         .orderBy(col("g_key"))
+    }),
+
+    // Literal-SQL insert round-trip (reference Literalize,
+    // literalize.rs:491-609): the LIT fixture was written with
+    // literalinsert=true, so these values survived rendering as SQL
+    // text — quote escaping, DATE/DECIMAL/DOUBLE/BIGINT literals —
+    // and decode back to exactly the oracle's recomputation
+    "r12_literal_insert" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "LIT")
+        .select(col("L_KEY").as("l_key"), col("L_NAME").as("l_name"),
+          col("L_DAY").as("l_day"), col("L_DEC").as("l_dec"),
+          col("L_BAL").as("l_bal"), col("L_BIG").as("l_big"))
+        .orderBy(col("l_key"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -302,5 +339,14 @@ object RemoteQueries {
         | n_regionkey + 1 AS numpts,
         | n_nationkey * 1.5 AS minx,
         | n_name AS pt_name
-        |FROM nation ORDER BY g_key""".stripMargin)
+        |FROM nation ORDER BY g_key""".stripMargin,
+    "r12_literal_insert" ->
+      """SELECT n_nationkey AS l_key,
+        | n_name || '''s' AS l_name,
+        | DATE '1992-01-01' + n_nationkey AS l_day,
+        | CAST(CAST(n_nationkey AS DECIMAL(12,4)) + 0.1234 AS DECIMAL(12,4))
+        |  AS l_dec,
+        | n_nationkey * 1.5 AS l_bal,
+        | CAST(n_nationkey AS BIGINT) * 1000000007 AS l_big
+        |FROM nation ORDER BY l_key""".stripMargin)
 }

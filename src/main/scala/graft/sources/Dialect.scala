@@ -307,6 +307,15 @@ object Dialect {
 object DerbyDialect extends Dialect {
   val name = "derby"
   override def subqueryAlias: String = "GRAFT_SUBQUERY"
+  /** Derby rejects SQL-standard `DATE '...'` literals; it wants the
+    * function form `DATE('...')` (same for TIMESTAMP). */
+  override def dateLiteral(d: LocalDate): String = s"DATE('$d')"
+  override def timestampLiteral(t: LocalDateTime): String =
+    s"TIMESTAMP('${java.sql.Timestamp.valueOf(t)}')"
+  /** A bare `X'..'` literal is CHAR FOR BIT DATA, which Derby refuses
+    * to store into BLOB columns without an explicit cast. */
+  override def binaryLiteral(b: Array[Byte]): String =
+    "CAST(X'" + b.map("%02x".format(_)).mkString + "' AS BLOB)"
   override protected def applyLimit(
       sql: String, limit: Option[Int], offset: Option[Int] = None): String = {
     val off = offset.fold("")(o => s" OFFSET $o ROWS")

@@ -110,6 +110,40 @@ class Round4FixSpec extends AnyFunSuite {
     assert(back.length == 1 && back(0).getString(1) == doc)
   }
 
+  // ---- literal-SQL insert: timestamp edges + binary --------------------
+
+  test("literalinsert round-trips timestamp edge cases and binary exactly") {
+    val c = DriverManager.getConnection(DerbyFixture.url)
+    val st = c.createStatement()
+    try st.executeUpdate("DROP TABLE LITEDGE") catch { case _: Exception => () }
+    st.executeUpdate(
+      "CREATE TABLE LITEDGE (K INT, TS TIMESTAMP, D DATE, B BLOB, C CHAR(4))")
+    st.close(); c.close()
+    import spark.implicits._
+    val rows = Seq(
+      (1, java.time.LocalDateTime.of(1, 1, 1, 0, 0, 0),
+        java.time.LocalDate.of(1, 1, 1), Array[Byte](0, 1, -128, 127), "a'b "),
+      (2, java.time.LocalDateTime.of(1969, 7, 20, 20, 17, 40, 123456000),
+        java.time.LocalDate.of(1969, 7, 20), Array[Byte](), "    "),
+      (3, java.time.LocalDateTime.of(9999, 12, 31, 23, 59, 59, 999999000),
+        java.time.LocalDate.of(9999, 12, 31), Array[Byte](-1), "zzzz"))
+    rows.toDF("K", "TS", "D", "B", "C")
+      .write.format("graft-remote")
+      .option("url", DerbyFixture.url).option("dbtable", "LITEDGE")
+      .option("literalinsert", "true")
+      .mode("append").save()
+    val back = spark.read.format("graft-remote")
+      .option("url", DerbyFixture.url).option("dbtable", "LITEDGE")
+      .load().orderBy("K").collect()
+    rows.zip(back).foreach { case ((_, ts, d, b, ch), r) =>
+      assert(r.getAs[java.time.LocalDateTime]("TS") == ts,
+        s"timestamp: ${r.getAs[Any]("TS")} != $ts")
+      assert(r.getAs[java.sql.Date]("D").toLocalDate == d)
+      assert(r.getAs[Array[Byte]]("B").toSeq == b.toSeq)
+      assert(r.getAs[String]("C") == ch)
+    }
+  }
+
   // ---- unigram-LM vocabulary cap ---------------------------------------
 
   test("unigramProbs caps the collected vocabulary; totals stay full-corpus") {
