@@ -20,7 +20,8 @@ object Bench {
     "r01_remote_filter", "r04_remote_partitioned_agg",
     "r06_remote_join_pushdown", "r09_remote_groupby",
     "p01_text_stats", "p02_exact_dedup", "p05_minhash_lsh",
-    "p07_simhash", "p08_knn", "p10_embed_lsh", "p11_ivf_knn",
+    "p07_simhash", "p08_knn", "p10_embed_lsh", "p24_embed_lsh_adaptive",
+    "p11_ivf_knn",
     "p14_dedup_cluster", "p15_stratified_sample", "p16_quality_pipeline",
     "p17_fuzzy_pairs", "p18_repetition", "p19_pii", "p20_decontam",
     "p21_packing", "p22_unigram_lm", "p23_quantize",
@@ -29,6 +30,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_EXCLUDE: comma-separated query names to skip — used
+    // by stress runs above fixture scale, where the oracle-strength
+    // configurations (sized for exact-recall on the fixtures, e.g.
+    // p10's 4x24 LSH) are quadratic BY DESIGN like p06/p09
+    val exclude = sys.env.getOrElse("SPARK_GRAFT_EXCLUDE", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val active = headline.filterNot(exclude)
+    if (exclude.nonEmpty)
+      System.err.println(s"[bench] excluded: ${exclude.mkString(", ")}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -44,7 +54,7 @@ object Bench {
     // window — "warm code, cold data". BASELINE.md records numbers under
     // this same protocol, so driver runs and the baseline are comparable.
     val warmDir = "/root/testdata/sf0.001"
-    headline.foreach { name =>
+    active.foreach { name =>
       // reset leaked confs here too (q28/r06 set theirs during execution):
       // warmup must compile the SAME plans the timed loop compiles
       SparkEntry.resetSessionConfs(spark)
@@ -70,7 +80,7 @@ object Bench {
     // outlier without hiding a real regression.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     var errors = List.empty[String]
-    val results = headline.map { name =>
+    val results = active.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).flatMap { _ =>
         // q28/r06 legitimately set session confs their own execution
@@ -91,6 +101,7 @@ object Bench {
       val median =
         if (times.isEmpty) 0.0
         else times.sorted.apply(times.size / 2)
+      System.err.println(f"[bench] $name: $median%.2fs (${times.size}/$reps reps)")
       name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

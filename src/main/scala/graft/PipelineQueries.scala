@@ -248,6 +248,30 @@ object PipelineQueries {
         tau = 0.4, nPlanes = 4, nTables = 24)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The SCALE path: (planes, tables) sized from the corpus count so
+    // bucket sizes stay bounded and candidate volume stays LINEAR in n
+    // (the sf1 stress run caught fixed-planes LSH going quadratic:
+    // 2.5s at 2k vectors -> 503s at 20k; adaptive sizing holds ~linear).
+    // Verified p11-style: exact sampled-pair count (hash-exact vs the
+    // SQL oracle) + a deterministic recall assertion against a
+    // linear-cost brute-force probe whose smaller id is in the sample.
+    "p24_embed_lsh_adaptive" -> ((s, dir) => {
+      val all = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")).persist()
+      val (planes, tables) = VectorOps.lshAutoParams(all.count())
+      val lsh = VectorOps.lshNearDupPairs(all, tau = 0.4,
+          nPlanes = planes, nTables = tables)
+        .filter(col("id_a") < 500).select("id_a", "id_b")
+      val exact = VectorOps.bruteForcePairsFrom(
+        all.filter(col("id") < 500), all, tau = 0.4).select("id_a", "id_b")
+      val hits = lsh.join(exact, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_sample_exact"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_sample_exact"),
+          (col("n_hit").cast(DoubleType) / col("n_sample_exact") >= 0.5)
+            .as("recall_ok"))
+    }),
+
     // Symmetric int8 quantization (per-vector scale) — the storage-
     // scale path for ANN corpora; quantized values are verified exactly
     // (emitted as a joined string: the gate hasher's value model is
@@ -726,6 +750,23 @@ object PipelineQueries {
     // brute-force pair set, so it shares p09's oracle (same val, zero
     // drift possible).
     "p10_embed_lsh" -> exactCosinePairsOracle,
+
+    // adaptive-LSH scale gate: the sampled exact-pair count is
+    // hash-exact; the recall flag is deterministic (fixed LSH seeds)
+    "p24_embed_lsh_adaptive" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))
+        |   AS cosine
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.vec_id < 500)
+        |SELECT count(*) AS n_sample_exact, TRUE AS recall_ok
+        |FROM p WHERE cosine >= 0.4""".stripMargin,
 
     // decoded-pixel oracle: the BMP pixel stream is the ASCII text
     // repeated cyclically, so repeat()+substring reproduces exactly the

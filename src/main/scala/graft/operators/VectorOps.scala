@@ -118,10 +118,33 @@ object VectorOps {
   def lshBucketKeys(vec: Column, nPlanes: Int, nTables: Int): Column =
     graft.functions.native.lsh_buckets(vec, nPlanes, nTables)
 
+  /** Size (nPlanes, nTables) from the corpus count so LSH work stays
+    * LINEAR in n. With fixed planes the bucket COUNT is constant
+    * (2^planes), so bucket size grows with n and candidate pairs grow
+    * quadratically — measured: the fixture-sized (4, 24) config went
+    * 2.5 s at 2k vectors → 503 s at 20k. Planes scale as
+    * log2(n / targetBucket) (bounded buckets ⇒ candidates ∝ n·B·T);
+    * tables compensate to hold `recall` at reference similarity `sRef`
+    * via the OR-of-ANDs formula T = ln(1-R)/ln(1-p^planes),
+    * p = 1 - acos(sRef)/π. Borderline-τ pairs see lower recall than
+    * sRef pairs — the standard LSH contract at scale. */
+  def lshAutoParams(n: Long, targetBucket: Int = 128, sRef: Double = 0.8,
+      recall: Double = 0.95): (Int, Int) = {
+    require(n > 0 && targetBucket > 0)
+    val planes = math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+    val p = 1.0 - math.acos(sRef) / math.Pi
+    val tables = math.max(4, math.ceil(
+      math.log(1 - recall) / math.log(1 - math.pow(p, planes))).toInt)
+    (planes, tables)
+  }
+
   /** Near-duplicate pairs by cosine ≥ tau, LSH-bucketed: vectors only
     * compare within a (table, bucket) cell. More tables ⇒ higher
     * recall, more candidate work; more planes ⇒ smaller buckets.
-    * Norms are computed once per vector, before the pair explosion. */
+    * Norms are computed once per vector, before the pair explosion.
+    * At scale, size (nPlanes, nTables) with [[lshAutoParams]] — fixed
+    * planes at growing n is an accidental O(n²). */
   def lshNearDupPairs(
       vecs: DataFrame, tau: Double, nPlanes: Int = 3, nTables: Int = 8,
       maxBucket: Int = 10000,
@@ -153,6 +176,18 @@ object VectorOps {
     val scale = when(ma === 0, 0.0).otherwise(lit(127.0) / ma)
     val q = transform(vec, x => round(x.cast("double") * scale).cast("int"))
     (scale, q)
+  }
+
+  /** Exact cosine pairs whose SMALLER id lies in `sample` — the
+    * linear-cost (|sample|·n) recall probe for LSH output at scale;
+    * the full O(n²) [[bruteForcePairs]] stays fixture-only. */
+  def bruteForcePairsFrom(sample: DataFrame, all: DataFrame, tau: Double): DataFrame = {
+    val a = sample.select(col("id").as("id_a"), col("vec").as("v_a"))
+    val b = all.select(col("id").as("id_b"), col("vec").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   /** Brute-force cosine pairs ≥ tau — exact baseline, O(n²). */

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derive a 10× "sf1" stress fixture from the driver's sf0.1 parquet
+  * (the driver ships sf0.001/0.01/0.1 only). Keys shift per copy so
+  * referential joins stay consistent; DIMENSIONS (region/nation) stay
+  * single-copy. Similarity-bearing columns are made cross-copy
+  * DISSIMILAR on purpose — documents get a per-copy token suffix,
+  * embeddings a per-copy deterministic sign-flip pattern (norms and
+  * intra-copy cosines preserved exactly) — so near-dup/ANN outputs
+  * scale ~linearly like a real 10× corpus, instead of quadratically
+  * like 10 verbatim clones would.
+  *
+  * Run: `sbt "Test/runMain graft.MakeSf1"` → /tmp/graft_sf1
+  */
+object MakeSf1 {
+  val copies = 10
+  val src = "/root/testdata/sf0.1"
+  val out = "/tmp/graft_sf1"
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkTestSession.spark
+    def t(n: String): DataFrame = Tables.table(spark, src, n)
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).collect().head.getLong(0) + 1
+
+    // dims: single copy
+    Seq("region", "nation").foreach(n =>
+      t(n).write.mode("overwrite").parquet(s"$out/$n.parquet"))
+
+    val custN = maxOf(t("customer").select(col("c_custkey").cast("long").as("c_custkey")), "c_custkey")
+    val suppN = maxOf(t("supplier").select(col("s_suppkey").cast("long").as("s_suppkey")), "s_suppkey")
+    val partN = maxOf(t("part").select(col("p_partkey").cast("long").as("p_partkey")), "p_partkey")
+    val ordN = maxOf(t("orders").select(col("o_orderkey").cast("long").as("o_orderkey")), "o_orderkey")
+    val evtN = maxOf(t("events").select(col("event_id").cast("long").as("event_id")), "event_id")
+    val userN = maxOf(t("events").select(col("user_id").cast("long").as("user_id")), "user_id")
+    val docN = maxOf(t("documents").select(col("doc_id").cast("long").as("doc_id")), "doc_id")
+    val vecN = maxOf(t("embeddings").select(col("vec_id").cast("long").as("vec_id")), "vec_id")
+
+    def replicate(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = t(name)
+      val all = (0 until copies).map(k => shift(base, k)).reduce(_ union _)
+      all.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"$name: ${all.count()} rows")
+    }
+
+    replicate("customer")((d, k) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(k * custN)))
+    replicate("supplier")((d, k) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + lit(k * suppN)))
+    replicate("part")((d, k) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(k * partN)))
+    replicate("orders")((d, k) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(k * ordN))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * custN)))
+    replicate("lineitem")((d, k) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(k * ordN))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * partN))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * suppN)))
+    replicate("events")((d, k) =>
+      d.withColumn("event_id", col("event_id") + lit(k * evtN))
+        .withColumn("user_id", col("user_id") + lit(k * userN)))
+    replicate("documents")((d, k) =>
+      d.withColumn("doc_id", col("doc_id") + lit(k * docN))
+        .withColumn("text",
+          if (k == 0) col("text")
+          else array_join(transform(split(col("text"), " "),
+            tok => concat(tok, lit(s"_$k"))), " ")))
+    replicate("embeddings")((d, k) =>
+      d.withColumn("vec_id", col("vec_id") + lit(k * vecN))
+        .withColumn("embedding",
+          if (k == 0) col("embedding")
+          else {
+            // deterministic per-(copy, dim) sign flip: norms and
+            // intra-copy cosines exact; cross-copy ~orthogonal
+            val kc = lit(2 * k + 1)
+            transform(col("embedding"), (x, i) =>
+              when(pmod(i * kc + lit(k), lit(2)) === 0, x).otherwise(-x))
+          }))
+    spark.stop()
+  }
+}
