@@ -109,6 +109,10 @@ object JsonStructDecode {
 
   private def toRow(node: JsonNode, st: StructType)
       : org.apache.spark.sql.catalyst.InternalRow = {
+    // a non-object document would decode as an all-NULL row — quiet
+    // corruption; fail loudly instead (the surrounding decode policy)
+    if (!node.isObject) throw new IllegalArgumentException(
+      s"struct column payload is not a JSON object: ${node.getNodeType}")
     val arr = new Array[Any](st.fields.length)
     var i = 0
     while (i < st.fields.length) {
@@ -149,6 +153,8 @@ object JsonStructDecode {
 
   private def toExternalRow(node: JsonNode, st: StructType)
       : org.apache.spark.sql.Row = {
+    if (!node.isObject) throw new IllegalArgumentException(
+      s"struct column payload is not a JSON object: ${node.getNodeType}")
     val arr = new Array[Any](st.fields.length)
     var i = 0
     while (i < st.fields.length) {

@@ -71,6 +71,20 @@ class StructDecodeSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1))
   }
 
+  test("filters on struct subfields stay Spark-side (declined, not broken SQL)") {
+    // a pushed "J"."a" would be a remote syntax/column error against
+    // the JSON VARCHAR; the compiler must decline dotted references so
+    // Spark evaluates the predicate after decode
+    val df = read("a INT, b DOUBLE, s STRING")
+      .filter(col("J.a") === 7)
+      .select(col("K"))
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1))
+    // struct-level null checks MAY push (VARCHAR null == struct null)
+    val nn = read("a INT").filter(col("J").isNotNull).count()
+    assert(nn == 2)
+  }
+
   test("structcol for an absent column fails loudly") {
     val e = intercept[Exception] {
       spark.read.format("graft-remote")
