@@ -34,8 +34,14 @@ class RemoteTableProvider extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = RemoteOptions(options.asCaseSensitiveMap())
-    if (opts.command.contains("list_tables")) RemoteTableImpl.listTablesSchema
-    else opts.transform.transformSchema(Jdbc.inferSchema(opts).toSpark)
+    opts.command match {
+      case Some("list_tables") => RemoteTableImpl.listTablesSchema
+      case Some("pool_state") => RemoteTableImpl.poolStateSchema
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown command '$other' (supported: list_tables, pool_state)")
+      case None =>
+        opts.transform.transformSchema(Jdbc.inferSchema(opts).toSpark)
+    }
   }
 
   override def getTable(
@@ -51,6 +57,15 @@ object RemoteTableImpl {
   val listTablesSchema: StructType = StructType(Seq(
     StructField("table_name", StringType, nullable = false),
     StructField("table_type", StringType, nullable = false)))
+
+  /** Schema of the `pool_state` command — the reference's `PoolState`
+    * introspection (`connection/mod.rs:56-60`) as a queryable one-row
+    * table: live physical connections and how many sit idle in THIS
+    * JVM's pool for the given (url, credentials). */
+  val poolStateSchema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("connections", IntegerType, nullable = false),
+    StructField("idle_connections", IntegerType, nullable = false)))
 }
 
 /** The table: schema inference happens once, driver-side, at
@@ -60,17 +75,24 @@ class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType],
     knownRemoteSchema: Option[RemoteSchema] = None)
   extends Table with SupportsRead with SupportsWrite {
 
-  val isCommand: Boolean = opts.command.contains("list_tables")
+  val isCommand: Boolean = opts.command.isDefined
 
   /** Remote (source-native) schema of the raw scan. `knownRemoteSchema`
     * skips the probe when the caller already derived it (join pushdown
     * composes it from the two sides' inferred schemas). */
   lazy val remoteSchema: RemoteSchema = knownRemoteSchema.getOrElse {
-    if (isCommand)
-      RemoteSchema(Seq(
-        RemoteField("table_name", RemoteType.RVarchar(256), nullable = false),
-        RemoteField("table_type", RemoteType.RVarchar(64), nullable = false)))
-    else Jdbc.inferSchema(opts)
+    opts.command match {
+      case Some("pool_state") =>
+        RemoteSchema(Seq(
+          RemoteField("url", RemoteType.RVarchar(512), nullable = false),
+          RemoteField("connections", RemoteType.RInt4, nullable = false),
+          RemoteField("idle_connections", RemoteType.RInt4, nullable = false)))
+      case Some(_) =>
+        RemoteSchema(Seq(
+          RemoteField("table_name", RemoteType.RVarchar(256), nullable = false),
+          RemoteField("table_type", RemoteType.RVarchar(64), nullable = false)))
+      case None => Jdbc.inferSchema(opts)
+    }
   }
 
   /** Spark schema after the user Transform (reference
@@ -597,8 +619,10 @@ class RemoteReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[RemotePartition]
     val filters = pushedSql ++ part.rangePredicate ++ part.runtimeSql
-    if (isCommand) new ListTablesReader(opts)
-    else agg match {
+    if (isCommand) {
+      if (opts.command.contains("pool_state")) new PoolStateReader(opts)
+      else new ListTablesReader(opts)
+    } else agg match {
       case Some(a) =>
         new AggPushdownReader(opts, a, filters)
       case None if opts.transformClass.isEmpty =>
@@ -866,6 +890,23 @@ class AggPushdownReader(
 /** `list_tables` metadata command (reference `ListMdbTables`,
   * `connection/mdb/mod.rs:352-517`): user tables/views via JDBC
   * `DatabaseMetaData.getTables`, system tables filtered out. */
+/** One-row pool introspection for the executing JVM (reference
+  * `Pool::state`, `connection/mod.rs:56-60`): how many physical
+  * connections this executor holds for the given remote identity, and
+  * how many are idle. On a cluster each task reports ITS executor —
+  * exactly the number an operator debugging connection storms wants. */
+class PoolStateReader(opts: RemoteOptions)
+  extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = !done && { done = true; true }
+  override def get(): InternalRow = {
+    val st = GraftConnectionPool.state(opts)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(opts.url), st.connections, st.idleConnections))
+  }
+  override def close(): Unit = ()
+}
+
 class ListTablesReader(opts: RemoteOptions)
   extends PartitionReader[InternalRow] {
 

@@ -141,6 +141,25 @@ class ConnectionPoolSpec extends AnyFunSuite {
     }
   }
 
+  test("command=pool_state exposes the JVM's pool as a queryable table") {
+    val spark = SparkTestSession.spark
+    val url = freshDb("state")
+    val o = opts(url)
+    // park one idle connection, then introspect through the connector
+    GraftConnections.withConnection(o)(_ => ())
+    val row = spark.read.format("graft-remote")
+      .option("url", url).option("command", "pool_state")
+      .load().collect().head
+    assert(row.getString(0) == url)
+    assert(row.getInt(1) >= 1, "expected at least the parked connection")
+    assert(row.getInt(2) >= 0 && row.getInt(2) <= row.getInt(1))
+    // unknown commands fail loudly
+    intercept[Exception] {
+      spark.read.format("graft-remote")
+        .option("url", url).option("command", "nope").load()
+    }
+  }
+
   test("pool=false bypasses pooling (physical close per task)") {
     val url = freshDb("nopool")
     val o = opts(url, "pool" -> "false")
