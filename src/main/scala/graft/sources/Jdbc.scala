@@ -146,6 +146,65 @@ object JsonStructDecode {
       s"JSON struct decode: unsupported field type $other")
   }
 
+  /** InternalRow → JSON document: the WRITE-side inverse of [[parse]]
+    * (struct columns travel to the remote as the same scalar JSON the
+    * read path decodes — exact round-trip by construction). Binary
+    * fields base64-encode; nested structs/arrays recurse. */
+  def encode(row: org.apache.spark.sql.catalyst.InternalRow, st: StructType): String = {
+    val node = mapper.createObjectNode()
+    fillNode(node, row, st)
+    mapper.writeValueAsString(node)
+  }
+
+  private def fillNode(node: com.fasterxml.jackson.databind.node.ObjectNode,
+      row: org.apache.spark.sql.catalyst.InternalRow, st: StructType): Unit = {
+    var i = 0
+    while (i < st.fields.length) {
+      val f = st.fields(i)
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else encodeValue(node, f.name, row.get(i, f.dataType), f.dataType)
+      i += 1
+    }
+  }
+
+  private def encodeValue(node: com.fasterxml.jackson.databind.node.ObjectNode,
+      name: String, v: Any, dt: DataType): Unit = dt match {
+    case IntegerType => node.put(name, v.asInstanceOf[Int])
+    case LongType => node.put(name, v.asInstanceOf[Long])
+    case ShortType => node.put(name, v.asInstanceOf[Short].toInt)
+    case ByteType => node.put(name, v.asInstanceOf[Byte].toInt)
+    case DoubleType => node.put(name, v.asInstanceOf[Double])
+    case FloatType => node.put(name, v.asInstanceOf[Float])
+    case BooleanType => node.put(name, v.asInstanceOf[Boolean])
+    case StringType => node.put(name, v.toString)
+    case BinaryType => node.put(name,
+      java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]]))
+    case d: DecimalType => node.put(name, v.asInstanceOf[Decimal].toJavaBigDecimal)
+    case nested: StructType =>
+      val child = node.putObject(name)
+      fillNode(child, v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], nested)
+    case ArrayType(et, _) =>
+      val arr = node.putArray(name)
+      val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until ad.numElements()).foreach { i =>
+        if (ad.isNullAt(i)) arr.addNull()
+        else et match {
+          case IntegerType => arr.add(ad.getInt(i))
+          case LongType => arr.add(ad.getLong(i))
+          case DoubleType => arr.add(ad.getDouble(i))
+          case FloatType => arr.add(ad.getFloat(i))
+          case BooleanType => arr.add(ad.getBoolean(i))
+          case StringType => arr.add(ad.getUTF8String(i).toString)
+          case BinaryType => arr.add(
+            java.util.Base64.getEncoder.encodeToString(ad.getBinary(i)))
+          case other => throw new IllegalArgumentException(
+            s"JSON struct encode: unsupported array element type $other")
+        }
+      }
+    case other => throw new IllegalArgumentException(
+      s"JSON struct encode: unsupported field type $other")
+  }
+
   /** JSON document → external Row (Transform path: user code sees java
     * values, not Catalyst ones). */
   def parseExternal(s: String, st: StructType): org.apache.spark.sql.Row =

@@ -333,6 +333,11 @@ class RemoteDataWriter(
             s"no SQL array element type for $other")
         }
         ps.setArray(idx, conn.createArrayOf(sqlElem, ext))
+      case st: StructType =>
+        // write-side of the structcol mapping: struct values travel as
+        // the same scalar JSON the read path decodes (exact round-trip)
+        ps.setString(idx, JsonStructDecode.encode(
+          v.asInstanceOf[InternalRow], st))
       case _ => ps.setString(idx, v.toString)
     }
   }
@@ -441,6 +446,9 @@ trait Literalizer extends Serializable {
         intervalLiteral(v.asInstanceOf[Int], 0, 0L, dialect)
       case _: DayTimeIntervalType =>
         intervalLiteral(0, 0, v.asInstanceOf[Long], dialect)
+      case st: StructType =>
+        stringLiteral(JsonStructDecode.encode(
+          v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], st), dialect)
       case other => throw new IllegalArgumentException(
         s"no SQL literal rendering for Spark type $other (column " +
           s"${field.name}) — provide a custom Literalizer via literalizerclass")

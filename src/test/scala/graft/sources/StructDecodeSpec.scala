@@ -85,6 +85,42 @@ class StructDecodeSpec extends AnyFunSuite {
     assert(nn == 2)
   }
 
+  test("struct columns round-trip through the WRITE path (JSON encode ⇄ decode)") {
+    url // fixture init
+    val c = DriverManager.getConnection(DerbyFixture.url)
+    val st = c.createStatement()
+    try st.executeUpdate("DROP TABLE STRUCT_W") catch { case _: Exception => () }
+    st.executeUpdate("CREATE TABLE STRUCT_W (K INT, J VARCHAR(512))")
+    st.close(); c.close()
+    import spark.implicits._
+    val df = Seq((1, (7, 2.5, "x", Array[Byte](104, 105))),
+        (2, (-1, 0.0, "", Array[Byte]())))
+      .toDF("K", "J")
+      .select(col("K"), col("J").cast(
+        "struct<a: int, b: double, s: string, bin: binary>").as("J"))
+    for (literal <- Seq(false, true)) {
+      val cl = DriverManager.getConnection(DerbyFixture.url)
+      cl.createStatement().executeUpdate("DELETE FROM STRUCT_W"); cl.close()
+      df.write.format("graft-remote")
+        .option("url", DerbyFixture.url).option("dbtable", "STRUCT_W")
+        .option("literalinsert", literal.toString)
+        .mode("append").save()
+      val back = spark.read.format("graft-remote")
+        .option("url", DerbyFixture.url).option("dbtable", "STRUCT_W")
+        .option("structcol.j", "a INT, b DOUBLE, s STRING, bin BINARY")
+        .load().orderBy("K").collect()
+      assert(back.length == 2, s"literal=$literal")
+      val r1 = back(0).getStruct(1)
+      assert(r1.getInt(0) == 7 && r1.getDouble(1) == 2.5 &&
+        r1.getString(2) == "x" &&
+        new String(r1.getAs[Array[Byte]](3), "UTF-8") == "hi",
+        s"literal=$literal: $r1")
+      val r2 = back(1).getStruct(1)
+      assert(r2.getInt(0) == -1 && r2.getDouble(1) == 0.0 &&
+        r2.getString(2) == "" && r2.getAs[Array[Byte]](3).isEmpty)
+    }
+  }
+
   test("structcol for an absent column fails loudly") {
     val e = intercept[Exception] {
       spark.read.format("graft-remote")
