@@ -117,11 +117,13 @@ object TextOps {
     val total = (tokenCount(text) - lit(n - 1)).cast("double")
     // Documents shorter than n tokens have zero n-grams: define the
     // fraction as 0.0 rather than NULL (Spark div-by-zero) or a value
-    // outside [0,1] from a negative denominator.
+    // outside [0,1] from a negative denominator. NULL text stays NULL —
+    // a missing document must not score as best-quality 0.0 and sail
+    // through repetition filters.
     when(total > 0,
       lit(1.0) - size(graft.functions.native.shingle_set(tokens(text), n))
         .cast("double") / total)
-      .otherwise(lit(0.0))
+      .otherwise(when(total.isNotNull, lit(0.0)))
   }
 
   /** Occurrence count of the document's most frequent n-gram (native
@@ -135,7 +137,7 @@ object TextOps {
   def topNgramFraction(text: Column, n: Int): Column = {
     val total = (tokenCount(text) - lit(n - 1)).cast("double")
     when(total > 0, topNgramFreq(text, n).cast("double") / total)
-      .otherwise(lit(0.0))
+      .otherwise(when(total.isNotNull, lit(0.0)))
   }
 
   // ---- PII detection / redaction ---------------------------------------

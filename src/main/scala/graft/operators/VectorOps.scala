@@ -131,6 +131,10 @@ object VectorOps {
   def lshAutoParams(n: Long, targetBucket: Int = 128, sRef: Double = 0.8,
       recall: Double = 0.95): (Int, Int) = {
     require(n > 0 && targetBucket > 0)
+    // recall == 1.0 would size tables to Int.MaxValue (ln(0) = -inf);
+    // exact recall is the brute-force oracle's job, not LSH's
+    require(recall > 0 && recall < 1, s"recall must be in (0,1): $recall")
+    require(sRef > 0 && sRef < 1, s"sRef must be in (0,1): $sRef")
     val planes = math.max(4, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
     val p = 1.0 - math.acos(sRef) / math.Pi

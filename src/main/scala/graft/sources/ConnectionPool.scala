@@ -76,14 +76,7 @@ object GraftConnectionPool {
         var mustOpen = false
         var candidate: Connection = null
         lock.synchronized {
-          var found: Connection = null
-          while (found == null && idle.nonEmpty) {
-            val h = idle.head
-            idle = idle.tail
-            if (isUsable(h.conn)) found = h.conn
-            else { live -= 1; quietClose(h.conn) } // dead idle: drop + retry
-          }
-          if (found != null) candidate = found
+          if (idle.nonEmpty) { candidate = idle.head.conn; idle = idle.tail }
           else if (live < maxSize) { live += 1; mustOpen = true }
           else {
             val waitMs = (deadline - System.nanoTime()) / 1000000L
@@ -93,8 +86,14 @@ object GraftConnectionPool {
             lock.wait(waitMs)
           }
         }
-        if (candidate != null) return candidate
-        if (mustOpen) {
+        if (candidate != null) {
+          // validate OUTSIDE the monitor: a dead connection's network
+          // timeout (isValid up to 2 s + TCP teardown) must not stall
+          // every other task's borrow/release on this executor
+          if (isUsable(candidate)) return candidate
+          quietClose(candidate)
+          lock.synchronized { live -= 1; lock.notifyAll() } // retry loop
+        } else if (mustOpen) {
           // open OUTSIDE the lock: a slow remote handshake must not
           // serialize every other task on this executor
           try return physicalOpen()
@@ -131,26 +130,39 @@ object GraftConnectionPool {
     /** Close idle connections older than the idle timeout, keeping
       * `minIdle` spares (newest kept). Called by the reaper daemon and
       * directly by specs for deterministic tests. */
-    def reap(nowMs: Long = System.currentTimeMillis()): Int = lock.synchronized {
-      val (fresh, stale) = idle.partition(nowMs - _.since < idleTimeoutMs)
-      val spares = math.max(0, minIdle - fresh.size)
-      val (kept, toClose) = stale.splitAt(spares) // stale is newest-first
-      idle = fresh ++ kept
-      toClose.foreach { i => live -= 1; quietClose(i.conn) }
+    def reap(nowMs: Long = System.currentTimeMillis()): Int = {
+      val toClose = lock.synchronized {
+        val (fresh, stale) = idle.partition(nowMs - _.since < idleTimeoutMs)
+        val spares = math.max(0, minIdle - fresh.size)
+        val (kept, close) = stale.splitAt(spares) // stale is newest-first
+        idle = fresh ++ kept
+        live -= close.size
+        lock.notifyAll()
+        close
+      }
+      // physical closes outside the monitor (can block on TCP teardown)
+      toClose.foreach(i => quietClose(i.conn))
       toClose.size
     }
 
     /** Close every idle connection (spec teardown). Borrowed ones are
       * untouched — they close on release via the emptied pool check. */
-    def drain(): Unit = lock.synchronized {
-      closedFlag = true
-      idle.foreach(i => { live -= 1; quietClose(i.conn) })
-      idle = Nil
-      lock.notifyAll()
+    def drain(): Unit = {
+      val toClose = lock.synchronized {
+        closedFlag = true
+        val c = idle
+        live -= c.size
+        idle = Nil
+        lock.notifyAll()
+        c
+      }
+      toClose.foreach(i => quietClose(i.conn))
     }
   }
 
   private val pools = new ConcurrentHashMap[PoolKey, Pool]()
+  private val warnedMismatch =
+    ConcurrentHashMap.newKeySet[PoolKey]()
 
   /** Reference `pool_ttl_check_interval` default (`options.rs:93`). */
   private val reapPeriodMs = 30000L
@@ -171,6 +183,18 @@ object GraftConnectionPool {
     val p = pools.computeIfAbsent(keyOf(opts), _ =>
       new Pool(keyOf(opts), opts.poolMaxSize, opts.poolMinIdle,
         opts.poolIdleTimeoutMs))
+    // pool config is fixed at first creation per identity; silently
+    // ignoring a later differing request hides "why didn't my
+    // poolmaxsize change anything" — say so once per pool
+    if ((p.maxSize != opts.poolMaxSize || p.minIdle != opts.poolMinIdle ||
+        p.idleTimeoutMs != opts.poolIdleTimeoutMs) &&
+        warnedMismatch.add(p.key))
+      System.err.println(
+        s"[graft] connection pool for ${opts.url} already exists with " +
+          s"maxSize=${p.maxSize}/minIdle=${p.minIdle}/idleTimeoutMs=" +
+          s"${p.idleTimeoutMs}; requested " +
+          s"${opts.poolMaxSize}/${opts.poolMinIdle}/${opts.poolIdleTimeoutMs} " +
+          "ignored (pool settings bind at first use per JVM)")
     reaper // start the daemon on first pool creation
     p
   }

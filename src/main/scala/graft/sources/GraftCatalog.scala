@@ -81,7 +81,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val out = Seq.newBuilder[Identifier]
       while (rs.next()) {
         val schem = rs.getString("TABLE_SCHEM")
-        if (wantSchema == null || wantSchema == schem)
+        if (wantSchema == null || wantSchema.equalsIgnoreCase(schem))
           out += Identifier.of(Option(schem).toArray, rs.getString("TABLE_NAME"))
       }
       rs.close()
@@ -102,10 +102,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (wantSchema == null) null else likeEscape(conn, wantSchema),
         likeEscape(conn, ident.name()),
         Array("TABLE", "VIEW"))
+      // exact-compare per character but case-insensitively: wildcard
+      // overmatches (MY_TABLE vs MYXTABLE) are filtered out, while
+      // case-folding backends (getTables matching 'nation' to stored
+      // 'NATION') still report the table as existing
       var found = false
       while (!found && rs.next())
-        found = rs.getString("TABLE_NAME") == ident.name() &&
-          (wantSchema == null || wantSchema == rs.getString("TABLE_SCHEM"))
+        found = rs.getString("TABLE_NAME").equalsIgnoreCase(ident.name()) &&
+          (wantSchema == null ||
+            wantSchema.equalsIgnoreCase(rs.getString("TABLE_SCHEM")))
       rs.close()
       found
     }

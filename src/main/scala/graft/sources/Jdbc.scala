@@ -124,27 +124,61 @@ object JsonStructDecode {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
   }
 
+  /** Conversions are STRICT: a type-mismatched node (numeric field
+    * carrying a string, array field carrying a scalar) throws instead
+    * of Jackson's 0/false/empty coercions — the quiet-corruption
+    * variant of the non-object guard above. */
+  private def bad(n: JsonNode, dt: DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"JSON struct decode: ${n.getNodeType} node where $dt expected: $n")
+  private def num(n: JsonNode, dt: DataType): JsonNode =
+    if (n.isNumber) n else bad(n, dt)
+
   private def convert(n: JsonNode, dt: DataType): Any = dt match {
-    case IntegerType => n.intValue()
-    case LongType => n.longValue()
-    case ShortType => n.shortValue()
-    case ByteType => n.numberValue().byteValue()
-    case DoubleType => n.doubleValue()
-    case FloatType => n.floatValue()
-    case BooleanType => n.booleanValue()
-    case StringType => UTF8String.fromString(n.asText())
-    case BinaryType => java.util.Base64.getDecoder.decode(n.asText())
+    case IntegerType => num(n, dt).intValue()
+    case LongType => num(n, dt).longValue()
+    case ShortType => num(n, dt).shortValue()
+    case ByteType => num(n, dt).numberValue().byteValue()
+    case DoubleType => num(n, dt).doubleValue()
+    case FloatType => num(n, dt).floatValue()
+    case BooleanType => if (n.isBoolean) n.booleanValue() else bad(n, dt)
+    case StringType =>
+      if (n.isTextual) UTF8String.fromString(n.asText()) else bad(n, dt)
+    case BinaryType =>
+      if (n.isTextual) java.util.Base64.getDecoder.decode(n.asText())
+      else bad(n, dt)
     case d: DecimalType =>
-      Decimal(BigDecimal(n.decimalValue()).setScale(d.scale,
+      Decimal(BigDecimal(num(n, dt).decimalValue()).setScale(d.scale,
         BigDecimal.RoundingMode.HALF_UP), d.precision, d.scale)
     case nested: StructType => toRow(n, nested)
     case ArrayType(et, _) =>
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (!n.isArray) bad(n, dt)
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.tabulate[Any](n.size())(i =>
           if (n.get(i).isNull) null else convert(n.get(i), et)))
     case other => throw new IllegalArgumentException(
       s"JSON struct decode: unsupported field type $other")
   }
+
+  /** Field types the JSON struct codec supports, for DECLARATION-time
+    * validation — `structcol` with an unsupported type (DATE,
+    * TIMESTAMP, MAP) must fail when the option is parsed, not per-row
+    * inside executors after the job is scheduled. */
+  def validateStructType(st: StructType, ctx: String): Unit =
+    st.fields.foreach { f =>
+      f.dataType match {
+        case IntegerType | LongType | ShortType | ByteType | DoubleType |
+             FloatType | BooleanType | StringType | BinaryType |
+             _: DecimalType => ()
+        case nested: StructType => validateStructType(nested, s"$ctx.${f.name}")
+        case ArrayType(et, _) =>
+          validateStructType(StructType(Seq(StructField(f.name, et))), ctx)
+        case other => throw new IllegalArgumentException(
+          s"structcol $ctx: field '${f.name}' has type $other, which the " +
+            "JSON struct codec does not support (use a scalar column or " +
+            "encode it as STRING/BIGINT)")
+      }
+    }
 
   /** InternalRow → JSON document: the WRITE-side inverse of [[parse]]
     * (struct columns travel to the remote as the same scalar JSON the
@@ -184,6 +218,8 @@ object JsonStructDecode {
       val child = node.putObject(name)
       fillNode(child, v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], nested)
     case ArrayType(et, _) =>
+      // element coverage mirrors the decode side exactly (incl. short/
+      // byte/decimal/nested structs) — the round-trip contract
       val arr = node.putArray(name)
       val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       (0 until ad.numElements()).foreach { i =>
@@ -191,12 +227,19 @@ object JsonStructDecode {
         else et match {
           case IntegerType => arr.add(ad.getInt(i))
           case LongType => arr.add(ad.getLong(i))
+          case ShortType => arr.add(ad.getShort(i).toInt)
+          case ByteType => arr.add(ad.getByte(i).toInt)
           case DoubleType => arr.add(ad.getDouble(i))
           case FloatType => arr.add(ad.getFloat(i))
           case BooleanType => arr.add(ad.getBoolean(i))
           case StringType => arr.add(ad.getUTF8String(i).toString)
           case BinaryType => arr.add(
             java.util.Base64.getEncoder.encodeToString(ad.getBinary(i)))
+          case d: DecimalType =>
+            arr.add(ad.getDecimal(i, d.precision, d.scale).toJavaBigDecimal)
+          case nested: StructType =>
+            val child = arr.addObject()
+            fillNode(child, ad.getStruct(i, nested.fields.length), nested)
           case other => throw new IllegalArgumentException(
             s"JSON struct encode: unsupported array element type $other")
         }
@@ -308,6 +351,9 @@ object Jdbc {
         rs.fields.exists(_.name.equalsIgnoreCase(n)))
       require(unknown.isEmpty,
         s"structcol declared for absent column(s): ${unknown.mkString(", ")}")
+      structCols.foreach { case (n, st) =>
+        JsonStructDecode.validateStructType(st, n)
+      }
       RemoteSchema(rs.fields.map { f =>
         structCols.collectFirst {
           case (n, st) if n.equalsIgnoreCase(f.name) =>

@@ -73,11 +73,13 @@ object MakeSf1 {
         .withColumn("embedding",
           if (k == 0) col("embedding")
           else {
-            // deterministic per-(copy, dim) sign flip: norms and
-            // intra-copy cosines exact; cross-copy ~orthogonal
-            val kc = lit(2 * k + 1)
+            // deterministic per-(copy, dim) sign flip via murmur hash:
+            // norms and intra-copy cosines exact; cross-copy
+            // ~orthogonal. NOT a linear form like (i*c + k) % 2 — with
+            // odd c that collapses to (i+k) parity and every
+            // even/odd copy pair becomes identical/negated clones.
             transform(col("embedding"), (x, i) =>
-              when(pmod(i * kc + lit(k), lit(2)) === 0, x).otherwise(-x))
+              when(pmod(hash(i, lit(k)), lit(2)) === 0, x).otherwise(-x))
           }))
     spark.stop()
   }
