@@ -220,6 +220,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // RAG-style overlapping token-window chunking: 32-token windows,
+    // stride 24 (8-token overlap) — per-row integer arithmetic + array
+    // slicing, no shuffle; the flat chunk table is what embedding /
+    // packing stages consume downstream
+    "p25_chunking" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          posexplode(TextOps.chunkTokens(col("text"), size = 32, overlap = 8)))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          col("col").as("chunk"),
+          size(split(col("col"), " ")).as("n_tok"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // TF-IDF scoring: corpus df table (one distinct-explode groupBy)
+    // broadcast once per executor; per-doc score is a left-to-right
+    // occurrence sum over idf = N/df (ratio form — no libm ln, exact
+    // across engines), normalized by token count
+    "p26_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idf = LmOps.idfTable(d, "text", topK = 16)
+      d.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok"),
+          LmOps.tfIdfScore(col("text"), idf).as("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity search --------------------------------------------
     "p08_knn" -> ((s, dir) => {
       val all = embs(s, dir).select(col("vec_id").as("id"),
@@ -440,6 +467,37 @@ object PipelineQueries {
         | list_sum(list_transform(string_split(text, ' '),
         |   t -> coalesce(element_at(m, t)[1], CAST(0.0 AS DOUBLE))))
         |  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_prob
+        |FROM documents, pm ORDER BY doc_id""".stripMargin,
+
+    "p25_chunking" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS n
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, toks,
+        |  CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS nchunks
+        | FROM t),
+        |i AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS ci FROM c)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        | array_to_string(toks[ci*24 + 1 : ci*24 + 32], ' ') AS chunk,
+        | CAST(len(toks[ci*24 + 1 : ci*24 + 32]) AS INT) AS n_tok
+        |FROM i ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "p26_tfidf" ->
+      """WITH docs_n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |dt AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS t
+        |       FROM documents),
+        |dfc AS (SELECT t, count(*) AS df FROM dt GROUP BY t),
+        |kept AS (SELECT t, df FROM dfc ORDER BY df DESC, t LIMIT 16),
+        |pm AS (SELECT map(list(t),
+        |         list((SELECT n FROM docs_n) / CAST(df AS DOUBLE))) AS m
+        |       FROM kept)
+        |SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        | list_sum(list_transform(string_split(text, ' '),
+        |   t -> coalesce(element_at(m, t)[1], CAST(0.0 AS DOUBLE))))
+        |  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS tfidf
         |FROM documents, pm ORDER BY doc_id""".stripMargin,
 
     "p21_packing" ->

@@ -51,4 +51,35 @@ object LmOps {
       default: Double = 0.0): Column =
     graft.functions.native.token_score_sum(TextOps.tokens(text), probs, default) /
       TextOps.tokenCount(text).cast("double")
+
+  /** Inverse-document-frequency table: token -> N/df (the RATIO form,
+    * not ln(N/df) — libm rounding differs across engines and exactness
+    * matters more here than the logarithm's compression; monotone in
+    * the same order). One distinct-pair shuffle + one counting groupBy;
+    * only the capped table reaches the driver (same bound rationale as
+    * [[unigramProbs]]). */
+  def idfTable(df: DataFrame, textCol: String,
+      topK: Int = 65536): Seq[(String, Double)] = {
+    val n = df.count().toDouble
+    // each row is one document: distinct tokens per row, then one
+    // counting groupBy — df(t) = number of docs containing t
+    val dfCounts = df
+      .select(explode(array_distinct(TextOps.tokens(col(textCol)))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val kept =
+      if (topK > 0) dfCounts.orderBy(col("df").desc, col("t")).limit(topK)
+      else dfCounts
+    kept.collect().map(r => r.getString(0) -> n / r.getLong(1).toDouble)
+      .toSeq.sortBy(_._1)
+  }
+
+  /** TF-IDF document score: Σ over token OCCURRENCES of idf(token)
+    * (= Σ_t tf_t · idf_t), normalized by token count. Rides the same
+    * once-hashed broadcast table as [[avgTokenProb]] — left-to-right
+    * accumulation, per-row, shuffle-free, bit-reproducible. Tokens
+    * outside the (capped) table score `default`. */
+  def tfIdfScore(text: Column, idf: Seq[(String, Double)],
+      default: Double = 0.0): Column =
+    graft.functions.native.token_score_sum(TextOps.tokens(text), idf, default) /
+      TextOps.tokenCount(text).cast("double")
 }

@@ -105,6 +105,28 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  // ---- document chunking (RAG / context-window splitting) --------------
+
+  /** Overlapping token-window chunks: windows of `size` tokens moving
+    * by `size - overlap`, the standard RAG / context-packing split.
+    * Returns an ARRAY of chunk strings — explode it for the flat
+    * (doc, chunk_idx, chunk) table. Pure integer arithmetic + array
+    * slicing, per-row and shuffle-free; chunk COUNT uses the exact
+    * integer ceil form so any engine reproduces the boundaries. */
+  def chunkTokens(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val toks = tokens(text)
+    val n = org.apache.spark.sql.functions.size(toks)
+    // exact integer ceil((n - size) / stride) + 1, floored at 1
+    // (small-int double division + truncating cast == integer floor)
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(((n - size + stride - 1) / lit(stride)).cast("int") + 1)
+    transform(sequence(lit(0), nChunks - 1),
+      c => array_join(slice(toks, c * stride + lit(1), lit(size)), " "))
+  }
+
   // ---- repetition signals (Gopher-style quality rules) -----------------
 
   /** Fraction of n-gram OCCURRENCES that are repeats of an earlier

@@ -123,6 +123,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames == Set((1L, 0, 100), (1L, 2, 100), (2L, 0, 3)))
   }
 
+  test("token chunking: windows, stride, short docs, full coverage") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    def chunksOf(text: String, size: Int, overlap: Int): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TextOps.chunkTokens(col("t"), size, overlap))
+        .collect().head.getSeq[String](0)
+    // shorter than one window -> exactly one chunk, the whole doc
+    assert(chunksOf("a b c", 5, 2) == Seq("a b c"))
+    // exact boundary -> one chunk
+    assert(chunksOf("a b c d e", 5, 2) == Seq("a b c d e"))
+    // stride 3 (size 5, overlap 2): windows at 0,3,6
+    assert(chunksOf("t0 t1 t2 t3 t4 t5 t6 t7", 5, 2) ==
+      Seq("t0 t1 t2 t3 t4", "t3 t4 t5 t6 t7"))
+    // every token appears in some chunk (coverage), overlaps correct
+    val cs = chunksOf((0 until 103).map("w" + _).mkString(" "), 16, 4)
+    assert(cs.flatMap(_.split(" ")).toSet.size == 103)
+    assert(cs.init.forall(_.split(" ").length == 16))
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(col("t"), 4, 4)
+    }
+  }
+
+  test("tf-idf: rare tokens outscore common ones; capped table bounds the collect") {
+    import spark.implicits._
+    import graft.operators.LmOps
+    val df = Seq("common rare", "common", "common x", "common y").toDF("text")
+    val idf = LmOps.idfTable(df, "text")
+    val m = idf.toMap
+    assert(m("common") == 1.0)          // in all 4 docs -> N/df = 1
+    assert(m("rare") == 4.0)            // in 1 doc -> N/df = 4
+    val scores = df.select(LmOps.tfIdfScore(col("text"), idf).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(scores(0) == (1.0 + 4.0) / 2) // "common rare"
+    assert(scores(1) == 1.0)             // "common"
+    assert(LmOps.idfTable(df, "text", topK = 2).size == 2)
+  }
+
   test("hand-written BMP decodes via javax.imageio to the exact seed stream") {
     import graft.multimodal.MultimodalOps._
     // dims 13..16 x 6..8 cover 0/1/2-byte row padding
