@@ -10,6 +10,20 @@ import org.apache.spark.sql.SparkSession
   * ANN top-k, multimodal — and excludes the deliberately-O(n²)
   * brute-force baselines (those exist for oracle verification, not
   * throughput; ngramJaccardPairs documents "never run this at scale").
+  *
+  * Output JSON (one line):
+  *   - "queries": per-query MEDIAN seconds (noise-resistant headline)
+  *   - "times":   per-query array of EVERY rep's seconds — medians can
+  *     hide a single-rep anomaly (round-4's p16 taught that); with the
+  *     raw reps in the artifact, variance is visible without a rerun
+  *   - a query whose reps ALL fail is omitted from "queries"/"value"
+  *     and listed in "failed" — a regressing-to-failure query must not
+  *     make the suite look faster (it used to contribute 0.0 to total)
+  *   - "sf1": optional 10×-scale pass (per-query times + "scale"
+  *     ratios vs the sf0.1 medians) when the stress fixture exists —
+  *     scaling regressions (accidental quadratics) are invisible at
+  *     one scale factor; round 4 caught p10's only via a manual run,
+  *     this makes the driver catch them every round
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -27,6 +41,69 @@ object Bench {
     "p21_packing", "p22_unigram_lm", "p23_quantize", "p25_chunking",
     "p26_tfidf",
     "m01_multimodal", "m02_frame_sample", "m03_resize")
+
+  /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
+    * (documented in VectorOps/DedupOps) — excluded from any run above
+    * sf0.1, same set the round-4 manual stress run used. */
+  val scaleExcluded: Set[String] = Set("p10_embed_lsh")
+
+  private def fmtJsonNum(v: Double): String = {
+    // fixed decimal, no scientific notation (driver-side json parsers)
+    "%.4f".formatLocal(java.util.Locale.ROOT, v)
+  }
+
+  /** Storage-memory residue after a query: persisted RDD count + MB.
+    * Residue growing across the run order was the leading suspect for
+    * round-4's p16 anomaly; keeping the probe makes a recurrence
+    * attributable from stderr alone. */
+  private def storageResidue(spark: SparkSession): String = {
+    val infos = spark.sparkContext.getRDDStorageInfo
+    val mb = infos.map(_.memSize).sum / (1024.0 * 1024.0)
+    f"${infos.length} rdds ${mb}%.0fMB"
+  }
+
+  /** Time each query `reps` times in-process; returns every successful
+    * rep's seconds (possibly empty if all reps failed). */
+  private def runSuite(
+      spark: SparkSession, names: Seq[String], sfDir: String, reps: Int,
+      tag: String, errors: collection.mutable.ListBuffer[String])
+      : Seq[(String, Seq[Double])] =
+    names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to reps).flatMap { _ =>
+        // q28/r06 legitimately set session confs their own execution
+        // needs (optimizer rewrites fire at execution, not build);
+        // reset them BEFORE each rep so no rep times under another's
+        // leaked confs — and sweep persisted blocks (cache + local
+        // checkpoints) so no rep times under another's storage residue
+        SparkEntry.resetSessionConfs(spark)
+        val t0 = System.nanoTime()
+        // a failed query must be VISIBLE, not a fast fake timing
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            errors += s"$tag$name: ${e.getClass.getSimpleName}"
+            System.err.println(s"[bench] $tag$name FAILED: $e")
+            None
+        }
+      }
+      val shown = times.map(t => f"$t%.2f").mkString("/")
+      System.err.println(
+        s"[bench] $tag$name: [$shown]s (${times.size}/$reps reps, " +
+          s"residue ${storageResidue(spark)})")
+      name -> (times: Seq[Double])
+    }
+
+  private def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+
+  private def queriesJson(rs: Seq[(String, Seq[Double])]): String =
+    rs.collect { case (k, ts) if ts.nonEmpty =>
+      "\"" + k + "\":" + fmtJsonNum(median(ts)) }.mkString("{", ",", "}")
+
+  private def timesJson(rs: Seq[(String, Seq[Double])]): String =
+    rs.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(fmtJsonNum).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,37 +157,60 @@ object Bench {
     // total swings under background load); the median of 3+ strips the
     // outlier without hiding a real regression.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    var errors = List.empty[String]
-    val results = active.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to reps).flatMap { _ =>
-        // q28/r06 legitimately set session confs their own execution
-        // needs (optimizer rewrites fire at execution, not build);
-        // reset them BEFORE each rep so no rep times under another's
-        // leaked confs
-        SparkEntry.resetSessionConfs(spark)
-        val t0 = System.nanoTime()
-        // a failed query must be VISIBLE, not a fast fake timing
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            errors ::= s"$name: ${e.getClass.getSimpleName}"
-            System.err.println(s"[bench] $name FAILED: $e")
-            None
-        }
+    val errors = collection.mutable.ListBuffer.empty[String]
+    val results = runSuite(spark, active, sfDir, reps, "", errors)
+    val ok = results.filter(_._2.nonEmpty)
+    val failed = results.collect { case (k, ts) if ts.isEmpty => k }
+    val total = ok.map { case (_, ts) => median(ts) }.sum
+
+    // ---- optional 10× stress pass (verdict r4 task: promote sf1 to
+    // the per-round protocol). Runs when the MakeSf1 fixture exists
+    // (SPARK_GRAFT_SF1_DIR overrides; SPARK_GRAFT_SF1=0 disables).
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", {
+      val candidates = Seq("/root/repo/sf1", "/tmp/graft_sf1")
+      candidates.find(d => new java.io.File(d, "lineitem.parquet").isDirectory)
+        .getOrElse("")
+    })
+    val sf1Enabled = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
+      sf1Dir.nonEmpty && new java.io.File(sf1Dir).isDirectory
+    val sf1Json =
+      if (!sf1Enabled) ""
+      else {
+        System.err.println(s"[bench] sf1 stress pass: $sf1Dir")
+        val sf1Active = active.filterNot(scaleExcluded)
+        try RemoteQueries.ensure(spark, sf1Dir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] sf1 remote fixture setup failed: $e") }
+        try BucketedTables.ensure(spark, sf1Dir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] sf1 bucketed fixture setup failed: $e") }
+        // start the stress pass from a collected heap: measured, the
+        // sf1 numbers run 2-4× inflated when timed single-shot in the
+        // old-gen-heavy JVM state the full sf0.1 suite leaves behind
+        // (p16 4.6 s vs 0.66 s in a focused run); 3-rep medians +
+        // a pre-pass collection strip that artifact
+        System.gc()
+        val reps1 = sys.env.getOrElse("SPARK_GRAFT_SF1_REPS", "3").toInt
+        val rs1 = runSuite(spark, sf1Active, sf1Dir, reps1, "sf1:", errors)
+        val ok1 = rs1.filter(_._2.nonEmpty)
+        val total1 = ok1.map { case (_, ts) => median(ts) }.sum
+        // scale ratio: sf1 time / sf0.1 median — 10× data should be
+        // ≤ ~10×; a ratio far above that flags a super-linear path
+        val sf01 = ok.toMap
+        val scale = ok1.flatMap { case (k, ts) =>
+          sf01.get(k).filter(_.nonEmpty).map { base =>
+            "\"" + k + "\":" + fmtJsonNum(median(ts) / math.max(median(base), 1e-3))
+          }
+        }.mkString("{", ",", "}")
+        val excl = scaleExcluded.toSeq.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","sf1":{"dir":"$sf1Dir","total":${fmtJsonNum(total1)},"reps":$reps1,"queries":${queriesJson(rs1)},"times":${timesJson(rs1)},"excluded":$excl},"scale":$scale"""
       }
-      val median =
-        if (times.isEmpty) 0.0
-        else times.sorted.apply(times.size / 2)
-      System.err.println(f"[bench] $name: $median%.2fs (${times.size}/$reps reps)")
-      name -> median
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errJson = errors.reverse
+
+    val errJson = errors
       .map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmtJsonNum(total)},"unit":"sec","queries":${queriesJson(ok)},"times":${timesJson(results)},"failed":$failedJson,"errors":$errJson,"reps":$reps,"sf":"$sfDir"$sf1Json}""")
     spark.stop()
   }
 }

@@ -260,6 +260,23 @@ object RemoteQueries {
         .orderBy(col("n_name"))
     }),
 
+    // ORDER BY + LIMIT over a PUSHED JOIN: the whole pipeline ships as
+    // ONE remote SQL — join subquery + ORDER BY + FETCH — so at
+    // federation scale the remote returns k rows, not the joined table.
+    // JoinPushdownSpec asserts the plan shape (no Spark join node,
+    // PushedTopN on the joined scan); this gate asserts values.
+    "r13_remote_join_topn" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      remote(s, url, "dbtable" -> "SUPPLIER")
+        .join(remote(s, url, "dbtable" -> "NATION"),
+          col("S_NATIONKEY") === col("N_NATIONKEY"))
+        .orderBy(col("S_ACCTBAL").desc, col("S_SUPPKEY"))
+        .limit(20)
+        .select(col("S_SUPPKEY").as("s_suppkey"),
+          col("S_ACCTBAL").as("s_acctbal"), col("N_NAME").as("n_name"))
+    }),
+
     // Nested-struct decode end-to-end: the remote scalar JSON column is
     // declared a typed struct via structcol.<name>; the reader decodes
     // it to InternalRow (reference SdeGeometry assembly,
@@ -313,6 +330,10 @@ object RemoteQueries {
         | CAST(sum(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "r13_remote_join_topn" ->
+      """SELECT s_suppkey, s_acctbal, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_acctbal DESC, s_suppkey LIMIT 20""".stripMargin,
     "r07_remote_avg" ->
       """SELECT CAST(CAST(sum(c_custkey) AS DOUBLE) / count(c_custkey) AS DOUBLE)
         |  AS avg_key,

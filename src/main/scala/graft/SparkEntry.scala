@@ -29,6 +29,16 @@ object SparkEntry {
     // k-means corpus) must not leak that cache into other queries'
     // timings or scans
     spark.catalog.clearCache()
+    // clearCache frees CACHED datasets but NOT localCheckpoint blocks
+    // (those are plain persisted RDDs below the cache manager, freed
+    // only when the ContextCleaner GCs the RDD reference — which a
+    // tight bench loop may never trigger). Iterative operators
+    // (connected components, k-means) checkpoint per round; their final
+    // generation necessarily outlives the query that produced it, so
+    // sweep whatever is still pinned here. Safe between independent
+    // queries: nothing reuses a prior query's checkpointed lineage.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -48,21 +48,39 @@ object ClusterOps {
     * @return (node, comp) — comp is the smallest node id in the
     *         component; only nodes that appear in `edges`.
     */
+  /** Eagerly localCheckpoint `df` and return the storage blocks the
+    * checkpoint pinned, so the caller can free them the moment the
+    * generation is superseded. `Dataset.unpersist` cannot do this (it
+    * only talks to the cache manager; checkpoint blocks are plain
+    * persisted RDDs below it) and the ContextCleaner only frees them
+    * on GC of the RDD reference — which a long driver process may
+    * never trigger. Identified by diffing `getPersistentRDDs` around
+    * the checkpoint: sound while a single query materializes at a
+    * time, which is how these iterative operators run. */
+  private def checkpointTracked(df: DataFrame)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(true)
+    val added = sc.getPersistentRDDs
+      .collect { case (id, r) if !before(id) => r }.toSeq
+    (out, added)
+  }
+
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
     // symmetrize once; labels propagate in both directions
-    val sym = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val (sym, symBlocks) = checkpointTracked(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .union(edges.select(col(dstCol).cast("long").as("src"),
+          col(srcCol).cast("long").as("dst")))
+        .distinct())
 
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint(true)
+    var (labels, labelBlocks) = checkpointTracked(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("comp", col("node")))
     var lastSum = labels.agg(sum("comp")).head.getLong(0)
     var converged = false
     var iter = 0
@@ -71,15 +89,27 @@ object ClusterOps {
       // (own label, best neighbor label)
       val viaEdges = sym.join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), col("comp"))
-      val next = labels.union(viaEdges)
-        .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+      val (next, nextBlocks) = checkpointTracked(
+        labels.union(viaEdges)
+          .groupBy("node").agg(min("comp").as("comp")))
       val s = next.agg(sum("comp")).head.getLong(0)
       converged = s == lastSum // labels are monotone non-increasing
       lastSum = s
+      // `next` is materialized (eager checkpoint), so the previous
+      // generation's blocks are dead weight from here — free them NOW,
+      // not at GC: a 100 TB run iterating 5 rounds would otherwise
+      // hold 5 label generations in executor storage at once
+      labelBlocks.foreach(_.unpersist(blocking = false))
+      labelBlocks = nextBlocks
       labels = next
       iter += 1
     }
+    // the edge set is dead once the fixpoint is reached; the FINAL
+    // label generation must stay pinned (the caller's query reads it —
+    // its lineage is truncated, so freeing it here would be fatal, not
+    // slow). Harnesses sweep it between queries via
+    // SparkEntry.resetSessionConfs.
+    symBlocks.foreach(_.unpersist(blocking = false))
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge in $maxIter rounds " +
         "(graph diameter exceeds the cap; raise maxIter)")

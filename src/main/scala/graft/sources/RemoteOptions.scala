@@ -107,6 +107,15 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
     * whole table, then increments). */
   def streamingStart: Long =
     map.getOrElse("streamingstart", Long.MinValue.toString).toLong
+  /** Soft cap on rows admitted per micro-batch — the JDBC analogue of
+    * Kafka's `maxOffsetsPerTrigger`. Unset = drain everything available
+    * each trigger (including the full post-downtime backlog in ONE
+    * batch, which is the wrong shape at ingest scale). */
+  def maxRowsPerMicroBatch: Option[Long] = {
+    val v = map.get("maxrowspermicrobatch").map(_.toLong)
+    v.foreach(n => require(n > 0, s"maxrowspermicrobatch must be > 0: $n"))
+    v
+  }
 
   /** `structcol.<name> = <spark ddl>` declares that a scalar remote
     * column (VARCHAR/JSON/CLOB) carries a JSON document decoding as a

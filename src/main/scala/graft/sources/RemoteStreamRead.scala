@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 
 /** Stream offset = the highest value of the monotonic column shipped so
@@ -22,6 +22,16 @@ final case class RemoteOffset(max: Long) extends Offset {
   * by Spark, so restarts resume at the committed high-water mark
   * (at-least-once per range; rows appearing with already-passed column
   * values are missed — the standard incremental-JDBC-ingest contract).
+  *
+  * Backpressure: `maxrowspermicrobatch` bounds each batch's high-water-
+  * mark advance (the JDBC analogue of Kafka's `maxOffsetsPerTrigger`,
+  * via `SupportsAdmissionControl`). Without it, the first trigger after
+  * downtime drains the FULL backlog into one micro-batch — at 100 TB
+  * ingest scale that's an unbounded batch the cluster must absorb in
+  * one commit interval. The bounded high-water mark comes from one
+  * scalar remote query (`MAX` over the first-N-by-column rows past the
+  * current offset), so admitted batches hold ≤ N rows each and offsets
+  * checkpoint per batch.
   */
 class RemoteMicroBatchStream(
     opts: RemoteOptions,
@@ -29,7 +39,7 @@ class RemoteMicroBatchStream(
     transformedSchema: StructType,
     required: StructType,
     pushedSql: Seq[String])
-  extends MicroBatchStream with Logging {
+  extends MicroBatchStream with SupportsAdmissionControl with Logging {
 
   private val col = opts.streamingColumn.get
   private val q = opts.dialect.quote(col)
@@ -55,6 +65,48 @@ class RemoteMicroBatchStream(
       } finally st.close()
     } finally GraftConnections.close(conn)
   }
+
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxRowsPerMicroBatch
+      .map(n => ReadLimit.maxRows(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-controlled offset: advance the high-water mark only as
+    * far as the first `maxRows` rows (by the monotonic column) past the
+    * current offset. Ties share a column value, so a batch can slightly
+    * exceed maxRows when the column is non-unique at the boundary —
+    * the same soft-cap contract Kafka's maxOffsetsPerTrigger has
+    * across partitions. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[RemoteOffset].max
+    limit match {
+      case mr: ReadMaxRows =>
+        val n = math.min(mr.maxRows(), Int.MaxValue.toLong).toInt
+        val bounded = opts.dialect.rewriteQuery(
+          opts.source, pushedSql :+ s"$q > $lo", Some(n), Some(Seq(col)),
+          Seq(opts.dialect.sortClause(col, descending = false,
+            nullsFirst = false)))
+        val sql = s"SELECT MAX($q) FROM ($bounded) ${opts.dialect.subqueryAlias}B"
+        val conn = GraftConnections.open(opts)
+        try {
+          val st = conn.createStatement()
+          try {
+            val rs = st.executeQuery(sql)
+            val hi =
+              if (rs.next()) {
+                val v = rs.getLong(1)
+                if (rs.wasNull()) lo else v
+              } else lo
+            RemoteOffset(hi)
+          } finally st.close()
+        } finally GraftConnections.close(conn)
+      case _ => latestOffset()
+    }
+  }
+
+  /** True table high-water mark for progress reporting, independent of
+    * the admitted (bounded) offset. */
+  override def reportLatestOffset(): Offset = latestOffset()
 
   /** A steady-state micro-batch is one partition; a large range (the
     * backlog on first start) splits into `numpartitions` value-range

@@ -121,6 +121,22 @@ class JoinPushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("ORDER BY + LIMIT composes on top of a pushed join (remote TopN)") {
+    withJoinPushdown {
+      val df = joined
+        .orderBy(col("N_NATIONKEY").desc)
+        .limit(3)
+        .select("N_NATIONKEY", "R_NAME")
+      assert(sparkJoinNodes(df).isEmpty,
+        s"expected pushed join, plan:\n${df.queryExecution.executedPlan}")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedTopN"),
+        s"expected TopN pushed into the joined scan, plan:\n$plan")
+      val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(got == Seq((9, "REGION_4"), (8, "REGION_3"), (7, "REGION_2")))
+    }
+  }
+
   test("join across different URLs is NOT pushed (falls back to Spark join)") {
     withJoinPushdown {
       val other = spark.createDataFrame(Seq((0, "x"), (1, "y")))

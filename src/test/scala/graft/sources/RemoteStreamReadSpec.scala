@@ -132,6 +132,39 @@ class RemoteStreamReadSpec extends AnyFunSuite {
     }
   }
 
+  test("maxrowspermicrobatch drains a backlog in bounded batches") {
+    withTable { (url, table) =>
+      // 100-row backlog, cap 30 -> 4 batches (30/30/30/10), offsets
+      // checkpointed per batch
+      insert(url, table, (1L to 100L).map(i => i -> s"p$i"): _*)
+      val sdf = spark.readStream.format("graft-remote")
+        .option("url", url).option("dbtable", table)
+        .option("streamingcolumn", "ID")
+        .option("maxrowspermicrobatch", "30")
+        .load()
+      val name = s"rstream_${System.nanoTime()}"
+      val q = sdf.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table(name).collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == (1L to 100L), s"backlog rows: $got")
+        // every committed batch advanced the offset by ≤ the cap
+        val sq = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+        val batches = sq.recentProgress.toSeq
+          .filter(_.numInputRows > 0)
+        assert(batches.size == 4,
+          s"expected 4 bounded batches, got ${batches.map(_.numInputRows).toSeq}")
+        assert(batches.forall(_.numInputRows <= 30),
+          s"batch sizes: ${batches.map(_.numInputRows).toSeq}")
+        // steady state: new rows still ship, still bounded
+        insert(url, table, 101L -> "tail")
+        q.processAllAvailable()
+        assert(spark.table(name).count() == 101)
+      } finally q.stop()
+    }
+  }
+
   test("streamingstart skips the backlog; filters push into each batch") {
     withTable { (url, table) =>
       insert(url, table, 1L -> "old", 2L -> "old")
