@@ -48,9 +48,15 @@ object ConnectorBench {
     val t0 = System.nanoTime()
     // default bounded pool (10): Derby's single writer lock thrashes
     // with more concurrent writers, so capping below the 32 tasks is
-    // measured as fast or faster than 32 unpooled connections
+    // measured as fast or faster than 32 unpooled connections.
+    // WRITE_PARTITIONS exercises the writepartitions option (write
+    // concurrency capped through the sink's distribution contract) —
+    // BASELINE.md records the insert time at several caps.
+    val writeOpts = sys.env.get("WRITE_PARTITIONS")
+      .map(n => Map("writepartitions" -> n)).getOrElse(Map.empty)
     df.write.format("graft-remote").option("url", url)
       .option("dbtable", "BENCH_T").option("batchsize", "1000")
+      .options(writeOpts)
       .mode("append").save()
     val insertMs = (System.nanoTime() - t0) / 1e6
 

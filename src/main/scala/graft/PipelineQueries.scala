@@ -337,6 +337,51 @@ object PipelineQueries {
             .as("recall_ok"))
     }),
 
+    // IVF-PQ-lite: int8-quantized vectors in the IVF inverted lists,
+    // float rescoring on the fly (VectorOps.ivfPqTopK — composed from
+    // the gated p23 quantization + p11 IVF probe shape). Two-part
+    // verification: (1) the exact asymmetric quantized-cosine top-5
+    // table is hash-exact vs the DuckDB oracle recomputing the same
+    // int8 codes and the same left-to-right double folds — cosine is
+    // scale-invariant, so the quantization scale cancels and the
+    // oracle never needs it; (2) pq_recall_ok asserts the IVF-PQ path
+    // (nprobe 3/8, rescore band k+5) against the FLOAT exact top-5 —
+    // the oracle emits constant TRUE, so a recall drop fails the gate
+    // (p11 pattern; measured 45/50 at sf0.001, 46/50 at sf0.01 for
+    // the float IVF, and rescoring repairs in-band quantized-order
+    // errors, so 0.8 has margin).
+    "p27_ivf_pq" -> ((s, dir) => {
+      val all = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .persist()
+      val q = all.filter(col("id") < 10)
+      val (_, q8) = VectorOps.quantizeInt8(col("vec"))
+      val qall = all.select(col("id").as("neighbor_id"),
+        q8.cast("array<float>").as("qv8"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("qcosine").desc, col("neighbor_id"))
+      val exactQ = qall
+        .join(broadcast(q.select(col("id").as("query_id"),
+          col("vec").as("qv"))), col("query_id") =!= col("neighbor_id"))
+        .withColumn("qcosine", VectorOps.cosine(col("qv"), col("qv8")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("qcosine"),
+          col("rank"))
+      val pq = VectorOps.ivfPqTopK(q, all, k = 5, nlist = 8, nprobe = 3,
+        rescoreK = 5).select("query_id", "neighbor_id")
+      val floatExact = VectorOps.bruteForceTopK(q, all, k = 5)
+        .select("query_id", "neighbor_id")
+      val hits = pq.join(floatExact, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      val rec = floatExact.agg(count(lit(1)).as("n_float"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select((col("n_hit").cast(DoubleType) / col("n_float") >= 0.8)
+          .as("pq_recall_ok"))
+      exactQ.crossJoin(rec).orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- multimodal: REAL javax.imageio decode -------------------------
     // Documents render as genuine 24-bit BMP files (hand-written wire
     // layout: bottom-up rows, BGR, 4-byte padding; dims varied so the
@@ -800,6 +845,37 @@ object PipelineQueries {
         |     * (CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END)) AS INT)), ',')
         |  AS q_str
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // exact asymmetric quantized-cosine ranking: DuckDB recomputes the
+    // int8 codes (p23's formula) and scores the float query against
+    // them with the same left-to-right folds; pq_recall_ok is the
+    // p11-pattern constant-TRUE assertion the Spark side must match
+    "p27_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |   AS ma
+        | FROM embeddings),
+        |c8 AS (SELECT vec_id,
+        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE)
+        |    * (CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END))) AS qv
+        | FROM e),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |    i -> CAST(q.embedding[i] AS DOUBLE) * c.qv[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i])))
+        |     * sqrt(list_sum(list_transform(c.qv, x -> x * x))))
+        |   AS qcosine
+        | FROM e q JOIN c8 c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, qcosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY qcosine DESC, neighbor_id) AS rank
+        | FROM scored)
+        |SELECT query_id, neighbor_id, qcosine, CAST(rank AS INT) AS rank,
+        | TRUE AS pq_recall_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "p09_embed_neardup" -> exactCosinePairsOracle,
 

@@ -110,6 +110,63 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF-PQ-lite approximate top-k: IVF inverted lists that store
+    * int8-QUANTIZED vectors ([[quantizeInt8]]) instead of float32 —
+    * 4× smaller at rest and, more importantly at 100 TB, 4× less data
+    * riding the probe join's broadcast/shuffle. Scoring is asymmetric
+    * (ADC, the standard PQ trick): the float query scores directly
+    * against the int8 codes — cosine is scale-invariant, so the
+    * per-vector quantization scale cancels and never needs to ride
+    * along. With `rescoreK > 0`, the top `k + rescoreK` quantized
+    * candidates per query are re-scored against the float corpus
+    * (an id equi-join touching only survivors — rescoring "on the
+    * fly") and the final top-k ranks by exact float cosine; quantized
+    * ordering errors inside the candidate band are repaired, probe
+    * misses are not (the IVF recall contract, same as [[ivfTopK]]).
+    * Composed entirely from the two gated primitives `quantizeInt8`
+    * and the IVF probe shape of `ivfTopK`. */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, iters: Int = 2, rescoreK: Int = 0): DataFrame = {
+    val cents = trainCentroids(corpus, nlist, iters)
+    val (_, q8) = quantizeInt8(col("vec"))
+    // int8 codes are exact in float; array<float> feeds the same native
+    // dot kernel (and the same left-to-right double fold) as the float
+    // path, so quantized cosines are bit-deterministic
+    val lists = corpus.select(col("id").as("neighbor_id"),
+      q8.cast("array<float>").as("qv8"),
+      element_at(
+        graft.functions.native.nearest_centroids(col("vec"), cents, 1), 1)
+        .as("cid"))
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      explode(graft.functions.native.nearest_centroids(
+        col("vec"), cents, nprobe)).as("cid"))
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qcosine", cosine(col("qv"), col("qv8")))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("neighbor_id"))
+    if (rescoreK <= 0)
+      scored.withColumn("rank", row_number().over(qw))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"),
+          col("qcosine").as("cosine"), col("rank"))
+    else {
+      val cand = scored.withColumn("qrank", row_number().over(qw))
+        .filter(col("qrank") <= k + rescoreK)
+        .select(col("query_id"), col("qv"), col("neighbor_id"))
+      val rescored = cand.join(
+          corpus.select(col("id").as("neighbor_id"), col("vec").as("cv")),
+          Seq("neighbor_id"))
+        .withColumn("cosine", cosine(col("qv"), col("cv")))
+      rescored.withColumn("rank",
+          row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neighbor_id"))))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }
+  }
+
   /** Sign-LSH bucket ids via the native [[graft.functions.LshBuckets]]
     * expression: `nTables` independent tables (OR), each an AND over
     * `nPlanes` deterministic splitmix hyperplane signs — the classic

@@ -145,6 +145,17 @@ object GraftConnectionPool {
       toClose.size
     }
 
+    private[sources] def isClosed: Boolean = lock.synchronized(closedFlag)
+
+    /** A borrowed connection was closed behind the pool's back (caller
+      * bypassed `GraftConnections.close`): the slot it held must be
+      * returned or the pool's live count stays elevated forever and
+      * eventually manufactures spurious checkout-timeout exhaustion. */
+    private[sources] def evictLeaked(): Unit = lock.synchronized {
+      live -= 1
+      lock.notifyAll()
+    }
+
     /** Close every idle connection (spec teardown). Borrowed ones are
       * untouched — they close on release via the emptied pool check. */
     def drain(): Unit = {
@@ -172,6 +183,8 @@ object GraftConnectionPool {
         Thread.sleep(reapPeriodMs)
         pools.values().forEach(p =>
           try p.reap() catch { case scala.util.control.NonFatal(_) => () })
+        try GraftConnections.sweepLeaked()
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }, "graft-connection-pool-reaper")
     t.setDaemon(true)
@@ -180,9 +193,18 @@ object GraftConnectionPool {
   }
 
   def poolFor(opts: RemoteOptions): Pool = {
-    val p = pools.computeIfAbsent(keyOf(opts), _ =>
+    // a drained pool must not linger in the map: it stops caching
+    // (open/close per checkout, no pooling, no warning) — replace it
+    // with a fresh pool instead
+    var p = pools.computeIfAbsent(keyOf(opts), _ =>
       new Pool(keyOf(opts), opts.poolMaxSize, opts.poolMinIdle,
         opts.poolIdleTimeoutMs))
+    while (p.isClosed) {
+      pools.remove(keyOf(opts), p)
+      p = pools.computeIfAbsent(keyOf(opts), _ =>
+        new Pool(keyOf(opts), opts.poolMaxSize, opts.poolMinIdle,
+          opts.poolIdleTimeoutMs))
+    }
     // pool config is fixed at first creation per identity; silently
     // ignoring a later differing request hides "why didn't my
     // poolmaxsize change anything" — say so once per pool

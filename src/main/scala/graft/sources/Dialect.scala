@@ -134,7 +134,6 @@ trait Dialect extends Serializable {
     s"${quote(column)} $dir $nulls"
   }
 
-  /** COUNT(1) including pushed filters (reference `connection/mod.rs:454-512`). */
   /** DDL type for String columns. Documents routinely exceed a few KB,
     * so the default is Derby's VARCHAR ceiling (32672); dialects with
     * an unbounded text type override to TEXT/CLOB. */
@@ -163,6 +162,7 @@ trait Dialect extends Serializable {
     }
   }
 
+  /** COUNT(1) including pushed filters (reference `connection/mod.rs:454-512`). */
   def countQuery(source: RemoteSource, filters: Seq[String] = Nil): String =
     s"SELECT COUNT(1) FROM ${fromClause(source)}${whereClause(filters)}"
 

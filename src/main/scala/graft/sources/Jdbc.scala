@@ -64,6 +64,24 @@ object GraftConnections {
     val c = open(opts)
     try f(c) finally close(c)
   }
+
+  /** Evict borrowed-map entries whose connection was closed DIRECTLY
+    * (bypassing [[close]]): the map entry would otherwise pin the
+    * pool's live count forever and eventually manufacture spurious
+    * checkout-timeout exhaustion. Called by the pool reaper; returns
+    * the number of leaked entries evicted. */
+  private[sources] def sweepLeaked(): Int = {
+    var n = 0
+    val it = borrowedFrom.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val dead =
+        try e.getKey.isClosed
+        catch { case scala.util.control.NonFatal(_) => true }
+      if (dead) { e.getValue.evictLeaked(); it.remove(); n += 1 }
+    }
+    n
+  }
 }
 
 /** Bounded JVM-wide log of the SQL the readers actually executed —

@@ -52,6 +52,19 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
   /** Rows per ColumnarBatch on the columnar read path. */
   def columnarBatchSize: Int = map.getOrElse("columnarbatchsize", "4096").toInt
   def literalInsert: Boolean = map.getOrElse("literalinsert", "false").toBoolean
+  /** Cap on concurrent write tasks (batch writes): Spark repartitions
+    * the write stage to exactly N tasks via the sink's
+    * RequiresDistributionAndOrdering contract. Unset = write with the
+    * input's partitioning. Size to the REMOTE's ingest parallelism:
+    * embedded/single-writer engines (Derby) measured FASTER at small N
+    * than at 32 (writer-lock thrash — BASELINE.md); server databases
+    * typically want N ≈ their core count, far below a large stage's
+    * task count. */
+  def writePartitions: Option[Int] = {
+    val v = map.get("writepartitions").map(_.toInt)
+    v.foreach(n => require(n > 0, s"writepartitions must be > 0: $n"))
+    v
+  }
   /** Job-atomic append: tasks write a staging table; job commit moves
     * the whole batch into the target in one transactional
     * INSERT..SELECT (all-or-nothing even across task failures). */

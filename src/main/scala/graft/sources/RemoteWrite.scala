@@ -26,11 +26,38 @@ class RemoteWriteBuilder(
     writeSchema: StructType)
   extends WriteBuilder {
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      if (opts.stagingWrite)
-        new StagedRemoteBatchWrite(opts, remoteSchema, writeSchema)
-      else new RemoteBatchWrite(opts, remoteSchema, writeSchema)
+  private def batchWrite: BatchWrite =
+    if (opts.stagingWrite)
+      new StagedRemoteBatchWrite(opts, remoteSchema, writeSchema)
+    else new RemoteBatchWrite(opts, remoteSchema, writeSchema)
+
+  override def build(): Write = opts.writePartitions match {
+    case None => new Write {
+      override def toBatch: BatchWrite = batchWrite
+    }
+    // `writepartitions=N` caps the write stage's task count through
+    // Spark's own sink-negotiation API (RequiresDistributionAndOrdering
+    // — the mechanism file sinks use to control layout), so the remote
+    // sees at most N concurrent writers no matter how the input was
+    // partitioned. Spark rejects a bare partition count without a
+    // distribution, so rows hash over ALL write columns (uniform,
+    // content-defined); the explicit N also keeps AQE from coalescing
+    // the shuffle. Measured on Derby (single internal writer lock):
+    // MORE writers is SLOWER — see BASELINE.md; remote engines with a
+    // real lock manager want N ≈ their ingest parallelism instead.
+    case Some(n) => new Write with RequiresDistributionAndOrdering {
+      override def toBatch: BatchWrite = batchWrite
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          writeSchema.fields.map(f =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(f.name): org.apache.spark.sql.connector.expressions.Expression))
+      override def requiredNumPartitions(): Int = n
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+    }
   }
 }
 

@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * scale ~linearly like a real 10× corpus, instead of quadratically
   * like 10 verbatim clones would.
   *
-  * Run: `sbt "Test/runMain graft.MakeSf1"` → /tmp/graft_sf1
+  * Run: `sbt "Test/runMain graft.MakeSf1"` → /root/repo/sf1
+  * (gitignored; graft.Bench auto-detects it for the per-round sf1
+  * stress pass, falling back to the older /tmp/graft_sf1 location).
   */
 object MakeSf1 {
   val copies = 10
   val src = "/root/testdata/sf0.1"
-  val out = "/tmp/graft_sf1"
+  val out = "/root/repo/sf1"
 
   def main(args: Array[String]): Unit = {
     val spark = SparkTestSession.spark

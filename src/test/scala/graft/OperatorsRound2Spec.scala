@@ -143,6 +143,49 @@ class OperatorsRound2Spec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall (${ivf.intersect(exact).size}/${exact.size})")
   }
 
+  test("IVF-PQ: exhaustive probe + full rescore band equals float brute force") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = all.filter(col("id") < 5)
+    val exact = graft.operators.VectorOps.bruteForceTopK(q, all, 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // nprobe = nlist: no probe misses; a generous rescore band lets the
+    // float rescore repair every quantized-order error, so the final
+    // ranking must equal the exact float top-k
+    val pq = graft.operators.VectorOps
+      .ivfPqTopK(q, all, 5, nlist = 8, nprobe = 8, rescoreK = 50)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pq == exact,
+      "exhaustive IVF-PQ with rescoring must match float brute force")
+  }
+
+  test("IVF-PQ recall under real pruning stays above the gate threshold") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = all.filter(col("id") < 10)
+    val exact = graft.operators.VectorOps.bruteForceTopK(q, all, 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val pq = graft.operators.VectorOps
+      .ivfPqTopK(q, all, 5, nlist = 8, nprobe = 3, rescoreK = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${pq.intersect(exact).size}/${exact.size})")
+    // quantization must not cost recall vs the float IVF at the same
+    // probe budget by more than the rescore band can explain — compare
+    // against the float path directly
+    val ivf = graft.operators.VectorOps
+      .ivfTopK(q, all, 5, nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val ivfRecall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= ivfRecall - 0.1,
+      s"PQ recall $recall far below float IVF recall $ivfRecall")
+  }
+
   test("LSH skew guard emits dropped-bucket metrics via observe") {
     // 4 copies of text A (bucket size 4 -> dropped at maxBucket=2) plus
     // 2 copies of text B (bucket size 2 -> kept): the survivors keep the

@@ -11,12 +11,14 @@ object TuneSimhash {
     val dir = "/root/testdata/sf0.1"
     val d = Tables.table(spark, dir, "documents")
     def time(tag: String)(f: => Long): Unit = {
-      // warm once, then median of 3
-      f
+      // warm once (capturing the count — interpolating `f` in the
+      // println would re-run the whole workload a fifth time), then
+      // median of 3
+      val n = f
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      println(f"$tag: ${ts.sorted.apply(1)}%.2fs (n=${f})")
+      println(f"$tag: ${ts.sorted.apply(1)}%.2fs (n=$n)")
     }
     time("sig only (poly)") {
       d.select(graft.operators.DedupOps.simhashPoly(

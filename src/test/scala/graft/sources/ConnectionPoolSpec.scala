@@ -160,6 +160,54 @@ class ConnectionPoolSpec extends AnyFunSuite {
     }
   }
 
+  test("a drained pool is replaced on next use instead of silently not pooling") {
+    val url = freshDb("drainreuse")
+    val o = opts(url)
+    val drained = GraftConnectionPool.poolFor(o)
+    GraftConnections.withConnection(o)(_ => ())
+    drained.drain()
+    // next use must NOT get the closed pool (which would degrade to
+    // open/close-per-checkout with no pooling and no warning)
+    val fresh = GraftConnectionPool.poolFor(o)
+    assert(fresh ne drained, "poolFor returned the drained pool")
+    GraftConnections.withConnection(o)(_ => ())
+    GraftConnections.withConnection(o)(_ => ())
+    assert(fresh.physicalOpens.get == 1,
+      s"expected warm reuse in the replacement pool, opens=${fresh.physicalOpens.get}")
+    val st = GraftConnectionPool.state(o)
+    assert(st.connections == 1 && st.idleConnections == 1, s"state $st")
+  }
+
+  test("sweepLeaked reclaims slots of connections closed behind the pool's back") {
+    val url = freshDb("leak")
+    val o = opts(url, "poolmaxsize" -> "2", "poolcheckouttimeout" -> "300")
+    GraftConnectionPool.drainAll()
+    val pool = GraftConnectionPool.poolFor(o)
+    // two borrowed connections closed DIRECTLY (bypassing
+    // GraftConnections.close): their borrowed-map entries and live
+    // slots leak until the reaper sweep evicts them
+    val c1 = GraftConnections.open(o)
+    val c2 = GraftConnections.open(o)
+    c1.close(); c2.close()
+    assert(pool.state.connections == 2, s"pre-sweep ${pool.state}")
+    // with both slots leaked, a checkout would time out
+    intercept[java.sql.SQLTransientConnectionException] {
+      GraftConnections.open(o)
+    }
+    val evicted = GraftConnections.sweepLeaked()
+    assert(evicted >= 2, s"evicted $evicted") // other suites may leak too
+    assert(pool.state.connections == 0, s"post-sweep ${pool.state}")
+    // capacity restored: checkout succeeds again
+    GraftConnections.withConnection(o) { c =>
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM T")
+      rs.next(); assert(rs.getLong(1) == 3)
+    }
+    // balance the global open/close counters the direct closes skipped
+    // (AFTER the sweep, so nothing double-releases into the pool —
+    // other suites assert opened == closed parity)
+    GraftConnections.close(c1); GraftConnections.close(c2)
+  }
+
   test("pool=false bypasses pooling (physical close per task)") {
     val url = freshDb("nopool")
     val o = opts(url, "pool" -> "false")
