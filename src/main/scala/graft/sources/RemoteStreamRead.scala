@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 
 /** Stream offset = the highest value of the monotonic column shipped so
@@ -39,7 +39,8 @@ class RemoteMicroBatchStream(
     transformedSchema: StructType,
     required: StructType,
     pushedSql: Seq[String])
-  extends MicroBatchStream with SupportsAdmissionControl with Logging {
+  extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow with Logging {
 
   private val col = opts.streamingColumn.get
   private val q = opts.dialect.quote(col)
@@ -48,6 +49,9 @@ class RemoteMicroBatchStream(
 
   /** One scalar remote query per trigger; honors pushed filters so the
     * high-water mark and the batch see the same row set. */
+  private def trueLatest: Long =
+    latestOffset().asInstanceOf[RemoteOffset].max
+
   override def latestOffset(): Offset = {
     val from = opts.dialect.rewriteQuery(opts.source, pushedSql, None, None)
     val sql = s"SELECT MAX($q) FROM ($from) ${opts.dialect.subqueryAlias}W"
@@ -66,10 +70,34 @@ class RemoteMicroBatchStream(
     } finally GraftConnections.close(conn)
   }
 
+  /** Trigger.AvailableNow: the high-water mark is captured ONCE at
+    * query start; every admitted batch caps at it, so the query drains
+    * exactly the rows that existed then — in `maxrowspermicrobatch`-
+    * bounded batches, not one unbounded backfill — and terminates.
+    * (Without this interface Spark's fallback wrapper ships the whole
+    * backlog as a single batch, read limits ignored.) */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(trueLatest)
+
+  private def capped(hi: Long): Long =
+    availableNowCap.fold(hi)(math.min(hi, _))
+
   override def getDefaultReadLimit: ReadLimit =
     opts.maxRowsPerMicroBatch
       .map(n => ReadLimit.maxRows(n))
       .getOrElse(ReadLimit.allAvailable())
+
+  /** Unwrap the maxRows bound, if any — a composed trigger delivers
+    * limits inside a CompositeReadLimit, which must not silently read
+    * as "unbounded". */
+  private def maxRowsOf(limit: ReadLimit): Option[ReadMaxRows] = limit match {
+    case mr: ReadMaxRows => Some(mr)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collectFirst { case mr: ReadMaxRows => mr }
+    case _ => None
+  }
 
   /** Admission-controlled offset: advance the high-water mark only as
     * far as the first `maxRows` rows (by the monotonic column) past the
@@ -79,8 +107,8 @@ class RemoteMicroBatchStream(
     * across partitions. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val lo = start.asInstanceOf[RemoteOffset].max
-    limit match {
-      case mr: ReadMaxRows =>
+    maxRowsOf(limit) match {
+      case Some(mr) =>
         val n = math.min(mr.maxRows(), Int.MaxValue.toLong).toInt
         val bounded = opts.dialect.rewriteQuery(
           opts.source, pushedSql :+ s"$q > $lo", Some(n), Some(Seq(col)),
@@ -97,10 +125,10 @@ class RemoteMicroBatchStream(
                 val v = rs.getLong(1)
                 if (rs.wasNull()) lo else v
               } else lo
-            RemoteOffset(hi)
+            RemoteOffset(capped(hi))
           } finally st.close()
         } finally GraftConnections.close(conn)
-      case _ => latestOffset()
+      case None => RemoteOffset(capped(trueLatest))
     }
   }
 

@@ -165,6 +165,34 @@ class RemoteStreamReadSpec extends AnyFunSuite {
     }
   }
 
+  test("Trigger.AvailableNow honors maxrowspermicrobatch (composite read limit)") {
+    withTable { (url, table) =>
+      // AvailableNow wraps the read limit in a CompositeReadLimit; the
+      // cap must survive the unwrap or the backfill runs as ONE batch
+      insert(url, table, (1L to 100L).map(i => i -> s"p$i"): _*)
+      val sdf = spark.readStream.format("graft-remote")
+        .option("url", url).option("dbtable", table)
+        .option("streamingcolumn", "ID")
+        .option("maxrowspermicrobatch", "40")
+        .load()
+      val name = s"rstream_${System.nanoTime()}"
+      val q = sdf.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        assert(q.awaitTermination(60000), "AvailableNow query did not finish")
+        val got = spark.table(name).collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == (1L to 100L), s"backfill rows: $got")
+        val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        assert(batches.size == 3,
+          s"expected 3 capped batches (40/40/20), got ${batches.map(_.numInputRows).toSeq}")
+        assert(batches.forall(_.numInputRows <= 40),
+          s"batch sizes: ${batches.map(_.numInputRows).toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("streamingstart skips the backlog; filters push into each batch") {
     withTable { (url, table) =>
       insert(url, table, 1L -> "old", 2L -> "old")
