@@ -155,9 +155,12 @@ object VectorOps {
       val cand = scored.withColumn("qrank", row_number().over(qw))
         .filter(col("qrank") <= k + rescoreK)
         .select(col("query_id"), col("qv"), col("neighbor_id"))
-      val rescored = cand.join(
-          corpus.select(col("id").as("neighbor_id"), col("vec").as("cv")),
-          Seq("neighbor_id"))
+      // the candidate set is queries × (k + rescoreK) rows — broadcast
+      // it explicitly so the float corpus never shuffles for the
+      // rescore, regardless of what the size estimator thinks
+      val rescored = corpus
+        .select(col("id").as("neighbor_id"), col("vec").as("cv"))
+        .join(broadcast(cand), Seq("neighbor_id"))
         .withColumn("cosine", cosine(col("qv"), col("cv")))
       rescored.withColumn("rank",
           row_number().over(Window.partitionBy(col("query_id"))
