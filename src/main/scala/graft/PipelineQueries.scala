@@ -382,6 +382,27 @@ object PipelineQueries {
       exactQ.crossJoin(rec).orderBy(col("query_id"), col("rank"))
     }),
 
+    // SemDeDup-style SEMANTIC dedup end-to-end: embedding near-dup
+    // pairs (sign-LSH, the p10 fixture-scale recall-1.0 config so the
+    // edge set hash-matches the exact-cosine oracle) → connected
+    // components → one canonical keeper per cluster. The composition a
+    // production corpus dedup actually runs: A~B, B~C collapse to one
+    // cluster even when A!~C. At scale, swap the edge generator for
+    // the adaptive-LSH path (p24's lshAutoParams) — the clustering and
+    // keeper stages are unchanged. Gate-only (not in the bench
+    // headline, like p10: the exact-recall config is the oracle-
+    // strength fixture configuration).
+    "p28_semantic_dedup" -> ((s, dir) => {
+      val all = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val pairs = VectorOps.lshNearDupPairs(all, tau = 0.4,
+        nPlanes = 4, nTables = 24)
+      ClusterOps.dedupClusters(all, "id", pairs, "id_a", "id_b")
+        .select(col("doc_id").as("vec_id"), col("comp"),
+          col("cluster_size"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- multimodal: REAL javax.imageio decode -------------------------
     // Documents render as genuine 24-bit BMP files (hand-written wire
     // layout: bottom-up rows, BGR, 4-byte padding; dims varied so the
@@ -876,6 +897,37 @@ object PipelineQueries {
         |SELECT query_id, neighbor_id, qcosine, CAST(rank AS INT) AS rank,
         | TRUE AS pq_recall_ok
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // exact cosine pairs → recursive connected components → canonical
+    // keeper: the embedding-side analogue of p14's oracle
+    "p28_semantic_dedup" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        | SELECT vec_id, embedding FROM embeddings),
+        |pairs AS MATERIALIZED (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id
+        | WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i]))))
+        |   >= 0.4),
+        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, comp) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT g.dst, r.comp FROM reach r JOIN edges g ON g.src = r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |labeled AS (
+        | SELECT d.vec_id, coalesce(c.comp, d.vec_id) AS comp
+        | FROM (SELECT vec_id FROM embeddings) d
+        | LEFT JOIN comps c ON c.node = d.vec_id)
+        |SELECT vec_id, comp,
+        | count(*) OVER (PARTITION BY comp) AS cluster_size,
+        | (vec_id = comp) AS keep
+        |FROM labeled ORDER BY vec_id""".stripMargin,
 
     "p09_embed_neardup" -> exactCosinePairsOracle,
 
