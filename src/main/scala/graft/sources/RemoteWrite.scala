@@ -401,7 +401,12 @@ trait Literalizer extends Serializable {
   def binaryLiteral(v: Array[Byte], dialect: Dialect): String =
     dialect.binaryLiteral(v)
   def dateLiteral(days: Int, dialect: Dialect): String =
-    dialect.dateLiteral(DateTimeUtils.toJavaDate(days).toLocalDate)
+    // pure java.time: identical wall date to the java.sql.Date round
+    // trip (the Julian rebase exists to preserve the displayed date),
+    // without the sun.util.calendar module access java.sql.Date needs —
+    // so literal-date writes work even in JVMs launched without
+    // Spark's --add-opens set
+    dialect.dateLiteral(java.time.LocalDate.ofEpochDay(days.toLong))
   def timestampLiteral(micros: Long, ntz: Boolean, dialect: Dialect): String =
     if (ntz) dialect.timestampLiteral(DateTimeUtils.microsToLocalDateTime(micros))
     else dialect.timestampLiteral(
