@@ -105,6 +105,18 @@ object PipelineQueries {
             testFraction = 0.1, salt = 7).as("split"))
         .orderBy(col("doc_id"))),
 
+    // Per-source quota balancing: cap every domain at `quota` docs,
+    // keeping the deterministic hash-ranked head (rank by raw id would
+    // bias toward the oldest docs per domain). Runs on the TopKPerKey
+    // physical operator — per-partition bounded heaps, one key shuffle,
+    // no full window sort.
+    "p29_source_quota" -> ((s, dir) =>
+      SampleOps.quotaPerKey(
+          docs(s, dir).select(col("doc_id"), col("source")),
+          key = col("source"), idCol = "doc_id", quota = 10, salt = 13)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))),
+
     // The composed training-set materialization: language filter +
     // quality threshold + token-count band + exact-dedup keeper, in one
     // declarative plan (one window shuffle on the fingerprint; all
@@ -439,6 +451,20 @@ object PipelineQueries {
       feats.toDF().select(col("asset_id"), col("width"), col("height"),
           col("tag"))
         .orderBy(col("asset_id"))
+    }),
+
+    // real audio decode: documents encoded as genuine mono PCM16 WAV
+    // clips (hand-written RIFF wire layout, sample stream = cyclic text
+    // bytes, rate/length varied per asset), parsed back with
+    // javax.sound.sampled; stats computed over the reconstructed signed
+    // samples so any header/endianness/sign mismatch breaks the gate
+    "m04_audio" -> ((s, dir) => {
+      val feats = MultimodalOps.extractAudioFeatures(
+        MultimodalOps.audioAssets(s, dir))
+      feats.toDF().select(col("asset_id"), col("sample_rate"),
+          col("n_samples"), col("duration_ms"), col("tag"),
+          col("sum_abs"), col("peak"))
+        .orderBy(col("asset_id"))
     }))
 
   /** Exact brute-force cosine pair oracle, shared by p09 (brute force)
@@ -766,6 +792,17 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "p29_source_quota" -> {
+      val b13 = SampleOps.hashBucketSql("doc_id", 13)
+      s"""WITH ranked AS (
+         | SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY $b13, doc_id) AS rn
+         | FROM documents)
+         |SELECT doc_id, source FROM ranked WHERE rn <= 10
+         |ORDER BY source, doc_id""".stripMargin
+    },
+
     "p16_quality_pipeline" ->
       """WITH t AS (
         | SELECT doc_id, string_split(text, ' ') AS toks,
@@ -1010,5 +1047,37 @@ object PipelineQueries {
         |   j -> substring(px,
         |     CAST(1 + (((j // ow) * 2) * w + (j % ow) * 2) * 3 AS INT), 3)),
         |  '')) AS tag
-        |FROM s ORDER BY asset_id""".stripMargin)
+        |FROM s ORDER BY asset_id""".stripMargin,
+
+    // decoded-sample oracle: the WAV data section is the ASCII text
+    // repeated cyclically (2 bytes per sample, i16 little-endian), so
+    // repeat()+substring reproduces the PCM bytes javax.sound must
+    // yield, and ((lo + 256*hi + 32768) % 65536) - 32768 reconstructs
+    // the signed samples (shape derived from doc_id as in
+    // MultimodalOps.audioDims; max 196 samples = 392 bytes)
+    "m04_audio" ->
+      """WITH d AS (
+        | SELECT doc_id, text,
+        |  128 + (doc_id % 5) * 17 AS ns,
+        |  8000 + (doc_id % 3) * 4000 AS sr
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, ns, sr,
+        |  substring(repeat(text, CAST(ceil(392.0 / length(text)) AS INT) + 1),
+        |    1, CAST(ns * 2 AS INT)) AS pcm
+        | FROM d),
+        |v AS (
+        | SELECT doc_id, ns, sr, pcm,
+        |  list_transform(range(0, CAST(ns AS INT)),
+        |   i -> abs(((unicode(substring(pcm, CAST(1 + 2 * i AS INT), 1))
+        |     + 256 * unicode(substring(pcm, CAST(2 + 2 * i AS INT), 1))
+        |     + 32768) % 65536) - 32768)) AS mags
+        | FROM s)
+        |SELECT doc_id AS asset_id, CAST(sr AS INT) AS sample_rate,
+        | CAST(ns AS INT) AS n_samples,
+        | CAST(ns * 1000 // sr AS BIGINT) AS duration_ms,
+        | md5(pcm) AS tag,
+        | CAST(list_sum(mags) AS BIGINT) AS sum_abs,
+        | CAST(list_max(mags) AS INT) AS peak
+        |FROM v ORDER BY asset_id""".stripMargin)
 }

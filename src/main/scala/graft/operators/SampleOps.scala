@@ -70,6 +70,23 @@ object SampleOps {
     df.filter(hashBucket(col(idCol), salt) < thr)
   }
 
+  /** Per-key quota balancing (domain/source balancing): keep at most
+    * `quota` rows per key, selecting the deterministic hash-ranked head
+    * so reruns and task retries keep identical rows and the cap carries
+    * no bias toward low ids (ranking by raw id would always keep the
+    * oldest documents of every over-represented domain). Runs on the
+    * TopKPerKey physical operator: per-partition bounded heaps, then
+    * one shuffle on the key — never a full per-key window sort. At
+    * 100 TB the partial stage collapses skew before the shuffle: each
+    * task emits ≤ quota rows per key it sees, so a hot domain ships
+    * O(tasks·quota) rows, not its full row count. */
+  def quotaPerKey(df: DataFrame, key: Column, idCol: String, quota: Int,
+      salt: Long = 0L): DataFrame =
+    graft.plans.TopK.perKey(df,
+      keys = Seq(key),
+      order = Seq(hashBucket(col(idCol), salt).asc, col(idCol).asc),
+      k = quota)
+
   /** Deterministic train/validation/test split: a labeled column, not a
     * filter — every row keeps exactly one split on every run/retry.
     * Fractions must sum to ≤ 1; the remainder is "train". */

@@ -173,6 +173,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hand-written WAV decodes via javax.sound to the exact seed stream") {
+    import graft.multimodal.MultimodalOps._
+    for (n <- Seq(1, 128, 196); sr <- Seq(8000, 12000, 16000)) {
+      val seed = Array.tabulate[Byte](97)(i => ((i * 7 + 3) % 127).toByte)
+      val (dsr, pcm) = decodePcm16(syntheticWav(seed, n, sr))
+      assert(dsr == sr)
+      assert(pcm.length == n * 2, s"frame bytes at n=$n sr=$sr")
+      val expected = Array.tabulate[Byte](n * 2)(i => seed(i % seed.length))
+      assert(pcm.toSeq == expected.toSeq, s"pcm mismatch at n=$n sr=$sr")
+    }
+  }
+
+  test("decodePcm16 reconstructs signed i16 samples from LE bytes") {
+    import graft.multimodal.MultimodalOps._
+    // samples -32768, -1, 0, 1, 32767 as little-endian byte pairs
+    val seed = Array[Byte](0x00, 0x80.toByte, 0xFF.toByte, 0xFF.toByte,
+      0x00, 0x00, 0x01, 0x00, 0xFF.toByte, 0x7F)
+    val (_, pcm) = decodePcm16(syntheticWav(seed, nSamples = 5, sampleRate = 8000))
+    val samples = pcm.grouped(2)
+      .map(p => ((p(0) & 0xFF) | (p(1) << 8))).toSeq
+    assert(samples == Seq(-32768, -1, 0, 1, 32767))
+  }
+
+  test("non-WAV payload fails the audio decode loudly") {
+    intercept[Exception] {
+      graft.multimodal.MultimodalOps.decodePcm16("not audio".getBytes)
+    }
+  }
+
   test("decodeRgb handles a second real codec: ImageIO PNG round-trip") {
     import graft.multimodal.MultimodalOps._
     val (w, h) = (15, 7)

@@ -92,6 +92,23 @@ class ClusterSampleSpec extends AnyFunSuite {
     assert(math.abs(byS("val") - 5000.0) / 5000.0 < 0.07)
   }
 
+  test("quotaPerKey caps every key deterministically, no low-id bias") {
+    val df = spark.range(10000)
+      .select(col("id"), (col("id") % 7).cast("string").as("k"))
+    def draw(): Seq[(Long, String)] =
+      SampleOps.quotaPerKey(df, col("k"), "id", quota = 25, salt = 13)
+        .select("id", "k").as[(Long, String)].collect().toSeq.sorted
+    val a = draw()
+    assert(a == draw(), "quota selection must be retry/rerun-stable")
+    val perKey = a.groupBy(_._2).view.mapValues(_.size)
+    assert(perKey.values.forall(_ == 25), s"every key capped at 25: $perKey")
+    // hash-ranked, not id-ranked: the kept head must not be ids 0..174
+    assert(a.map(_._1).max > 1000, "kept rows should spread over the id range")
+    // a key smaller than the quota is kept whole
+    val tiny = df.filter(col("id") < 10)
+    assert(SampleOps.quotaPerKey(tiny, col("k"), "id", 25, 13).count() == 10)
+  }
+
   test("the SQL bucket rendering matches the Column bucket exactly") {
     // hashBucketSql is what oracle queries embed — it must never drift
     // from hashBucket
