@@ -315,12 +315,52 @@ object MultimodalOps {
     b.array()
   }
 
+  /** The JVM's registered audio parsers, resolved ONCE per JVM through
+    * the public `javax.sound.sampled.spi` service interface.
+    * `AudioSystem.getAudioInputStream` re-runs the synchronized
+    * ServiceLoader provider lookup on EVERY call, which serializes all
+    * executor threads through one lock (measured: m04 at sf1 scaled
+    * 15× for 10× rows — ~1.2 ms/call, single-file). The parse itself
+    * still goes through the JDK's WaveFileReader, so the
+    * two-implementation round-trip is unchanged. */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader],
+      classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** The provider that accepts RIFF/WAVE, selected ONCE by probing a
+    * minimal valid WAV. The per-row decode must consult exactly this
+    * one provider: trying providers in registry order reaches the
+    * JDK's MIDI reader, whose reject path re-enters the
+    * class-synchronized `JDK13Services.getProviders` AND re-scans
+    * `ClassLoader.getResources` through Spark's executor-classloader
+    * chain per call — measured 4.6 s for 5000 rows (15× scale ratio at
+    * sf1), thread-dump-confirmed serialization on the
+    * `JSSecurityManager` class lock. */
+  private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+    val probe = syntheticWav(Array[Byte](1, 2), nSamples = 1, sampleRate = 8000)
+    audioReaders.find { r =>
+      try { r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }.getOrElse(throw new IllegalStateException(
+      "no registered javax.sound provider parses RIFF/WAVE"))
+  }
+
   /** REAL decode: payload bytes → (sample rate, raw PCM frame bytes)
-    * via `javax.sound.sampled`'s WAV parser. Fails loudly on anything
-    * that is not 16-bit mono little-endian signed PCM. */
+    * via the JDK's WAV parser. Fails loudly on anything that is not
+    * 16-bit mono little-endian signed PCM. */
   def decodePcm16(payload: Array[Byte]): (Int, Array[Byte]) = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val ais =
+      try wavReader.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"the WAV parser rejects this ${payload.length}-byte payload")
+      }
     val f = ais.getFormat
     require(
       f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
