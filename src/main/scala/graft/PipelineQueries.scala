@@ -58,6 +58,19 @@ object PipelineQueries {
         docs(s, dir).filter(col("doc_id") < 2000), "doc_id", "text", tau = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental dedup: the "yesterday's corpus is the index, today's
+    // batch is the increment" production shape — candidates come from
+    // new.bands ⋈ index.bands (Δ-proportional), never index×index.
+    // Split by doc_id so the oracle can recompute the same partition.
+    "p30_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.minhashNewVsIndex(
+          d.filter(col("doc_id") % 5 === 0), // the "new batch"
+          d.filter(col("doc_id") % 5 =!= 0), // the historical index
+          "doc_id", "text", tau = 0.7)
+        .orderBy(col("id_new"), col("id_idx"))
+    }),
+
     // SimHash over the POLY hash family (dual 31-bit polynomial token
     // hashes — engine-independent by construction), so unlike a
     // xxhash-backed simhash the whole pair set is reproduced exactly by
@@ -732,6 +745,19 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "p30_incremental_dedup" ->
+      """WITH t AS (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+        |SELECT n.doc_id AS id_new, x.doc_id AS id_idx,
+        | CAST(len(list_intersect(n.sh, x.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(n.sh, x.sh))) AS jaccard
+        |FROM t n JOIN t x ON n.doc_id % 5 = 0 AND x.doc_id % 5 != 0
+        |WHERE CAST(len(list_intersect(n.sh, x.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(n.sh, x.sh))) >= 0.7
+        |ORDER BY id_new, id_idx""".stripMargin,
 
     "p06_ngram_jaccard" ->
       """WITH t AS (

@@ -82,6 +82,36 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental near-dup screen: MinHash+LSH candidates between a NEW
+    * batch and an existing INDEX only — the daily-increment production
+    * shape. A 100 TB historical corpus screens an increment at
+    * Δ-proportional cost: banding both sides is per-row, the candidate
+    * join is new.bands ⋈ index.bands on (band, bh) via
+    * [[LshJoin.candidatesAcross]], and only candidates pay exact
+    * Jaccard. Returns (id_new, id_idx, jaccard ≥ tau): the new docs to
+    * drop (or link) because the corpus already contains them. */
+  def minhashNewVsIndex(
+      newDf: DataFrame, indexDf: DataFrame, idCol: String, textCol: String,
+      tau: Double = 0.7, bands: Int = 32, rows: Int = 4,
+      ngram: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), shingles(col(textCol), ngram).as("sh"))
+        .filter(size(col("sh")) > 0)
+    def band(withSh: DataFrame): DataFrame = withSh
+      .select(col("id"),
+        posexplode(graft.functions.native.minhash_bands(col("sh"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bh")
+    val newSh = prep(newDf)
+    val idxSh = prep(indexDf)
+    LshJoin.candidatesAcross(band(newSh), band(idxSh), Seq("band", "bh"), maxBucket)
+      .join(newSh.toDF("id_new", "sh_new"), "id_new")
+      .join(idxSh.toDF("id_idx", "sh_idx"), "id_idx")
+      .withColumn("jaccard", jaccard(col("sh_new"), col("sh_idx")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_new"), col("id_idx"), col("jaccard"))
+  }
+
   /** Distinct word n-gram shingles of a benchmark/eval set, collected
     * to the driver. Deliberately driver-side: eval sets are small by
     * definition (the thing you decontaminate AGAINST, not the corpus),

@@ -54,6 +54,24 @@ private[graft] object LshJoin {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Banded Δ-side vs banded index-side → distinct (id_new, id_idx)
+    * candidates: the INCREMENTAL screen shape (a new batch against an
+    * existing corpus index — never index×index). One shuffle sizes the
+    * index buckets (at scale the banded index is a materialized table,
+    * so that cost is paid at index-build time, not per increment); the
+    * increment then equi-joins by bucket key, so candidate volume is
+    * ∝ |Δ|·bucket. The skew guard applies to the index side — the side
+    * whose buckets grow with the historical corpus. */
+  def candidatesAcross(bandedNew: DataFrame, bandedIndex: DataFrame,
+      keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val sized = bandedIndex.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("id")).as("idx_ids"))
+      .filter(size(col("idx_ids")).between(1, maxBucket))
+    bandedNew.join(sized, keyCols)
+      .select(col("id").as("id_new"), explode(col("idx_ids")).as("id_idx"))
+      .dropDuplicates("id_new", "id_idx")
+  }
+
   /** Join a per-id payload column back onto the candidate pairs. */
   def attach(cands: DataFrame, payload: DataFrame, valueCol: String): DataFrame = {
     val a = payload.toDF("id_a", s"${valueCol}_a")

@@ -20,6 +20,30 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH missed ${brute.diff(lsh)} / extra ${lsh.diff(brute)}")
   }
 
+  test("incremental screen equals brute-force new-vs-index, nothing else") {
+    val docs = Tables.table(spark, sf, "documents")
+    val newB = docs.filter(col("doc_id") % 5 === 0)
+    val idx = docs.filter(col("doc_id") % 5 =!= 0)
+    val got = DedupOps.minhashNewVsIndex(newB, idx, "doc_id", "text", tau = 0.7)
+      .select("id_new", "id_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the full corpus, then restrict to the split
+    val all = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", tau = 0.7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = all.flatMap { case (a, b) =>
+      (a % 5 == 0, b % 5 == 0) match {
+        case (true, false) => Some((a, b))
+        case (false, true) => Some((b, a))
+        case _             => None // new-new and index-index must not appear
+      }
+    }.toSet
+    assert(expected.nonEmpty, "fixture should plant cross-split near-dups")
+    assert(got == expected,
+      s"missed ${expected.diff(got)} / extra ${got.diff(expected)}")
+    assert(got.forall { case (n, x) => n % 5 == 0 && x % 5 != 0 })
+  }
+
   test("simhash recalls the planted near-dups (hamming<=3)") {
     val docs = Tables.table(spark, sf, "documents")
     val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 3)
