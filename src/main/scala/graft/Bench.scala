@@ -39,7 +39,7 @@ object Bench {
     "p14_dedup_cluster", "p15_stratified_sample", "p16_quality_pipeline",
     "p17_fuzzy_pairs", "p18_repetition", "p19_pii", "p20_decontam",
     "p21_packing", "p22_unigram_lm", "p23_quantize", "p25_chunking",
-    "p26_tfidf", "p27_ivf_pq", "p29_source_quota",
+    "p26_tfidf", "p27_ivf_pq", "p29_source_quota", "p30_incremental_dedup",
     "m01_multimodal", "m02_frame_sample", "m03_resize", "m04_audio")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN

@@ -34,7 +34,12 @@ object RemoteQueries {
     // rendered SQL literal — embedded quotes, DATE, DECIMAL, DOUBLE,
     // BIGINT — not as a PreparedStatement parameter
     "LIT" -> ("CREATE TABLE LIT (L_KEY INT, L_NAME VARCHAR(80), L_DAY DATE, " +
-      "L_DEC DECIMAL(12,4), L_BAL DOUBLE, L_BIG BIGINT)"))
+      "L_DEC DECIMAL(12,4), L_BAL DOUBLE, L_BIG BIGINT)"),
+    // overwrite fixture: first APPENDED with placeholder rows, then
+    // REPLACED via the opt-in atomic truncate-and-append path — the r14
+    // gate reads the final content, so a broken overwrite (append-only,
+    // or truncate-without-write) breaks row count or hash
+    "OVW" -> "CREATE TABLE OVW (O_KEY INT, O_NAME VARCHAR(64), O_VAL DOUBLE)")
 
   /** Fixture DataFrame per remote table (GEO derives from nation: the
     * struct payload is assembled with to_json at write time, then must
@@ -60,8 +65,19 @@ object RemoteQueries {
               .cast(DecimalType(12, 4)).as("L_DEC"),
             (col("n_nationkey") * 1.5).as("L_BAL"),
             (col("n_nationkey").cast(LongType) * 1000000007L).as("L_BIG"))
+      case "OVW" => // the PLACEHOLDER rows the overwrite must replace
+        Tables.table(spark, dir, "nation").limit(5)
+          .select((col("n_nationkey") + 1000).cast(IntegerType).as("O_KEY"),
+            lit("stale").as("O_NAME"), lit(-1.0).as("O_VAL"))
       case t => Tables.table(spark, dir, t.toLowerCase)
     }
+
+  /** The rows r14 expects to find in OVW after the overwrite. */
+  private def ovwFinalDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "nation")
+      .select(col("n_nationkey").cast(IntegerType).as("O_KEY"),
+        col("n_name").as("O_NAME"),
+        (col("n_regionkey") * 2.5).as("O_VAL"))
 
   /** Extra write options per fixture table (LIT goes through the
     * literal-SQL insert path). */
@@ -79,7 +95,10 @@ object RemoteQueries {
     // run's tables are valid iff the row counts match — skip the
     // rewrite then instead of paying it once per JVM
     val counts = ddl.keys.map(t =>
-      t -> fixtureDf(spark, dir, t).count()).toMap
+      // OVW's steady state is the post-overwrite content, not the
+      // placeholder rows the rebuild path appends first
+      t -> (if (t == "OVW") ovwFinalDf(spark, dir).count()
+            else fixtureDf(spark, dir, t).count())).toMap
     val c = DriverManager.getConnection(url)
     val st = c.createStatement()
     val upToDate = ddl.keys.forall { t =>
@@ -95,12 +114,21 @@ object RemoteQueries {
       }
     }
     st.close(); c.close()
-    if (!upToDate) ddl.keys.foreach { table =>
-      fixtureDf(spark, dir, table)
+    if (!upToDate) {
+      ddl.keys.foreach { table =>
+        fixtureDf(spark, dir, table)
+          .write.format("graft-remote")
+          .option("url", url).option("dbtable", table)
+          .options(writeOptions(table))
+          .mode("append").save()
+      }
+      // replace OVW's placeholder rows through the opt-in atomic
+      // overwrite (DELETE + staged INSERT..SELECT in one transaction)
+      ovwFinalDf(spark, dir)
         .write.format("graft-remote")
-        .option("url", url).option("dbtable", table)
-        .options(writeOptions(table))
-        .mode("append").save()
+        .option("url", url).option("dbtable", "OVW")
+        .option("allowoverwrite", "true").option("stagingwrite", "true")
+        .mode("overwrite").save()
     }
     prepared += url
     url
@@ -277,6 +305,19 @@ object RemoteQueries {
           col("S_ACCTBAL").as("s_acctbal"), col("N_NAME").as("n_name"))
     }),
 
+    // Overwrite round-trip: OVW was appended with 5 placeholder rows,
+    // then REPLACED via allowoverwrite+stagingwrite (atomic DELETE +
+    // INSERT..SELECT). Reading the final content proves replace
+    // semantics: appended-not-replaced breaks the row count,
+    // truncated-not-written breaks everything.
+    "r14_overwrite" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "OVW")
+        .select(col("O_KEY").as("o_key"), col("O_NAME").as("o_name"),
+          col("O_VAL").as("o_val"))
+        .orderBy(col("o_key"))
+    }),
+
     // Nested-struct decode end-to-end: the remote scalar JSON column is
     // declared a typed struct via structcol.<name>; the reader decodes
     // it to InternalRow (reference SdeGeometry assembly,
@@ -334,6 +375,10 @@ object RemoteQueries {
       """SELECT s_suppkey, s_acctbal, n_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY s_acctbal DESC, s_suppkey LIMIT 20""".stripMargin,
+    "r14_overwrite" ->
+      """SELECT n_nationkey AS o_key, n_name AS o_name,
+        | n_regionkey * 2.5 AS o_val
+        |FROM nation ORDER BY o_key""".stripMargin,
     "r07_remote_avg" ->
       """SELECT CAST(CAST(sum(c_custkey) AS DOUBLE) / count(c_custkey) AS DOUBLE)
         |  AS avg_key,

@@ -36,6 +36,12 @@ trait Dialect extends Serializable {
 
   def tableName(parts: Seq[String]): String = parts.map(quote).mkString(".")
 
+  /** Row removal for overwrite mode. DELETE (not TRUNCATE) so the
+    * statement participates in the caller's transaction — TRUNCATE is
+    * DDL on several engines (implicit commit), which would break the
+    * staged path's atomic replace. */
+  def deleteAllSql(parts: Seq[String]): String = s"DELETE FROM ${tableName(parts)}"
+
   /** Only SELECT-shaped queries are rewritable (reference
     * `connection/mod.rs:239-248`); anything else is scanned as-is with
     * every filter/limit evaluated by Spark. */

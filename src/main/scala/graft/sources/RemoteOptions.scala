@@ -69,6 +69,13 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
     * the whole batch into the target in one transactional
     * INSERT..SELECT (all-or-nothing even across task failures). */
   def stagingWrite: Boolean = map.getOrElse("stagingwrite", "false").toBoolean
+  /** Opt-in for `mode("overwrite")` (truncate-and-append). Default
+    * false: overwrite is rejected exactly like the reference
+    * (`table.rs:434-441`). With `stagingwrite=true` the replace is
+    * ATOMIC — the DELETE and the staged INSERT..SELECT share one
+    * transaction, so readers never observe the empty table; the direct
+    * path deletes up front (non-atomic, like most JDBC sinks). */
+  def allowOverwrite: Boolean = map.getOrElse("allowoverwrite", "false").toBoolean
   /** Execution-time runtime-filter (broadcast-join IN list) pushdown
     * into the remote WHERE clause — the connector-side analogue of
     * dynamic partition pruning. On by default; purely an optimization

@@ -114,6 +114,10 @@ class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType],
     // incremental micro-batch reads over a monotonic column
     if (opts.streamingColumn.isDefined)
       caps.add(TableCapability.MICRO_BATCH_READ)
+    // opt-in truncate-and-append overwrite; default stays the
+    // reference's append-only reject (table.rs:434-441)
+    if (opts.allowOverwrite)
+      caps.add(TableCapability.TRUNCATE)
     caps
   }
 

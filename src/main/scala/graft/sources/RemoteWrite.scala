@@ -7,11 +7,12 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 
-/** Append-only remote INSERT — the port of `RemoteTableInsertExec`
+/** Remote INSERT — the port of `RemoteTableInsertExec`
   * (`insert.rs:15-205`, `table.rs:428-466`):
-  *   - append semantics only; Overwrite/Replace rejected exactly like
-  *     the reference (`table.rs:434-441`) by not implementing
-  *     `SupportsTruncate`/`SupportsOverwrite`;
+  *   - append semantics by default; Overwrite/Replace rejected exactly
+  *     like the reference (`table.rs:434-441`) unless the user opts in
+  *     with `allowoverwrite=true` (truncate-and-append; atomic when
+  *     combined with `stagingwrite=true`);
   *   - rows buffered per `batchsize` and flushed as one statement;
   *   - auto-increment columns whose buffered values are ALL NULL are
   *     stripped so the remote DB generates ids (`insert.rs:157-205`);
@@ -23,13 +24,25 @@ import org.apache.spark.sql.types._
 class RemoteWriteBuilder(
     opts: RemoteOptions,
     remoteSchema: RemoteSchema,
-    writeSchema: StructType)
-  extends WriteBuilder {
+    writeSchema: StructType,
+    truncateFirst: Boolean = false)
+  extends WriteBuilder with SupportsTruncate {
+
+  /** `mode("overwrite")` lands here (Spark's OverwriteByExpression with
+    * an always-true predicate prefers truncate()). Parity default is
+    * the reference's reject; `allowoverwrite=true` opts in. */
+  override def truncate(): WriteBuilder = {
+    if (!opts.allowOverwrite) throw new UnsupportedOperationException(
+      "graft-remote is append-only by default (reference table.rs:434-441); " +
+        "set allowoverwrite=true to enable truncate-and-append overwrite " +
+        "(atomic with stagingwrite=true)")
+    new RemoteWriteBuilder(opts, remoteSchema, writeSchema, truncateFirst = true)
+  }
 
   private def batchWrite: BatchWrite =
     if (opts.stagingWrite)
-      new StagedRemoteBatchWrite(opts, remoteSchema, writeSchema)
-    else new RemoteBatchWrite(opts, remoteSchema, writeSchema)
+      new StagedRemoteBatchWrite(opts, remoteSchema, writeSchema, truncateFirst)
+    else new RemoteBatchWrite(opts, remoteSchema, writeSchema, truncateFirst)
 
   override def build(): Write = opts.writePartitions match {
     case None => new Write {
@@ -90,11 +103,28 @@ final case class RemoteCommit(rows: Long) extends WriterCommitMessage
 class RemoteBatchWrite(
     opts: RemoteOptions,
     remoteSchema: RemoteSchema,
-    writeSchema: StructType)
+    writeSchema: StructType,
+    truncateFirst: Boolean = false)
   extends BatchWrite {
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (truncateFirst) {
+      // driver-side, before any task launches; committed on its own —
+      // the direct path is documented non-atomic (staging is the
+      // atomic-replace path)
+      val parts = opts.source match {
+        case RemoteSource.TableRef(p) => p
+        case RemoteSource.Query(_) =>
+          throw new UnsupportedOperationException("cannot overwrite a query source")
+      }
+      val conn = GraftConnections.open(opts)
+      try {
+        val st = conn.createStatement()
+        try st.executeUpdate(opts.dialect.deleteAllSql(parts)) finally st.close()
+      } finally GraftConnections.close(conn)
+    }
     new RemoteDataWriterFactory(opts, remoteSchema, writeSchema)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -114,7 +144,8 @@ class RemoteBatchWrite(
 class StagedRemoteBatchWrite(
     opts: RemoteOptions,
     remoteSchema: RemoteSchema,
-    writeSchema: StructType)
+    writeSchema: StructType,
+    truncateFirst: Boolean = false)
   extends BatchWrite {
 
   private val targetParts: Seq[String] = opts.source match {
@@ -179,6 +210,11 @@ class StagedRemoteBatchWrite(
             }
           }
           val cols = live.map(f => dialect.quote(f.name)).mkString(", ")
+          // atomic replace: the DELETE shares the INSERT..SELECT's
+          // transaction, so readers see the old rows or the new batch,
+          // never the empty table
+          if (truncateFirst)
+            st.executeUpdate(dialect.deleteAllSql(targetParts))
           st.executeUpdate(
             s"INSERT INTO ${dialect.tableName(targetParts)} ($cols) " +
             s"SELECT $cols FROM ${dialect.tableName(stagingParts)}")

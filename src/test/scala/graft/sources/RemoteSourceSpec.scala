@@ -445,6 +445,44 @@ class RemoteSourceSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("overwrite"))
   }
 
+  test("allowoverwrite=true: truncate-and-append, direct and staged") {
+    import spark.implicits._
+    val table = "OVW_TGT"
+    val c = DriverManager.getConnection(DerbyFixture.url)
+    val st = c.createStatement()
+    try st.executeUpdate(s"DROP TABLE $table") catch { case _: Exception => () }
+    st.executeUpdate(s"CREATE TABLE $table (ID INT NOT NULL)")
+    st.close(); c.close()
+    def write(ids: Seq[Integer], staged: Boolean): Unit =
+      ids.toDF("ID").write.format("graft-remote")
+        .option("url", DerbyFixture.url).option("dbtable", table)
+        .option("allowoverwrite", "true")
+        .option("stagingwrite", staged.toString)
+        .mode("overwrite").save()
+    write(Seq(1, 2, 3), staged = false)
+    write(Seq(7, 8), staged = false) // direct replace: old rows gone
+    assert(remote("dbtable" -> table).collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(7, 8))
+    write(Seq(11, 12, 13), staged = true) // atomic staged replace
+    assert(remote("dbtable" -> table).collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(11, 12, 13))
+    // a failed staged overwrite must leave the OLD rows intact (the
+    // DELETE shares the aborted transaction)
+    val c2 = DriverManager.getConnection(DerbyFixture.url)
+    val st2 = c2.createStatement()
+    st2.executeUpdate(s"ALTER TABLE $table ADD CONSTRAINT OVW_POS CHECK (ID > 0)")
+    st2.close(); c2.close()
+    intercept[Exception] { write(Seq(21, -1), staged = true) }
+    assert(remote("dbtable" -> table).collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(11, 12, 13),
+      "failed staged overwrite must keep the previous rows")
+    // append mode still appends under allowoverwrite
+    Seq[Integer](14).toDF("ID").write.format("graft-remote")
+      .option("url", DerbyFixture.url).option("dbtable", table)
+      .option("allowoverwrite", "true").mode("append").save()
+    assert(remote("dbtable" -> table).count() == 4)
+  }
+
   test("transform renames/adds columns; filters on renamed column still push down") {
     val df = remote("dbtable" -> "NATION",
       "transformclass" -> "graft.sources.RenameTransform")
