@@ -44,6 +44,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (n, x) => n % 5 == 0 && x % 5 != 0 })
   }
 
+  test("incremental screen plans equi-joins only; quota plans TopKPerKey") {
+    val docs = Tables.table(spark, sf, "documents")
+    val p30 = graft.operators.DedupOps.minhashNewVsIndex(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the scale contract: candidates come from bucket equi-joins — a
+    // nested-loop/cartesian here would be the O(n²) shape p30 exists
+    // to avoid
+    assert(!p30.contains("CartesianProduct") &&
+      !p30.contains("BroadcastNestedLoopJoin"), p30)
+    val p29 = graft.operators.SampleOps.quotaPerKey(
+      docs.select(col("doc_id"), col("source")),
+      col("source"), "doc_id", quota = 10)
+      .queryExecution.executedPlan.toString
+    assert(p29.contains("TopKPerKeyExec"), p29)
+    assert(!p29.contains("Window"), "quota must not fall back to a window sort")
+  }
+
   test("simhash recalls the planted near-dups (hamming<=3)") {
     val docs = Tables.table(spark, sf, "documents")
     val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 3)
