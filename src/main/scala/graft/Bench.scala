@@ -34,7 +34,8 @@ object Bench {
     "r01_remote_filter", "r04_remote_partitioned_agg",
     "r06_remote_join_pushdown", "r09_remote_groupby",
     "p01_text_stats", "p02_exact_dedup", "p05_minhash_lsh",
-    "p07_simhash", "p08_knn", "p10_embed_lsh", "p24_embed_lsh_adaptive",
+    "p07_simhash", "p31_simhash_wide", "p08_knn", "p10_embed_lsh",
+    "p24_embed_lsh_adaptive",
     "p11_ivf_knn",
     "p14_dedup_cluster", "p15_stratified_sample", "p16_quality_pipeline",
     "p17_fuzzy_pairs", "p18_repetition", "p19_pii", "p20_decontam",

@@ -81,6 +81,14 @@ object PipelineQueries {
           poly = true)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // 124-bit SimHash (two independent dual-poly families, 31-bit
+    // chunks): the scale path for p07's bounded 2^16 buckets —
+    // candidates ∝ n·avg_bucket instead of n²/2^16, same pigeonhole
+    // recall guarantee, hamming over the concatenated signature
+    "p31_simhash_wide" -> ((s, dir) =>
+      DedupOps.simhashWidePairs(docs(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // BPE-style regex token counting (the budgeting granularity of an
     // LLM data pipeline); pattern chosen so Java regex == RE2
     "p13_bpe_tokens" -> ((s, dir) =>
@@ -480,6 +488,47 @@ object PipelineQueries {
         .orderBy(col("asset_id"))
     }))
 
+  /** DuckDB CTE chain computing one 62-bit dual-poly simhash family
+    * (mirrors [[graft.functions.SimHashPoly]] bit-for-bit: polynomial
+    * mod-prime token hashes, fmix31 finalizers via decomposed 32-bit
+    * multiplies, per-bit ±1 sums). `sfx` namespaces the CTEs so two
+    * families compose in one query (p31's 124-bit signature); expects
+    * a `tok(doc_id, t)` CTE upstream. */
+  private def polySimhashSql(sfx: String, baseA: Long, modA: Long,
+      baseB: Long, modB: Long): String =
+    s"""ph$sfx AS (
+       | SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |    (acc, x) -> (acc * $baseA + x) % $modA) AS p1,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |    (acc, x) -> (acc * $baseB + x) % $modB) AS p2
+       | FROM tok),
+       |mx1$sfx AS (SELECT doc_id, xor(p1, p1 >> 16) AS a1, xor(p2, p2 >> 16) AS a2 FROM ph$sfx),
+       |mx2$sfx AS (SELECT doc_id,
+       |  (a1 * 51819 + ((a1 * 34283) & 65535) * 65536) & 4294967295 AS b1,
+       |  (a2 * 51819 + ((a2 * 34283) & 65535) * 65536) & 4294967295 AS b2 FROM mx1$sfx),
+       |mx3$sfx AS (SELECT doc_id, xor(b1, b1 >> 13) AS c1, xor(b2, b2 >> 13) AS c2 FROM mx2$sfx),
+       |mx4$sfx AS (SELECT doc_id,
+       |  (c1 * 44597 + ((c1 * 49842) & 65535) * 65536) & 4294967295 AS d1,
+       |  (c2 * 44597 + ((c2 * 49842) & 65535) * 65536) & 4294967295 AS d2 FROM mx3$sfx),
+       |th$sfx AS (
+       | SELECT doc_id,
+       |  (xor(d1, d1 >> 16) & 2147483647) |
+       |   ((xor(d2, d2 >> 16) & 2147483647) << 31) AS h
+       | FROM mx4$sfx),
+       |bits$sfx AS (
+       | SELECT doc_id, r.b AS b,
+       |  sum(CASE WHEN ((h >> r.b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+       | FROM th$sfx, range(0, 62) r(b)
+       | GROUP BY doc_id, r.b),
+       |sig$sfx AS (
+       | SELECT doc_id,
+       |  CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+       |    AS BIGINT) AS s
+       | FROM bits$sfx GROUP BY doc_id)""".stripMargin
+
   /** Exact brute-force cosine pair oracle, shared by p09 (brute force)
     * and p10 (LSH at full-recall parameters). */
   private val exactCosinePairsOracle: String =
@@ -622,6 +671,20 @@ object PipelineQueries {
     // finalized with fmix32 (decomposed 16x32-bit multiplies mod 2^32 —
     // no BIGINT overflow) and masked to 31 bits, packed into 62 bits;
     // per-bit ±1 majority vote, hamming via bit_count(xor)
+    "p31_simhash_wide" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |${polySimhashSql("x", 31L, 2147483647L, 37L, 2147483629L)},
+         |${polySimhashSql("y", 41L, 2147483587L, 43L, 2147483579L)}
+         |SELECT a1.doc_id AS id_a, b1.doc_id AS id_b,
+         | CAST(bit_count(xor(a1.s, b1.s)) + bit_count(xor(a2.s, b2.s)) AS INT)
+         |  AS hamming
+         |FROM sigx a1 JOIN sigx b1 ON a1.doc_id < b1.doc_id
+         | JOIN sigy a2 ON a2.doc_id = a1.doc_id
+         | JOIN sigy b2 ON b2.doc_id = b1.doc_id
+         |WHERE bit_count(xor(a1.s, b1.s)) + bit_count(xor(a2.s, b2.s)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "p07_simhash" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

@@ -142,7 +142,9 @@ case class SimHash64(child: Expression)
   * mod 2³²) so DuckDB reproduces it without 64-bit wraparound.
   * Bits 62-63 are always 0, which the 4×16-bit chunk banding
   * tolerates (those bits simply never differ). */
-case class SimHashPoly(child: Expression)
+case class SimHashPoly(child: Expression,
+    baseA: Long = 31L, modA: Long = 2147483647L,
+    baseB: Long = 37L, modB: Long = 2147483629L)
   extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -192,8 +194,8 @@ case class SimHashPoly(child: Expression)
     val hit = cache.get(u)
     if (hit != null) return hit.longValue()
     val s = u.toString
-    val h = fmix31(polyHash(s, 31L, 2147483647L)) |
-      (fmix31(polyHash(s, 37L, 2147483629L)) << 31)
+    val h = fmix31(polyHash(s, baseA, modA)) |
+      (fmix31(polyHash(s, baseB, modB)) << 31)
     if (cache.size < cacheCap) cache.put(u.copy(), java.lang.Long.valueOf(h))
     h
   }
@@ -777,6 +779,11 @@ object native {
     Bridge.column(SimHash64(Bridge.expression(c)))
   def simhash_poly(c: Column): Column =
     Bridge.column(SimHashPoly(Bridge.expression(c)))
+  /** Second independent polynomial family — the other 62 bits of the
+    * 124-bit wide simhash (the next primes below 2³¹). */
+  def simhash_poly2(c: Column): Column =
+    Bridge.column(SimHashPoly(Bridge.expression(c),
+      baseA = 41L, modA = 2147483587L, baseB = 43L, modB = 2147483579L))
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(
       Bridge.expression(a), Bridge.expression(b)))

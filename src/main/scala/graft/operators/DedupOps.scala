@@ -196,4 +196,47 @@ object DedupOps {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Second independent polynomial family — the other 62 bits of
+    * [[simhashWidePairs]]'s 124-bit signature. */
+  def simhashPoly2(tokens: Column): Column =
+    graft.functions.native.simhash_poly2(tokens)
+
+  /** 124-bit SimHash near-dup pairs — the SCALE answer to
+    * [[simhashPairs]]'s bounded bucket count. Pigeonholing a 62-bit
+    * signature into 4 chunks caps buckets at 2¹⁶ per chunk, so
+    * candidates grow ∝ n²/2¹⁶ no matter how big the corpus gets. Two
+    * independent dual-poly signatures give 124 bits → 4 chunks of 31
+    * bits → up to 2³¹ buckets: same pigeonhole recall guarantee (≤
+    * `maxDist` ≤ 3 differing bits leave at least one chunk identical),
+    * candidate volume ∝ n·avg_bucket. Hamming distance is measured
+    * over the CONCATENATED 124-bit signature, so the pair set is a
+    * (stricter) subset of the 62-bit operator's at equal maxDist —
+    * fewer lookalike false positives, too. Oracle-able exactly: both
+    * families are polynomial-mod-prime + fmix, reproduced in SQL. */
+  def simhashWidePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, maxBucket: Int = 1000,
+      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxDist <= 3, "4-chunk banding guarantees recall only for maxDist <= 3")
+    val toks = split(col(textCol), " ")
+    val sigs = df.select(col(idCol).as("id"),
+      simhashPoly(toks).as("sig1"), simhashPoly2(toks).as("sig2"))
+    val banded = sigs.select(col("id"), explode(expr(
+        """array(
+          |  struct(0 AS chunk, sig1 & 2147483647 AS ck),
+          |  struct(1 AS chunk, shiftright(sig1, 31) & 2147483647 AS ck),
+          |  struct(2 AS chunk, sig2 & 2147483647 AS ck),
+          |  struct(3 AS chunk, shiftright(sig2, 31) & 2147483647 AS ck))"""
+          .stripMargin)).as("b"))
+      .select(col("id"), col("b.chunk"), col("b.ck"))
+    val cands = LshJoin.candidates(banded, Seq("chunk", "ck"), maxBucket, skewObs)
+    LshJoin.attach(cands,
+        sigs.select(col("id"), struct(col("sig1"), col("sig2")).as("ss")), "ss")
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("ss_a.sig1").bitwiseXOR(col("ss_b.sig1"))) +
+          bit_count(col("ss_a.sig2").bitwiseXOR(col("ss_b.sig2"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -44,6 +44,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (n, x) => n % 5 == 0 && x % 5 != 0 })
   }
 
+  test("wide simhash equals brute force over the 124-bit signature") {
+    val docs = Tables.table(spark, sf, "documents")
+    val got = DedupOps.simhashWidePairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val toks = split(col("text"), " ")
+    val sigs = docs.select(col("doc_id"),
+      DedupOps.simhashPoly(toks).as("s1"), DedupOps.simhashPoly2(toks).as("s2"))
+    val a = sigs.toDF("id_a", "s1a", "s2a")
+    val b = sigs.toDF("id_b", "s1b", "s2b")
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
+          bit_count(col("s2a").bitwiseXOR(col("s2b")))).cast("int").as("h"))
+      .filter(col("h") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture should plant wide-simhash near-dups")
+    assert(got == brute, s"missed ${brute.diff(got)} / extra ${got.diff(brute)}")
+    // the 124-bit pair set must be a subset of the 62-bit one at equal
+    // maxDist (more bits can only separate, never merge)
+    val narrow = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 3,
+      poly = true).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(t => (t._1, t._2)).subsetOf(narrow))
+  }
+
   test("incremental screen plans equi-joins only; quota plans TopKPerKey") {
     val docs = Tables.table(spark, sf, "documents")
     val p30 = graft.operators.DedupOps.minhashNewVsIndex(
