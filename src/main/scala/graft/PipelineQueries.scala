@@ -89,6 +89,17 @@ object PipelineQueries {
       DedupOps.simhashWidePairs(docs(s, dir), "doc_id", "text", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental + wide composed: today's batch screened against the
+    // historical index with the 124-bit signature — Δ-proportional
+    // candidates AND unbounded buckets in one operator
+    "p32_simhash_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.simhashWideNewVsIndex(
+          d.filter(col("doc_id") % 5 === 0),
+          d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", maxDist = 3)
+        .orderBy(col("id_new"), col("id_idx"))
+    }),
+
     // BPE-style regex token counting (the budgeting granularity of an
     // LLM data pipeline); pattern chosen so Java regex == RE2
     "p13_bpe_tokens" -> ((s, dir) =>
@@ -684,6 +695,21 @@ object PipelineQueries {
          | JOIN sigy b2 ON b2.doc_id = b1.doc_id
          |WHERE bit_count(xor(a1.s, b1.s)) + bit_count(xor(a2.s, b2.s)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "p32_simhash_incremental" ->
+      s"""WITH tok AS (
+         | SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |${polySimhashSql("x", 31L, 2147483647L, 37L, 2147483629L)},
+         |${polySimhashSql("y", 41L, 2147483587L, 43L, 2147483579L)}
+         |SELECT a1.doc_id AS id_new, b1.doc_id AS id_idx,
+         | CAST(bit_count(xor(a1.s, b1.s)) + bit_count(xor(a2.s, b2.s)) AS INT)
+         |  AS hamming
+         |FROM sigx a1 JOIN sigx b1
+         | ON a1.doc_id % 5 = 0 AND b1.doc_id % 5 != 0
+         | JOIN sigy a2 ON a2.doc_id = a1.doc_id
+         | JOIN sigy b2 ON b2.doc_id = b1.doc_id
+         |WHERE bit_count(xor(a1.s, b1.s)) + bit_count(xor(a2.s, b2.s)) <= 3
+         |ORDER BY id_new, id_idx""".stripMargin,
 
     "p07_simhash" ->
       """WITH tok AS (

@@ -219,10 +219,47 @@ object DedupOps {
       maxDist: Int = 3, maxBucket: Int = 1000,
       skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for maxDist <= 3")
+    val sigs = wideSignatures(df, idCol, textCol)
+    val cands = LshJoin.candidates(wideBanded(sigs), Seq("chunk", "ck"),
+      maxBucket, skewObs)
+    LshJoin.attach(cands,
+        sigs.select(col("id"), struct(col("sig1"), col("sig2")).as("ss")), "ss")
+      .select(col("id_a"), col("id_b"),
+        wideHamming(col("ss_a"), col("ss_b")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Incremental + wide, composed: screen a NEW batch against an
+    * existing INDEX with the 124-bit signature — the two scale answers
+    * (Δ-proportional candidates, unbounded bucket count) in one
+    * operator. The production daily shape for a 100 TB simhash
+    * corpus: the index's banded table is materialized once, each
+    * increment equi-joins it by (chunk, ck). */
+  def simhashWideNewVsIndex(
+      newDf: DataFrame, indexDf: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxDist <= 3, "4-chunk banding guarantees recall only for maxDist <= 3")
+    val newSigs = wideSignatures(newDf, idCol, textCol)
+    val idxSigs = wideSignatures(indexDf, idCol, textCol)
+    LshJoin.candidatesAcross(wideBanded(newSigs), wideBanded(idxSigs),
+        Seq("chunk", "ck"), maxBucket)
+      .join(newSigs.select(col("id").as("id_new"),
+        struct(col("sig1"), col("sig2")).as("ss_new")), "id_new")
+      .join(idxSigs.select(col("id").as("id_idx"),
+        struct(col("sig1"), col("sig2")).as("ss_idx")), "id_idx")
+      .select(col("id_new"), col("id_idx"),
+        wideHamming(col("ss_new"), col("ss_idx")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  private def wideSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
-    val sigs = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
       simhashPoly(toks).as("sig1"), simhashPoly2(toks).as("sig2"))
-    val banded = sigs.select(col("id"), explode(expr(
+  }
+
+  private def wideBanded(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), explode(expr(
         """array(
           |  struct(0 AS chunk, sig1 & 2147483647 AS ck),
           |  struct(1 AS chunk, shiftright(sig1, 31) & 2147483647 AS ck),
@@ -230,13 +267,11 @@ object DedupOps {
           |  struct(3 AS chunk, shiftright(sig2, 31) & 2147483647 AS ck))"""
           .stripMargin)).as("b"))
       .select(col("id"), col("b.chunk"), col("b.ck"))
-    val cands = LshJoin.candidates(banded, Seq("chunk", "ck"), maxBucket, skewObs)
-    LshJoin.attach(cands,
-        sigs.select(col("id"), struct(col("sig1"), col("sig2")).as("ss")), "ss")
-      .select(col("id_a"), col("id_b"),
-        (bit_count(col("ss_a.sig1").bitwiseXOR(col("ss_b.sig1"))) +
-          bit_count(col("ss_a.sig2").bitwiseXOR(col("ss_b.sig2"))))
-          .cast("int").as("hamming"))
-      .filter(col("hamming") <= maxDist)
-  }
+
+  /** Hamming distance over the concatenated 124-bit signature (both
+    * structs must carry sig1/sig2). */
+  private def wideHamming(a: Column, b: Column): Column =
+    (bit_count(a.getField("sig1").bitwiseXOR(b.getField("sig1"))) +
+      bit_count(a.getField("sig2").bitwiseXOR(b.getField("sig2"))))
+      .cast("int")
 }
