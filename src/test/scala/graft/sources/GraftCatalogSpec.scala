@@ -56,6 +56,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet.contains("CAT_RT"))
   }
 
+  test("INSERT OVERWRITE through the catalog (allowoverwrite flows from catalog config)") {
+    spark.conf.set("spark.sql.catalog.rdbow", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rdbow.url", DerbyFixture.url)
+    spark.conf.set("spark.sql.catalog.rdbow.allowoverwrite", "true")
+    spark.conf.set("spark.sql.catalog.rdbow.stagingwrite", "true")
+    spark.sql("DROP TABLE IF EXISTS rdbow.APP.CAT_OVW")
+    spark.sql("CREATE TABLE rdbow.APP.CAT_OVW (ID BIGINT, NAME STRING)")
+    spark.sql("INSERT INTO rdbow.APP.CAT_OVW VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE rdbow.APP.CAT_OVW VALUES (9, 'z')")
+    val back = spark.sql("SELECT ID, NAME FROM rdbow.APP.CAT_OVW")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(back == Seq((9L, "z")), s"got $back")
+    // without the catalog opt-in, overwrite stays rejected
+    spark.sql("DROP TABLE IF EXISTS rdb.APP.CAT_OVW2")
+    spark.sql("CREATE TABLE rdb.APP.CAT_OVW2 (ID BIGINT)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE rdb.APP.CAT_OVW2 VALUES (1)")
+    }
+    assert(e.getMessage.toLowerCase.contains("truncate") ||
+      e.getMessage.toLowerCase.contains("overwrite"))
+    spark.sql("DROP TABLE rdbow.APP.CAT_OVW")
+    spark.sql("DROP TABLE rdb.APP.CAT_OVW2")
+  }
+
   test("catalog aggregate pushdown composes (COUNT through SQL)") {
     val df = spark.sql("SELECT count(*) AS n FROM rdb.APP.NATION")
     assert(df.collect().head.getLong(0) == 10)
