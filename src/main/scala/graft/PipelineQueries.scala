@@ -447,6 +447,71 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Probe-only IVF-PQ against the PREBUILT materialized index (the
+    // IvfIndex parquet fixture, built once per source dir like the
+    // bucketed layout): the query pays the broadcast probe join +
+    // rescore only — never k-means training or corpus re-quantization
+    // (what p27 pays on every call; the round-5 verdict's build/probe
+    // split). Verification: nprobe = nlist probes every list, so the
+    // quantized stage is an exact brute force over the index's int8
+    // codes and the float rescore of the top k+5 band is fully
+    // SQL-expressible — lists join, ADC scoring, rescore join and
+    // ranking are all hash-exact vs DuckDB; probe_recall_ok asserts
+    // the PRUNED probe (nprobe 3/8) against the full-probe top-5 (the
+    // IVF recall meaning: what probing fewer lists missed).
+    "p33_ivf_pq_probe" -> ((s, dir) => {
+      val idx = IvfIndex.ensureFull(s, dir)
+      val all = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = all.filter(col("id") < 10)
+      val full = VectorOps.ivfPqProbe(q, idx, k = 5,
+        nprobe = IvfIndex.NList, rescoreK = 5, rescoreCorpus = Some(all))
+      val pruned = VectorOps.ivfPqProbe(q, idx, k = 5, nprobe = 3,
+        rescoreK = 5, rescoreCorpus = Some(all))
+        .select("query_id", "neighbor_id")
+      val hits = pruned.join(full.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      val rec = full.agg(count(lit(1)).as("n_full"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select((col("n_hit").cast(DoubleType) / col("n_full") >= 0.8)
+          .as("probe_recall_ok"))
+      full.crossJoin(rec).orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Incremental ANN screen: TODAY'S batch of embeddings (the 20%
+    // hash split) probed against the prebuilt index of the HISTORICAL
+    // corpus (the other 80%) — the embedding analogue of p30/p32's
+    // Δ-vs-index dedup screen, and the last incremental shape: a
+    // 100 TB embedding corpus admits a daily batch at Δ-proportional
+    // probe cost. Hash part: full-probe (nprobe = nlist) quantized
+    // screen + float rescore, SQL-exact vs DuckDB on the same split;
+    // screen_recall_ok asserts the pruned probe (nprobe 4/8) against
+    // FLOAT brute force restricted to the split (delta × historical) —
+    // measured 0.75/0.75/0.77 at sf0.001/0.01/0.1 (near-random
+    // synthetic embeddings spread probes thin; real clustered corpora
+    // probe better), so 0.65 has deterministic margin.
+    "p34_ann_incremental" -> ((s, dir) => {
+      val idx = IvfIndex.ensureHist(s, dir)
+      val all = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val hist = IvfIndex.histSplit(all)
+      val delta = IvfIndex.deltaSplit(all).filter(col("id") < 250)
+      val full = VectorOps.ivfPqProbe(delta, idx, k = 3,
+        nprobe = IvfIndex.NList, rescoreK = 3, rescoreCorpus = Some(hist))
+      val pruned = VectorOps.ivfPqProbe(delta, idx, k = 3, nprobe = 4,
+        rescoreK = 3, rescoreCorpus = Some(hist))
+        .select("query_id", "neighbor_id")
+      val floatExact = VectorOps.bruteForceTopK(delta, hist, k = 3)
+        .select("query_id", "neighbor_id")
+      val hits = pruned.join(floatExact,
+        Seq("query_id", "neighbor_id"), "left_semi")
+      val rec = floatExact.agg(count(lit(1)).as("n_float"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select((col("n_hit").cast(DoubleType) / col("n_float") >= 0.65)
+          .as("screen_recall_ok"))
+      full.crossJoin(rec).orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- multimodal: REAL javax.imageio decode -------------------------
     // Documents render as genuine 24-bit BMP files (hand-written wire
     // layout: bottom-up rows, BGR, 4-byte padding; dims varied so the
@@ -1049,6 +1114,108 @@ object PipelineQueries {
         |SELECT query_id, neighbor_id, qcosine, CAST(rank AS INT) AS rank,
         | TRUE AS pq_recall_ok
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // full-probe IVF-PQ against the prebuilt index ≡ exact quantized
+    // brute force + float rescore of the top-10 band — DuckDB
+    // recomputes the int8 codes, the asymmetric quantized ranking, and
+    // the float rescore with the same left-to-right folds; the probe
+    // machinery (materialized lists, ADC join, rescore join, both
+    // rankings) must reproduce it hash-exactly. probe_recall_ok is the
+    // p11-pattern constant-TRUE assertion for the pruned probe.
+    "p33_ivf_pq_probe" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |   AS ma
+        | FROM embeddings),
+        |c8 AS (SELECT vec_id,
+        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE)
+        |    * (CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END))) AS qv
+        | FROM e),
+        |qscored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |    i -> CAST(q.embedding[i] AS DOUBLE) * c.qv[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i])))
+        |     * sqrt(list_sum(list_transform(c.qv, x -> x * x))))
+        |   AS qcosine
+        | FROM e q JOIN c8 c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+        |band AS (
+        | SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY qcosine DESC, neighbor_id) AS qrank
+        | FROM qscored),
+        |resc AS (
+        | SELECT b.query_id, b.neighbor_id,
+        |  list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |    i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * c.embedding[i]))))
+        |   AS cosine
+        | FROM band b
+        | JOIN e q ON q.vec_id = b.query_id
+        | JOIN e c ON c.vec_id = b.neighbor_id
+        | WHERE b.qrank <= 10),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM resc)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank,
+        | TRUE AS probe_recall_ok
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // incremental ANN screen: same construction restricted to the
+    // hash split — queries are the 20% "daily batch" (vec_id%5=4,
+    // vec_id<250), the corpus is the 80% historical index side
+    "p34_ann_incremental" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |   AS ma
+        | FROM embeddings),
+        |c8 AS (SELECT vec_id,
+        |  list_transform(embedding, x -> round(CAST(x AS DOUBLE)
+        |    * (CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END))) AS qv
+        | FROM e WHERE vec_id % 5 != 4),
+        |q AS (SELECT vec_id, embedding FROM e
+        |      WHERE vec_id % 5 = 4 AND vec_id < 250),
+        |qscored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |    i -> CAST(q.embedding[i] AS DOUBLE) * c.qv[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i])))
+        |     * sqrt(list_sum(list_transform(c.qv, x -> x * x))))
+        |   AS qcosine
+        | FROM q JOIN c8 c ON q.vec_id != c.vec_id),
+        |band AS (
+        | SELECT query_id, neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY qcosine DESC, neighbor_id) AS qrank
+        | FROM qscored),
+        |resc AS (
+        | SELECT b.query_id, b.neighbor_id,
+        |  list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |    i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * c.embedding[i]))))
+        |   AS cosine
+        | FROM band b
+        | JOIN e q ON q.vec_id = b.query_id
+        | JOIN e c ON c.vec_id = b.neighbor_id
+        | WHERE b.qrank <= 6),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY cosine DESC, neighbor_id) AS rank
+        | FROM resc)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank,
+        | TRUE AS screen_recall_ok
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     // exact cosine pairs → recursive connected components → canonical
     // keeper: the embedding-side analogue of p14's oracle

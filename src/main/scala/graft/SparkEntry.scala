@@ -39,6 +39,19 @@ object SparkEntry {
     // queries: nothing reuses a prior query's checkpointed lineage.
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // ... and the same determinism for the OTHER GC-driven cleanup
+    // categories (the round-4 p16 lesson — checkpoint blocks —
+    // generalized, per the round-5 verdict): completed queries'
+    // broadcasts (join relations, per-stage task binaries) and shuffle
+    // state otherwise free only when a driver GC happens to feed the
+    // ContextCleaner, i.e. nondeterministically inside whichever query
+    // runs NEXT — measured residue swung between 5 and 58 live
+    // broadcasts across the round-6 pre-fix bench. Destroy them now,
+    // between queries, where nothing can still read them.
+    val sc = spark.sparkContext
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    bridge.destroyBroadcasts(sc, bridge.liveBroadcastIds(sc))
+    bridge.cleanShuffles(sc, bridge.liveShuffleIds(sc))
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -54,17 +54,21 @@ object ClusterOps {
     * only talks to the cache manager; checkpoint blocks are plain
     * persisted RDDs below it) and the ContextCleaner only frees them
     * on GC of the RDD reference — which a long driver process may
-    * never trigger. Identified by diffing `getPersistentRDDs` around
-    * the checkpoint: sound while a single query materializes at a
-    * time, which is how these iterative operators run. */
+    * never trigger. The pinned RDD is read off the RETURNED dataset's
+    * own plan (localCheckpoint yields a `LogicalRDD` wrapping exactly
+    * the persisted internal RDD) — never by diffing the JVM-global
+    * persistent-RDD map, which under concurrent queries would capture
+    * ANOTHER query's blocks and later unpersist them (fatal for
+    * lineage-truncated checkpoint blocks, not just slow). */
   private def checkpointTracked(df: DataFrame)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint(true)
-    val added = sc.getPersistentRDDs
-      .collect { case (id, r) if !before(id) => r }.toSeq
-    (out, added)
+    val pinned = org.apache.spark.sql.graftbridge.Bridge.analyzed(out) match {
+      case r: org.apache.spark.sql.execution.LogicalRDD => Seq(r.rdd)
+      case _ => Seq.empty // future Spark plan-shape change: fall back to
+        // GC-driven cleanup rather than guessing at global state
+    }
+    (out, pinned)
   }
 
   def connectedComponents(

@@ -93,7 +93,8 @@ object DedupOps {
   def minhashNewVsIndex(
       newDf: DataFrame, indexDf: DataFrame, idCol: String, textCol: String,
       tau: Double = 0.7, bands: Int = 32, rows: Int = 4,
-      ngram: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      ngram: Int = 3, maxBucket: Int = 1000,
+      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     def prep(df: DataFrame): DataFrame =
       df.select(col(idCol).as("id"), shingles(col(textCol), ngram).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -104,7 +105,8 @@ object DedupOps {
       .withColumnRenamed("col", "bh")
     val newSh = prep(newDf)
     val idxSh = prep(indexDf)
-    LshJoin.candidatesAcross(band(newSh), band(idxSh), Seq("band", "bh"), maxBucket)
+    LshJoin.candidatesAcross(band(newSh), band(idxSh), Seq("band", "bh"),
+        maxBucket, skewObs)
       .join(newSh.toDF("id_new", "sh_new"), "id_new")
       .join(idxSh.toDF("id_idx", "sh_idx"), "id_idx")
       .withColumn("jaccard", jaccard(col("sh_new"), col("sh_idx")))
@@ -170,6 +172,13 @@ object DedupOps {
     * 4-chunk banding (pigeonhole: ≤3 differing bits ⇒ at least one
     * 16-bit chunk identical). Candidate buckets shuffle on the chunk
     * value; verification is bit_count(xor).
+    *
+    * ORACLE-STRENGTH FIXTURE variant (the p10 precedent), not the
+    * default: 16-bit chunks cap the bucket count at 2¹⁶, so candidates
+    * grow ∝ n²/2¹⁶ — measured 4.9× for 10× data at sf1. The DEFAULT
+    * for real corpora is [[simhashWidePairs]] (124-bit, up to 2³¹
+    * buckets, measured 1.6× for the same 10× AND absolutely faster at
+    * both scales, same pigeonhole recall guarantee).
     *
     * @param poly use the cross-engine-reproducible polynomial hash
     *             family ([[simhashPoly]]) instead of xxhash64 — same
@@ -237,12 +246,13 @@ object DedupOps {
     * increment equi-joins it by (chunk, ck). */
   def simhashWideNewVsIndex(
       newDf: DataFrame, indexDf: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      maxDist: Int = 3, maxBucket: Int = 1000,
+      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for maxDist <= 3")
     val newSigs = wideSignatures(newDf, idCol, textCol)
     val idxSigs = wideSignatures(indexDf, idCol, textCol)
     LshJoin.candidatesAcross(wideBanded(newSigs), wideBanded(idxSigs),
-        Seq("chunk", "ck"), maxBucket)
+        Seq("chunk", "ck"), maxBucket, skewObs)
       .join(newSigs.select(col("id").as("id_new"),
         struct(col("sig1"), col("sig2")).as("ss_new")), "id_new")
       .join(idxSigs.select(col("id").as("id_idx"),

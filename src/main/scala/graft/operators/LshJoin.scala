@@ -61,12 +61,27 @@ private[graft] object LshJoin {
     * so that cost is paid at index-build time, not per increment); the
     * increment then equi-joins by bucket key, so candidate volume is
     * ∝ |Δ|·bucket. The skew guard applies to the index side — the side
-    * whose buckets grow with the historical corpus. */
+    * whose buckets grow with the historical corpus.
+    *
+    * @param skewObs same metrics contract as [[candidates]]
+    *   (dropped_buckets / dropped_ids / max_bucket_size, here over the
+    *   INDEX side's buckets). The incremental screen is the production
+    *   path at 100 TB, so its recall loss on hot buckets must be as
+    *   visible as the batch path's — a silently dropped viral-
+    *   boilerplate bucket means every future increment re-admits
+    *   near-dups of it. */
   def candidatesAcross(bandedNew: DataFrame, bandedIndex: DataFrame,
-      keyCols: Seq[String], maxBucket: Int): DataFrame = {
-    val sized = bandedIndex.groupBy(keyCols.map(col): _*)
+      keyCols: Seq[String], maxBucket: Int,
+      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val allSized = bandedIndex.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("idx_ids"))
-      .filter(size(col("idx_ids")).between(1, maxBucket))
+    val watched = skewObs.fold(allSized)(o => allSized.observe(o,
+      sum(when(size(col("idx_ids")) > maxBucket, 1L).otherwise(0L))
+        .as("dropped_buckets"),
+      sum(when(size(col("idx_ids")) > maxBucket, size(col("idx_ids")))
+        .otherwise(0L)).as("dropped_ids"),
+      max(size(col("idx_ids"))).as("max_bucket_size")))
+    val sized = watched.filter(size(col("idx_ids")).between(1, maxBucket))
     bandedNew.join(sized, keyCols)
       .select(col("id").as("id_new"), explode(col("idx_ids")).as("id_idx"))
       .dropDuplicates("id_new", "id_idx")

@@ -128,6 +128,26 @@ object VectorOps {
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int, nprobe: Int, iters: Int = 2, rescoreK: Int = 0): DataFrame = {
+    val index = buildIvfPqIndex(corpus, nlist, iters)
+    ivfPqProbe(queries, index, k, nprobe, rescoreK,
+      if (rescoreK > 0) Some(corpus) else None)
+  }
+
+  /** A prebuilt IVF-PQ index: the k-means centroid model (driver-side,
+    * O(nlist·dim) — it ships with task closures like any small model)
+    * and the int8-quantized inverted lists (a DataFrame; at 100 TB a
+    * parquet table written once via [[saveIvfPqIndex]] and probed
+    * daily). Splitting build from probe is the ANN analogue of the
+    * dedup index split ([[graft.operators.LshJoin.candidatesAcross]]):
+    * training k-means + re-quantizing the corpus on every query — what
+    * `ivfPqTopK` does for self-contained calls — is the 100 TB
+    * anti-pattern; the index is built once, increments only probe. */
+  final case class IvfPqIndex(centroids: Seq[Seq[Double]], lists: DataFrame)
+
+  /** Train centroids and quantize the corpus into inverted lists — the
+    * build-once half of IVF-PQ. `corpus`: (id, vec). */
+  def buildIvfPqIndex(
+      corpus: DataFrame, nlist: Int, iters: Int = 2): IvfPqIndex = {
     val cents = trainCentroids(corpus, nlist, iters)
     val (_, q8) = quantizeInt8(col("vec"))
     // int8 codes are exact in float; array<float> feeds the same native
@@ -138,10 +158,50 @@ object VectorOps {
       element_at(
         graft.functions.native.nearest_centroids(col("vec"), cents, 1), 1)
         .as("cid"))
+    IvfPqIndex(cents, lists)
+  }
+
+  /** Materialize an index: inverted lists as parquet (partitioned by
+    * nothing — the probe join hashes on cid anyway; at warehouse scale,
+    * partition the write by cid for list-pruned scans), centroids as a
+    * tiny (cid, c) parquet beside them. */
+  def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    index.lists.write.mode("overwrite").parquet(s"$path/lists")
+    val spark = index.lists.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    IvfPqIndex(cents, spark.read.parquet(s"$path/lists"))
+  }
+
+  /** Probe-only IVF-PQ top-k against a prebuilt index — the daily-
+    * increment half. Each query probes its `nprobe` nearest lists
+    * (broadcast cid equi-join, 4×-smaller int8 payload riding it);
+    * with `rescoreK > 0` the top `k + rescoreK` quantized candidates
+    * re-score against `rescoreCorpus` floats (id equi-join touching
+    * survivors only, candidate band explicitly broadcast so the float
+    * corpus never shuffles). Same output contract and recall semantics
+    * as [[ivfPqTopK]]; `nprobe = nlist` probes every list, making the
+    * quantized stage an exact brute force (the oracle-strength
+    * configuration). */
+  def ivfPqProbe(
+      queries: DataFrame, index: IvfPqIndex, k: Int, nprobe: Int,
+      rescoreK: Int = 0, rescoreCorpus: Option[DataFrame] = None): DataFrame = {
+    require(rescoreK <= 0 || rescoreCorpus.nonEmpty,
+      "rescoreK > 0 needs the float corpus to rescore against")
+    val cents = index.centroids
     val probes = queries.select(col("id").as("query_id"), col("vec").as("qv"),
       explode(graft.functions.native.nearest_centroids(
         col("vec"), cents, nprobe)).as("cid"))
-    val scored = lists.join(broadcast(probes), Seq("cid"))
+    val scored = index.lists.join(broadcast(probes), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("qcosine", cosine(col("qv"), col("qv8")))
     val qw = Window.partitionBy(col("query_id"))
@@ -158,7 +218,7 @@ object VectorOps {
       // the candidate set is queries × (k + rescoreK) rows — broadcast
       // it explicitly so the float corpus never shuffles for the
       // rescore, regardless of what the size estimator thinks
-      val rescored = corpus
+      val rescored = rescoreCorpus.get
         .select(col("id").as("neighbor_id"), col("vec").as("cv"))
         .join(broadcast(cand), Seq("neighbor_id"))
         .withColumn("cosine", cosine(col("qv"), col("cv")))

@@ -78,7 +78,14 @@ object GraftConnections {
       val dead =
         try e.getKey.isClosed
         catch { case scala.util.control.NonFatal(_) => true }
-      if (dead) { e.getValue.evictLeaked(); it.remove(); n += 1 }
+      // the MAP REMOVAL is the slot guard: a concurrent close() on the
+      // same connection also removes first, so exactly one of
+      // sweep/close wins the entry and reclaims the pool slot — evicting
+      // before removing would let both decrement `live` and the pool
+      // could later exceed maxSize
+      if (dead && borrowedFrom.remove(e.getKey, e.getValue)) {
+        e.getValue.evictLeaked(); n += 1
+      }
     }
     n
   }

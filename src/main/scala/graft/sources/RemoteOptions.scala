@@ -76,6 +76,13 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
     * transaction, so readers never observe the empty table; the direct
     * path deletes up front (non-atomic, like most JDBC sinks). */
   def allowOverwrite: Boolean = map.getOrElse("allowoverwrite", "false").toBoolean
+  /** Exactly-once streaming-sink support: a ledger table whose epoch
+    * row is inserted INSIDE the staged job-commit transaction, so "the
+    * batch's rows are in the target" and "the epoch is recorded" are
+    * one atomic fact. Requires `stagingwrite=true` (the direct path
+    * has no single commit transaction to ride). */
+  def ledgerTable: Option[String] = map.get("ledgertable")
+  def ledgerEpoch: Option[Long] = map.get("ledgerepoch").map(_.toLong)
   /** Execution-time runtime-filter (broadcast-join IN list) pushdown
     * into the remote WHERE clause — the connector-side analogue of
     * dynamic partition pruning. On by default; purely an optimization

@@ -47,6 +47,18 @@ class RemoteMicroBatchStream(
 
   override def initialOffset(): Offset = RemoteOffset(opts.streamingStart)
 
+  /** Highest remote column value any of this stream's scalar queries
+    * has observed — reused by [[reportLatestOffset]] so progress
+    * reporting never issues its OWN remote round trip (it used to
+    * re-run the full SELECT MAX per micro-batch, doubling per-trigger
+    * remote load). Monotone max: a bounded admission query observes a
+    * valid (if trailing) mark too. */
+  @volatile private var observedHigh: Option[Long] = None
+  private def noteHigh(v: Long): Long = {
+    observedHigh = Some(observedHigh.fold(v)(math.max(_, v)))
+    v
+  }
+
   /** One scalar remote query per trigger; honors pushed filters so the
     * high-water mark and the batch see the same row set. */
   private def trueLatest: Long =
@@ -65,7 +77,7 @@ class RemoteMicroBatchStream(
             val v = rs.getLong(1)
             if (rs.wasNull()) opts.streamingStart else v
           } else opts.streamingStart
-        RemoteOffset(hi)
+        RemoteOffset(noteHigh(hi))
       } finally st.close()
     } finally GraftConnections.close(conn)
   }
@@ -125,16 +137,23 @@ class RemoteMicroBatchStream(
                 val v = rs.getLong(1)
                 if (rs.wasNull()) lo else v
               } else lo
-            RemoteOffset(capped(hi))
+            RemoteOffset(capped(noteHigh(hi)))
           } finally st.close()
         } finally GraftConnections.close(conn)
       case None => RemoteOffset(capped(trueLatest))
     }
   }
 
-  /** True table high-water mark for progress reporting, independent of
-    * the admitted (bounded) offset. */
-  override def reportLatestOffset(): Offset = latestOffset()
+  /** High-water mark for progress reporting, independent of the
+    * admitted (bounded) offset. Served from the cached observation of
+    * this trigger's own scalar query — progress reporting must not
+    * double the per-trigger remote round trips; a first-ever call
+    * (nothing observed yet) falls back to one real query, which then
+    * seeds the cache. The reported mark can trail the true table max
+    * under bounded admission — the standard trade: lag estimates read
+    * conservative, the remote sees one scalar query per trigger. */
+  override def reportLatestOffset(): Offset =
+    observedHigh.map(RemoteOffset(_)).getOrElse(latestOffset())
 
   /** A steady-state micro-batch is one partition; a large range (the
     * backlog on first start) splits into `numpartitions` value-range

@@ -107,11 +107,23 @@ class RemoteBatchWrite(
     truncateFirst: Boolean = false)
   extends BatchWrite {
 
+  require(opts.ledgerTable.isEmpty,
+    "ledgertable requires stagingwrite=true — exactly-once needs the " +
+      "single staged commit transaction to carry the epoch marker")
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncateFirst) {
       // driver-side, before any task launches; committed on its own —
       // the direct path is documented non-atomic (staging is the
-      // atomic-replace path)
+      // atomic-replace path). Concretely: a job that dies between this
+      // DELETE and its first task commit leaves the target EMPTY — a
+      // data-loss window a casual overwrite user may not expect, so say
+      // it loudly at the moment the risk is taken.
+      System.err.println(
+        s"[graft] WARNING: non-atomic overwrite of ${opts.source}: the " +
+          "target is deleted BEFORE tasks run, so a failed job can leave " +
+          "it empty. Set stagingwrite=true for atomic truncate-and-append " +
+          "(readers see the old rows or all new rows, never neither).")
       val parts = opts.source match {
         case RemoteSource.TableRef(p) => p
         case RemoteSource.Query(_) =>
@@ -218,6 +230,15 @@ class StagedRemoteBatchWrite(
           st.executeUpdate(
             s"INSERT INTO ${dialect.tableName(targetParts)} ($cols) " +
             s"SELECT $cols FROM ${dialect.tableName(stagingParts)}")
+          // exactly-once ledger: the epoch marker commits in the SAME
+          // transaction as the batch's rows — a replayed epoch either
+          // sees the marker (and skips) or the PK rejects its second
+          // insert here, rolling the duplicate batch back with it
+          opts.ledgerTable.zip(opts.ledgerEpoch).foreach { case (lt, ep) =>
+            st.executeUpdate(
+              s"INSERT INTO ${dialect.tableName(targetParts.init :+ lt)} " +
+                s"(EPOCH) VALUES ($ep)")
+          }
           conn.commit()
         } catch {
           case e: Throwable =>

@@ -170,26 +170,80 @@ object StreamingOps {
     * remote INSERT cannot participate in Spark's file-sink commit
     * protocol.
     *
-    * Delivery is AT-LEAST-ONCE: a micro-batch retried after a mid-batch
-    * failure re-appends its rows (the reference's writer has the same
-    * contract — append-only, no upsert). A pipeline that needs
-    * exactly-once pairs this with watermarked dedup upstream
-    * ([[dedupStream]]) and a unique key downstream, or dedups on read.
-    * State (which batch ids are committed) lives in the checkpoint dir.
-    */
+    * Default delivery is AT-LEAST-ONCE: a micro-batch retried after a
+    * mid-batch failure re-appends its rows (the reference's writer has
+    * the same contract — append-only, no upsert).
+    *
+    * `exactlyOnce = true` upgrades delivery to EXACTLY-ONCE per epoch
+    * via a batch-id ledger table (`<table>_EPOCHS`, created if absent)
+    * on the remote: each epoch writes through the job-atomic staged
+    * path (`stagingwrite=true`) and the epoch marker is inserted in
+    * the SAME commit transaction as the batch's rows, so "rows landed"
+    * and "epoch recorded" cannot diverge. A replayed epoch (restart
+    * from an older checkpoint, foreachBatch retry after a
+    * commit-then-crash) sees its marker and skips; a concurrent
+    * duplicate attempt dies on the ledger's primary key, rolling its
+    * rows back with it. This is the idempotent-sink half of Spark's
+    * end-to-end exactly-once contract, implemented remote-side. */
   def writeToRemote(
       stream: DataFrame, url: String, table: String,
       checkpointDir: String,
-      extraOptions: Map[String, String] = Map.empty)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      extraOptions: Map[String, String] = Map.empty,
+      exactlyOnce: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ledger = s"${table}_EPOCHS"
+    if (exactlyOnce) ensureLedger(url, ledger, extraOptions)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.format("graft-remote")
-          .option("url", url).option("dbtable", table)
-          .options(extraOptions)
-          .mode("append").save()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!exactlyOnce || !epochCommitted(url, ledger, batchId,
+            extraOptions)) {
+          val w = batch.write.format("graft-remote")
+            .option("url", url).option("dbtable", table)
+            .options(extraOptions)
+          (if (exactlyOnce)
+            w.option("stagingwrite", "true")
+              .option("ledgertable", ledger)
+              .option("ledgerepoch", batchId.toString)
+          else w).mode("append").save()
+        }
       }
       .start()
+  }
+
+  private def sinkOpts(url: String, table: String,
+      extra: Map[String, String]): graft.sources.RemoteOptions =
+    graft.sources.RemoteOptions(
+      extra ++ Map("url" -> url, "dbtable" -> table))
+
+  /** CREATE the epoch ledger if the remote doesn't have it yet (one
+    * narrow BIGINT PK column — the PK is load-bearing: it is what kills
+    * a concurrent duplicate epoch attempt inside its own transaction). */
+  private def ensureLedger(url: String, ledger: String,
+      extra: Map[String, String]): Unit = {
+    val opts = sinkOpts(url, ledger, extra)
+    graft.sources.GraftConnections.withConnection(opts) { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(
+        s"CREATE TABLE ${opts.dialect.tableName(Seq(ledger))} " +
+          "(EPOCH BIGINT NOT NULL PRIMARY KEY)")
+      catch { case _: java.sql.SQLException => () } // already exists
+      finally st.close()
+    }
+  }
+
+  private def epochCommitted(url: String, ledger: String, epoch: Long,
+      extra: Map[String, String]): Boolean = {
+    val opts = sinkOpts(url, ledger, extra)
+    graft.sources.GraftConnections.withConnection(opts) { conn =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          s"SELECT COUNT(1) FROM ${opts.dialect.tableName(Seq(ledger))} " +
+            s"WHERE EPOCH = $epoch")
+        rs.next(); val n = rs.getLong(1); rs.close(); n > 0
+      } finally st.close()
+    }
+  }
 }

@@ -26,6 +26,49 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Broadcast ids with live blocks in the local block store. Driver-GC
+    * -driven ContextCleaner cleanup is nondeterministic in a tight query
+    * loop (the round-5 p27 lesson: broadcast relations + per-stage task
+    * binaries accumulate in storage memory across reps); this exposes
+    * the residue so harnesses can SEE it and reclaim it. */
+  def liveBroadcastIds(sc: org.apache.spark.SparkContext): Seq[Long] =
+    sc.env.blockManager.getMatchingBlockIds(_.isBroadcast)
+      .collect { case b: org.apache.spark.storage.BroadcastBlockId =>
+        b.broadcastId }
+      .distinct
+
+  /** Deterministically remove the given broadcasts' blocks from every
+    * block manager and the driver (what the ContextCleaner would do on
+    * some future GC). Only safe for broadcasts whose owning queries have
+    * COMPLETED — a destroyed broadcast re-read by a live plan fails. */
+  def destroyBroadcasts(sc: org.apache.spark.SparkContext,
+      ids: Seq[Long]): Unit =
+    ids.foreach(id => sc.env.broadcastManager
+      .unbroadcast(id, removeFromDriver = true, blocking = true))
+
+  /** Driver memory-store bytes in use (blocks of every kind — cached
+    * RDDs, broadcast pieces) — the residue-probe companion to
+    * [[liveBroadcastIds]]. */
+  def storageMemoryUsed(sc: org.apache.spark.SparkContext): Long =
+    sc.env.blockManager.master.getStorageStatus.map(_.memUsed).sum
+
+  /** Shuffle ids still registered with the map-output tracker. */
+  def liveShuffleIds(sc: org.apache.spark.SparkContext): Seq[Int] =
+    sc.env.mapOutputTracker match {
+      case m: org.apache.spark.MapOutputTrackerMaster =>
+        m.shuffleStatuses.keys.toSeq
+      case _ => Seq.empty
+    }
+
+  /** Deterministically unregister the given shuffles and delete their
+    * files (ContextCleaner's GC-driven shuffle cleanup, forced). Only
+    * safe between independent queries — a cleaned shuffle re-read by a
+    * retained RDD lineage would recompute or fail. */
+  def cleanShuffles(sc: org.apache.spark.SparkContext,
+      ids: Seq[Int]): Unit =
+    sc.cleaner.foreach(c => ids.foreach(id =>
+      c.doCleanupShuffle(id, blocking = true)))
+
   /** V2 connector expression factories (`FieldReference`/`LiteralValue`
     * companions are private[sql]) — used by specs that exercise the
     * join-pushdown SQL builder directly. */

@@ -206,6 +206,28 @@ class OperatorsRound2Spec extends AnyFunSuite {
     assert(m("max_bucket_size").asInstanceOf[Int] == 4)
   }
 
+  test("incremental screen emits the same skew metrics over the index side") {
+    // index: 4 copies of text A (index bucket size 4 -> dropped at
+    // maxBucket=2) + 2 copies of text B (kept); delta: one A and one B.
+    // The A-match is silently LOST to the guard — the observation is
+    // what makes that loss visible (ADVICE round 5: candidatesAcross
+    // had no skewObs, so incremental recall loss was invisible).
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different text about spark query engines at scale"
+    val index = Seq((1L, a), (2L, a), (3L, a), (4L, a), (5L, b), (6L, b))
+      .toDF("doc_id", "text")
+    val delta = Seq((101L, a), (102L, b)).toDF("doc_id", "text")
+    val obs = Observation("lsh_skew_across")
+    val hits = DedupOps.minhashNewVsIndex(delta, index, "doc_id", "text",
+      tau = 0.7, maxBucket = 2, skewObs = Some(obs))
+    assert(hits.select("id_new", "id_idx").as[(Long, Long)].collect().toSet ==
+      Set((102L, 5L), (102L, 6L)), "only the small index bucket matches")
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] > 0)
+    assert(m("dropped_ids").asInstanceOf[Long] >= 4)
+    assert(m("max_bucket_size").asInstanceOf[Int] == 4)
+  }
+
   test("LSH skew metrics are zero when no bucket exceeds the cap") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

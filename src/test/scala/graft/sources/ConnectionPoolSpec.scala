@@ -124,6 +124,49 @@ class ConnectionPoolSpec extends AnyFunSuite {
     assert(st.idleConnections == 1 && st.connections == 1, s"state $st")
   }
 
+  test("reference pool-lifecycle parity: 50 concurrent scans, TTL reap drains to (0, 0)") {
+    // number-for-number port of the reference's disable_pooled_connections
+    // (integration-tests/tests/postgres.rs:402-439): pool_max_size=100,
+    // pool_min_idle=0, pool_idle_timeout≈0, 50 concurrent scans of the
+    // table, then after the TTL sweep PoolState must read
+    // connections=0, idle_connections=0. The reference sleeps 5 s for
+    // its 3 s ttl_check_interval; the spec calls reap() directly —
+    // deterministic, same observable lifecycle.
+    val url = freshDb("parity")
+    val o = opts(url, "poolmaxsize" -> "100", "poolminidle" -> "0",
+      "poolidletimeout" -> "0")
+    GraftConnectionPool.poolFor(o).drain()
+    GraftConnectionPool.drainAll()
+    val pool = GraftConnectionPool.poolFor(o)
+    assert(pool.maxSize == 100 && pool.minIdle == 0)
+    val start = new CountDownLatch(1)
+    val ex = Executors.newFixedThreadPool(50)
+    val futures = (1 to 50).map { _ =>
+      ex.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          GraftConnections.withConnection(o) { c =>
+            val rs = c.createStatement().executeQuery("SELECT * FROM T")
+            var n = 0; while (rs.next()) n += 1
+            assert(n == 3)
+          }
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(_.get(60, TimeUnit.SECONDS))
+    ex.shutdown()
+    // every borrow released; physical connections all idle in the pool
+    val mid = pool.state
+    assert(mid.connections > 0 && mid.connections == mid.idleConnections,
+      s"unreleased connections: $mid")
+    pool.reap()
+    val st = pool.state
+    assert(st.connections == 0, s"reference asserts connections == 0: $st")
+    assert(st.idleConnections == 0,
+      s"reference asserts idle_connections == 0: $st")
+  }
+
   test("release rolls back uncommitted work and restores autoCommit") {
     val url = freshDb("txn")
     val o = opts(url)

@@ -183,4 +183,79 @@ class StreamingSpec extends AnyFunSuite {
         batch1.map(e => (e.event_id, e.user_id, e.value)).sortBy(_._1))
     } finally q.stop()
   }
+
+  test("exactly-once sink: replayed epochs insert no duplicate rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.sources.DerbyFixture.init
+    val url = graft.sources.DerbyFixture.url
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      """CREATE TABLE stream_xo (
+        | event_id BIGINT NOT NULL,
+        | user_id BIGINT NOT NULL,
+        | value DOUBLE NOT NULL)""".stripMargin)
+    finally c.close()
+
+    def readBack() = spark.read.format("graft-remote")
+      .option("url", url).option("dbtable", "STREAM_XO").load()
+      .orderBy(col("EVENT_ID"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected =
+      batch1.map(e => (e.event_id, e.user_id, e.value)).sortBy(_._1)
+
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.writeToRemote(
+      mem.toDF().select(col("event_id"), col("user_id"), col("value")),
+      url, "STREAM_XO", s"/tmp/graft_xo_ckpt_${System.nanoTime()}",
+      exactlyOnce = true)
+    try {
+      mem.addData(batch1.take(3): _*); q.processAllAvailable()
+      mem.addData(batch1.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(readBack() == expected)
+
+    // REPLAY: a fresh checkpoint restarts epoch numbering at 0 — the
+    // remote ledger already holds epochs 0 and 1, so both replayed
+    // batches must be skipped (restart-from-older-checkpoint shape)
+    val mem2 = MemoryStream[Event]
+    val q2 = StreamingOps.writeToRemote(
+      mem2.toDF().select(col("event_id"), col("user_id"), col("value")),
+      url, "STREAM_XO", s"/tmp/graft_xo_ckpt_${System.nanoTime()}",
+      exactlyOnce = true)
+    try {
+      mem2.addData(batch1.take(3): _*); q2.processAllAvailable()
+      mem2.addData(batch1.drop(3): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(readBack() == expected, "replayed epochs duplicated rows")
+
+    // a duplicate epoch that races PAST the pre-check dies on the
+    // ledger primary key INSIDE the staged commit transaction — its
+    // rows roll back with it (rows-landed and epoch-recorded are one
+    // atomic fact)
+    val dup = intercept[Exception] {
+      batch1.take(3).map(e => (e.event_id, e.user_id, e.value))
+        .toDF("event_id", "user_id", "value")
+        .write.format("graft-remote")
+        .option("url", url).option("dbtable", "STREAM_XO")
+        .option("stagingwrite", "true")
+        .option("ledgertable", "STREAM_XO_EPOCHS")
+        .option("ledgerepoch", "0")
+        .mode("append").save()
+    }
+    assert(dup != null)
+    assert(readBack() == expected, "failed duplicate epoch leaked rows")
+
+    // and the ledger demands the staged path: exactly-once without the
+    // single commit transaction would be a silent at-least-once
+    intercept[Exception] {
+      batch1.take(1).map(e => (e.event_id, e.user_id, e.value))
+        .toDF("event_id", "user_id", "value")
+        .write.format("graft-remote")
+        .option("url", url).option("dbtable", "STREAM_XO")
+        .option("ledgertable", "STREAM_XO_EPOCHS")
+        .option("ledgerepoch", "99")
+        .mode("append").save()
+    }
+  }
 }
