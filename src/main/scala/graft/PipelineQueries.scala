@@ -71,6 +71,30 @@ object PipelineQueries {
         .orderBy(col("id_new"), col("id_idx"))
     }),
 
+    // Incremental EXACT dedup with a Bloom pre-screen: the daily batch
+    // (the 20% split PLUS re-crawled copies of index docs, re-keyed
+    // +100000 — real daily batches contain re-fetches) is screened
+    // against the historical corpus's prebuilt fingerprint Bloom
+    // filter (per-row, shuffle-free, no false negatives), and only
+    // survivors pay the exact confirm join against the (fp, keeper)
+    // index — which removes Bloom false positives, so the output is
+    // exact and the oracle is a plain SQL join. The Δ-proportional
+    // exact-match complement of p30/p32/p34.
+    "p35_incremental_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idxDocs = d.filter(col("doc_id") % 5 =!= 0)
+      val newBatch = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(idxDocs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val bloom = DedupOps.buildFingerprintBloom(idxDocs, "text",
+        expectedItems = 200000, fpp = 0.01)
+      DedupOps.exactNewVsIndexBloom(newBatch,
+          DedupOps.fingerprintIndex(idxDocs, "doc_id", "text"),
+          "doc_id", "text", bloom)
+        .orderBy(col("id_new"), col("keeper"))
+    }),
+
     // SimHash over the POLY hash family (dual 31-bit polynomial token
     // hashes — engine-independent by construction), so unlike a
     // xxhash-backed simhash the whole pair set is reproduced exactly by
@@ -832,6 +856,23 @@ object PipelineQueries {
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         | min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // the Bloom screen cannot change the output (no false negatives;
+    // false positives die in the confirm join), so the oracle is the
+    // plain exact-match join over the same split + re-crawl construction
+    "p35_incremental_exact" ->
+      """WITH f AS (
+        | SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        | FROM documents),
+        |idx AS (SELECT fp, min(doc_id) AS keeper FROM f
+        |        WHERE doc_id % 5 != 0 GROUP BY fp),
+        |newb AS (
+        | SELECT doc_id AS id_new, fp FROM f WHERE doc_id % 5 = 0
+        | UNION ALL
+        | SELECT doc_id + 100000 AS id_new, fp FROM f
+        | WHERE doc_id % 5 != 0 AND doc_id % 7 = 3)
+        |SELECT n.id_new, i.keeper FROM newb n JOIN idx i ON n.fp = i.fp
+        |ORDER BY id_new, keeper""".stripMargin,
 
     "p03_quality" ->
       """WITH t AS (

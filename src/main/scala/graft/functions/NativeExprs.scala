@@ -761,6 +761,50 @@ case class NearestCentroids(child: Expression,
     copy(child = newChild)
 }
 
+/** Bloom-filter membership over a STRING column — the screening half
+  * of incremental exact dedup at 100 TB. The serialized filter
+  * (`org.apache.spark.util.sketch.BloomFilter`, Spark's public sketch
+  * library — the same sketch its runtime-filter joins use) rides the
+  * expression and is deserialized ONCE per executor
+  * (`@transient lazy`), then consulted per row with zero allocation
+  * (UTF8String bytes are UTF-8, matching `putString`'s encoding).
+  * Contract: NO false negatives (a fingerprint that is in the index
+  * always screens true), bounded false positives (`fpp` at build) —
+  * so a downstream exact confirm join sees only survivors and the
+  * composed output is exact. A 1e9-fingerprint index at fpp=0.01 is a
+  * ~1.2 GB broadcast vs shuffling the index per increment. */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+  extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomMightContain", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Boolean) $ref.nullSafeEval($c)).booleanValue();")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_might_contain needs string, got $other")
+    }
+
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(bloom.mightContainBinary(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes))
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}
+
 object native {
   def shingle_set(tokens: Column, n: Int): Column =
     Bridge.column(ShingleSet(Bridge.expression(tokens), n))
@@ -796,4 +840,6 @@ object native {
     Bridge.column(PolyFingerprint(Bridge.expression(c), base, mod))
   def sorted_pairs(c: Column): Column =
     Bridge.column(SortedPairs(Bridge.expression(c)))
+  def bloom_might_contain(c: Column, bloomBytes: Array[Byte]): Column =
+    Bridge.column(BloomMightContain(Bridge.expression(c), bloomBytes))
 }

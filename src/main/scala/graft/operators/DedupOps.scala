@@ -114,6 +114,57 @@ object DedupOps {
       .select(col("id_new"), col("id_idx"), col("jaccard"))
   }
 
+  /** Serialized Bloom filter over the index corpus's content
+    * fingerprints — the materialized artifact of incremental EXACT
+    * dedup (built nightly beside the fingerprint table, shipped to the
+    * daily screen like [[graft.operators.VectorOps.saveIvfPqIndex]]'s
+    * lists). Built distributed (`stat.bloomFilter` tree-aggregates);
+    * only the O(bits) filter reaches the driver. */
+  def buildFingerprintBloom(indexDf: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bf = indexDf
+      .select(TextOps.fingerprint(col(textCol)).as("fp"))
+      .stat.bloomFilter("fp", expectedItems, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Incremental EXACT dedup: which new-batch docs already exist (by
+    * content fingerprint) in the historical corpus — the exact-match
+    * complement of [[minhashNewVsIndex]]. Two-stage screen, both
+    * stages Δ-proportional:
+    *
+    *   1. the prebuilt Bloom filter ([[buildFingerprintBloom]]) drops
+    *      the vast majority of new docs in one per-row, shuffle-free
+    *      pass (no false negatives, so nothing true is lost);
+    *   2. only Bloom survivors — expected `|Δ|·fpp` plus the true
+    *      duplicates — pay the exact confirm join against the index's
+    *      (fp, keeper) table, which removes the false positives. The
+    *      SURVIVOR side broadcasts (it is small by construction); at
+    *      warehouse scale the fingerprint table is bucketed by fp so
+    *      the probe touches matching buckets only.
+    *
+    * Output (id_new, keeper) is EXACT — bloom false positives cannot
+    * reach it — so the gate carries a plain SQL-join oracle. */
+  def exactNewVsIndexBloom(newDf: DataFrame, indexFps: DataFrame,
+      idCol: String, textCol: String, bloomBytes: Array[Byte]): DataFrame = {
+    val newFp = newDf.select(col(idCol).as("id_new"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val survivors = newFp.filter(
+      graft.functions.native.bloom_might_contain(col("fp"), bloomBytes))
+    indexFps.join(broadcast(survivors), Seq("fp"))
+      .select(col("id_new"), col("keeper"))
+  }
+
+  /** The index side of [[exactNewVsIndexBloom]]: one (fp, keeper) row
+    * per distinct fingerprint — at scale a materialized table,
+    * refreshed with the corpus. */
+  def fingerprintIndex(indexDf: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    indexDf.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper"))
+
   /** Distinct word n-gram shingles of a benchmark/eval set, collected
     * to the driver. Deliberately driver-side: eval sets are small by
     * definition (the thing you decontaminate AGAINST, not the corpus),
