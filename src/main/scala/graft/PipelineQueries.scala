@@ -95,6 +95,18 @@ object PipelineQueries {
         .orderBy(col("id_new"), col("keeper"))
     }),
 
+    // Exact substring (repeated-span) dedup stats: sliding 10-token
+    // windows fingerprinted; windows in >= 2 distinct docs are
+    // cross-document boilerplate — the span-level dedup class that
+    // document-level dedup never sees (Lee et al. 2022's suffix-array
+    // dedup, in its rolling-window Spark shape). Per-doc stats gate;
+    // md5 window fingerprints make the whole construction
+    // engine-independent, so DuckDB reproduces it hash-exactly.
+    "p36_repeated_spans" -> ((s, dir) =>
+      DedupOps.repeatedSpanStats(docs(s, dir), "doc_id", "text",
+          window = 10, minDocs = 2)
+        .orderBy(col("doc_id"))),
+
     // SimHash over the POLY hash family (dual 31-bit polynomial token
     // hashes — engine-independent by construction), so unlike a
     // xxhash-backed simhash the whole pair set is reproduced exactly by
@@ -856,6 +868,31 @@ object PipelineQueries {
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
         | min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // same sliding windows via string_split + list_slice + md5;
+    // rep_ratio is one double division of the same two longs in both
+    // engines, so it hashes exactly
+    "p36_repeated_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |w AS (SELECT doc_id,
+        |  md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS wfp
+        | FROM t, UNNEST(range(1, len(toks) - 9 + 1)) AS r(i)
+        | WHERE len(toks) >= 10),
+        |flagged AS (SELECT wfp FROM w GROUP BY wfp
+        |            HAVING count(DISTINCT doc_id) >= 2),
+        |na AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+        |nr AS (SELECT doc_id, count(*) AS n_repeated FROM w
+        |       WHERE wfp IN (SELECT wfp FROM flagged) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | coalesce(na.n_windows, 0) AS n_windows,
+        | coalesce(nr.n_repeated, 0) AS n_repeated,
+        | CASE WHEN coalesce(na.n_windows, 0) > 0
+        |      THEN CAST(coalesce(nr.n_repeated, 0) AS DOUBLE) / na.n_windows
+        |      ELSE 0.0 END AS rep_ratio
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN na USING (doc_id) LEFT JOIN nr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // the Bloom screen cannot change the output (no false negatives;
     // false positives die in the confirm join), so the oracle is the

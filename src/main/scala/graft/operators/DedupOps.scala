@@ -257,6 +257,73 @@ object DedupOps {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Sliding-window repeated-SPAN detection — exact substring dedup,
+    * the rolling-window approximation of suffix-array dedup from
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al. 2022): boilerplate (license headers, navigation chrome,
+    * templated paragraphs) repeats across documents that are NOT
+    * near-duplicates as wholes, so document-level dedup (p02/p05/p07)
+    * never sees it. Every `window`-token sliding window is
+    * fingerprinted (md5 of the window text — engine-independent);
+    * windows whose fingerprint appears in ≥ `minDocs` distinct docs
+    * are repeated spans. Returns the flagged (doc_id, wfp) window set
+    * — the removal mask for span-level cleaning.
+    *
+    * Scale notes (100 TB): the window set is |corpus tokens| rows of
+    * (id, 16-byte hash) — linear, and the shuffle on the fingerprint
+    * is the inherent cost of substring-level dedup (the suffix array
+    * pays a global sort of the same magnitude). `stride` samples every
+    * s-th window: cost drops ×s, spans shorter than window+s-1 tokens
+    * can slip through — the standard trade; windows stay codegen'd
+    * built-ins end to end. */
+  def repeatedSpanWindows(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, minDocs: Int = 2, stride: Int = 1): DataFrame = {
+    val wins = spanWindows(df, idCol, textCol, window, stride)
+    val flagged = wins.groupBy(col("wfp"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("wfp"))
+    wins.join(flagged, Seq("wfp"), "left_semi")
+  }
+
+  /** Per-document repeated-span statistics over
+    * [[repeatedSpanWindows]]: how much of each document is made of
+    * cross-document boilerplate (the span-level analogue of p18's
+    * within-document repetition signals). Returns every input doc:
+    * (doc_id, n_windows, n_repeated, rep_ratio). */
+  def repeatedSpanStats(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, minDocs: Int = 2, stride: Int = 1): DataFrame = {
+    val wins = spanWindows(df, idCol, textCol, window, stride)
+    val marked = repeatedSpanWindows(df, idCol, textCol, window, minDocs, stride)
+    val nAll = wins.groupBy(col("doc_id")).agg(count(lit(1)).as("n_all"))
+    val nRep = marked.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rep"))
+    df.select(col(idCol).as("doc_id"))
+      .join(nAll, Seq("doc_id"), "left")
+      .join(nRep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_all"), lit(0L)).as("n_windows"),
+        coalesce(col("n_rep"), lit(0L)).as("n_repeated"),
+        when(coalesce(col("n_all"), lit(0L)) > 0,
+          coalesce(col("n_rep"), lit(0L)).cast("double") / col("n_all"))
+          .otherwise(0.0).as("rep_ratio"))
+  }
+
+  /** (doc_id, wfp) for every stride-th `window`-token window. Docs
+    * shorter than `window` tokens emit nothing (the sequence guard
+    * matters: Spark's `sequence(1, n)` with n < 1 counts DOWN). */
+  private def spanWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val starts = when(size(toks) >= window,
+      sequence(lit(1), size(toks) - window + 1, lit(stride)))
+      .otherwise(array())
+    df.select(col(idCol).as("doc_id"),
+      explode(transform(starts,
+        i => md5(array_join(slice(toks, i, lit(window)), " ")))).as("wfp"))
+  }
+
   /** Second independent polynomial family — the other 62 bits of
     * [[simhashWidePairs]]'s 124-bit signature. */
   def simhashPoly2(tokens: Column): Column =

@@ -61,6 +61,40 @@ class BloomDedupSpec extends AnyFunSuite {
       s"$falsePos/$total false positives — bloom is not filtering")
   }
 
+  test("repeated-span windows: exact flags, short-doc guard, stride lever") {
+    // docs 1 and 2 share the 4-token span "k l m n" (a 3-window run at
+    // window=3); doc 3 is unrelated; doc 4 is shorter than the window
+    val docs = Seq(
+      (1L, "a b c k l m n x y"),
+      (2L, "p q k l m n r s t"),
+      (3L, "u v w u v w u v w"),
+      (4L, "zz yy")).toDF("doc_id", "text")
+    val flagged = DedupOps.repeatedSpanWindows(docs, "doc_id", "text",
+        window = 3, minDocs = 2)
+      .select("doc_id", "wfp").as[(Long, String)].collect()
+    // the shared run "k l m" / "l m n" appears once per doc => 4 rows
+    assert(flagged.length == 4, flagged.mkString(","))
+    assert(flagged.map(_._1).toSet == Set(1L, 2L))
+    // doc 3's within-doc repetition ("u v w" x3) is NOT cross-document
+    // boilerplate (p18 owns within-doc repetition)
+    val stats = DedupOps.repeatedSpanStats(docs, "doc_id", "text",
+        window = 3, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(stats == Seq(
+      (1L, 7L, 2L, 2.0 / 7), (2L, 7L, 2L, 2.0 / 7),
+      (3L, 7L, 0L, 0.0),
+      // shorter than the window: zero windows, ratio 0 — with Spark's
+      // descending-sequence footgun unguarded this doc would explode
+      (4L, 0L, 0L, 0.0)))
+    // stride 2 samples every other start: window count halves (ceil)
+    val strided = DedupOps.repeatedSpanStats(docs, "doc_id", "text",
+        window = 3, minDocs = 2, stride = 2)
+      .filter(col("doc_id") === 1).select("n_windows")
+      .as[Long].head()
+    assert(strided == 4, s"stride=2 over 7 starts should keep 4: $strided")
+  }
+
   test("the bloom screening pass is shuffle-free over the new batch") {
     val d = Tables.table(spark, sf, "documents")
     val bloom = DedupOps.buildFingerprintBloom(
