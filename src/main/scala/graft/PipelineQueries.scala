@@ -586,6 +586,16 @@ object PipelineQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // perceptual dHash over REAL decoded pixels (8x8 grid, 56 bits) —
+    // the image-modality bridge into dedup: near-identical images keep
+    // near-identical hashes. The decoded pixel stream is the doc's
+    // ASCII bytes cyclically, so DuckDB reproduces every grid sample,
+    // comparison, and bit from text alone — decoder, grid arithmetic,
+    // and bit packing are all hash-verified
+    "m05_image_phash" -> ((s, dir) =>
+      MultimodalOps.imageDHash(MultimodalOps.imageAssets(s, dir)).toDF()
+        .orderBy(col("asset_id"))),
+
     // real audio decode: documents encoded as genuine mono PCM16 WAV
     // clips (hand-written RIFF wire layout, sample stream = cyclic text
     // bytes, rate/length varied per asset), parsed back with
@@ -1408,6 +1418,36 @@ object PipelineQueries {
         |     CAST(1 + (((j // ow) * 2) * w + (j % ow) * 2) * 3 AS INT), 3)),
         |  '')) AS tag
         |FROM s ORDER BY asset_id""".stripMargin,
+
+    // dHash oracle: rebuild the pixel stream from text (cyclic ASCII),
+    // sample the 8x8 grid at the same integer positions, compare gray
+    // sums, pack the same 56 bits
+    "m05_image_phash" ->
+      """WITH d AS (
+        | SELECT doc_id, text, 13 + doc_id % 4 AS w, 6 + doc_id % 3 AS h
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, w, h,
+        |  substring(repeat(text, CAST(ceil(384.0 / length(text)) AS INT) + 1),
+        |    1, CAST(w * h * 3 AS INT)) AS px
+        | FROM d),
+        |b AS (
+        | SELECT doc_id,
+        |  list_sum(flatten(list_transform(range(0, 8), gy ->
+        |   list_transform(range(0, 7), gx ->
+        |    CASE WHEN
+        |      (unicode(substring(px, CAST(1 + ((gy*h//8)*w + (gx*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(2 + ((gy*h//8)*w + (gx*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(3 + ((gy*h//8)*w + (gx*w//8))*3 AS INT), 1)))
+        |      >
+        |      (unicode(substring(px, CAST(1 + ((gy*h//8)*w + ((gx+1)*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(2 + ((gy*h//8)*w + ((gx+1)*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(3 + ((gy*h//8)*w + ((gx+1)*w//8))*3 AS INT), 1)))
+        |    THEN CAST(1 AS BIGINT) << (gy*7 + gx) ELSE CAST(0 AS BIGINT) END))))
+        |  AS dhash
+        | FROM s)
+        |SELECT doc_id AS asset_id, CAST(dhash AS BIGINT) AS dhash
+        |FROM b ORDER BY asset_id""".stripMargin,
 
     // decoded-sample oracle: the WAV data section is the ASCII text
     // repeated cyclically (2 bytes per sample, i16 little-endian), so

@@ -286,6 +286,70 @@ object MultimodalOps {
     }
   }
 
+  /** 56-bit perceptual difference hash of a decoded image. */
+  final case class ImageHash(asset_id: Long, dhash: Long)
+
+  /** Perceptual dHash over REAL decoded pixels — the image-modality
+    * bridge into the dedup operators: re-encoded, resized, or
+    * re-compressed copies of an image keep a near-identical dHash
+    * (small hamming distance) while any byte-level fingerprint
+    * changes completely. Classic difference-hash construction on an
+    * 8×8 grid: nearest-neighbor sample the decoded RGB at integer
+    * grid positions (x·w/8, y·h/8), compare each cell's gray SUM
+    * (r+g+b — avoids a division) to its right neighbor → 7 bits × 8
+    * rows = 56 bits (fits a positive i64, so the SQL oracle's BIGINT
+    * arithmetic never overflows). Per-row decode, no shuffle. */
+  def imageDHash(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val (w, h, rgb) = decodeRgb(a.payload)
+        def graySum(gx: Int, gy: Int): Int = {
+          val p = ((gy * h / 8) * w + (gx * w / 8)) * 3
+          (rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) + (rgb(p + 2) & 0xFF)
+        }
+        var bits = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 7) {
+            if (graySum(gx, gy) > graySum(gx + 1, gy))
+              bits |= 1L << (gy * 7 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        ImageHash(a.asset_id, bits)
+      }
+    }
+  }
+
+  /** Image near-duplicate candidate pairs by dHash hamming distance —
+    * the same 4-chunk pigeonhole banding as the text simhash operators
+    * (56 bits → 4 chunks of 14 bits; ≤ 3 differing bits leave one
+    * chunk identical), so a billion-image dedup shuffles (id, chunk)
+    * pairs, never pixels. Returns (id_a, id_b, hamming ≤ maxDist). */
+  def imageNearDupPairs(hashes: org.apache.spark.sql.DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 10000,
+      skewObs: Option[org.apache.spark.sql.Observation] = None)
+      : org.apache.spark.sql.DataFrame = {
+    require(maxDist <= 3, "4-chunk banding guarantees recall only for maxDist <= 3")
+    val banded = hashes.select(col("asset_id").as("id"),
+        explode(org.apache.spark.sql.functions.expr(
+          """transform(sequence(0, 3), c ->
+            |  struct(c AS chunk, shiftright(dhash, c * 14) & 16383 AS ck))"""
+            .stripMargin)).as("b"))
+      .select(col("id"), col("b.chunk"), col("b.ck"))
+    val cands = graft.operators.LshJoin.candidates(
+      banded, Seq("chunk", "ck"), maxBucket, skewObs)
+    graft.operators.LshJoin.attach(cands,
+        hashes.select(col("asset_id").as("id"), col("dhash")), "dhash")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   // ---- REAL audio decode (javax.sound.sampled) -------------------------
 
   /** Deterministic 16-bit mono PCM WAV: the canonical 44-byte RIFF

@@ -242,6 +242,38 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("image dHash: re-encode invariant, near-dup tolerant, banding finds planted pairs") {
+    import spark.implicits._
+    import graft.multimodal.{MediaAsset, MultimodalOps}
+    def asset(id: Long, seed: Array[Byte], w: Int = 16, h: Int = 8) =
+      MediaAsset(id, "image", MultimodalOps.syntheticBmp(seed, w, h), "spec")
+    val seedA = Array.tabulate[Byte](96)(i => ((i * 37 + 11) % 127).toByte)
+    // one flipped byte: a near-duplicate, not a copy
+    val seedB = seedA.clone(); seedB(5) = (seedB(5) ^ 0x3f).toByte
+    // unrelated content
+    val seedC = Array.tabulate[Byte](96)(i => ((i * i * 13 + 7) % 127).toByte)
+    val assets = Seq(
+      asset(1, seedA), asset(2, seedA), // byte-identical re-encode
+      asset(3, seedB),                  // near-dup
+      asset(4, seedC)).toDS()
+    val hashes = MultimodalOps.imageDHash(assets).collect()
+      .map(ih => ih.asset_id -> ih.dhash).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hashes(1L) == hashes(2L), "identical pixels must hash equal")
+    assert((hashes(1L) >> 56) == 0L, "56-bit hash must keep the sign bit clear")
+    val near = hamming(hashes(1L), hashes(3L))
+    val far = hamming(hashes(1L), hashes(4L))
+    assert(near <= 3, s"one perturbed byte moved $near bits")
+    assert(far > near, s"unrelated image ($far) not farther than near-dup ($near)")
+    // banding surfaces exactly the planted near-dup pairs
+    val pairs = MultimodalOps.imageNearDupPairs(
+        MultimodalOps.imageDHash(assets).toDF(), maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)), pairs)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated image paired: $pairs")
+  }
+
   test("hand-written WAV decodes via javax.sound to the exact seed stream") {
     import graft.multimodal.MultimodalOps._
     for (n <- Seq(1, 128, 196); sr <- Seq(8000, 12000, 16000)) {
