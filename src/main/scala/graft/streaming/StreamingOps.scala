@@ -163,6 +163,36 @@ object StreamingOps {
     }
   }
 
+  /** Streaming ingest ADMISSION screen: drop documents the historical
+    * corpus already contains (by content fingerprint) as they arrive —
+    * the streaming form of the daily Δ dedup screen
+    * ([[graft.operators.DedupOps.exactNewVsIndexBloom]]), expressed
+    * with Structured Streaming's own operators so it composes with any
+    * downstream sink:
+    *
+    *   - docs FAILING the Bloom pre-filter are definitely unseen
+    *     (no false negatives) → admitted with ZERO join work;
+    *   - docs PASSING it (true dups + the fpp sliver) settle in a
+    *     stream-static LEFT ANTI join against the (fp, keeper) index —
+    *     Spark broadcasts or rescans the static side per micro-batch,
+    *     never shuffling the stream beyond the join itself.
+    *
+    * At 100 TB the Bloom leg carries ~all traffic (per-row, executor-
+    * local), so the per-batch join touches only |batch|·fpp + true-dup
+    * rows — the admission analogue of p35's batch screen. Output =
+    * the input rows that are genuinely new, exact by construction. */
+  def admitNewDocs(stream: DataFrame, idCol: String, textCol: String,
+      indexFps: DataFrame, bloomBytes: Array[Byte]): DataFrame = {
+    val withFp = stream.withColumn("fp",
+      graft.operators.TextOps.fingerprint(col(textCol)))
+    val maybeSeen = graft.functions.native.bloom_might_contain(
+      col("fp"), bloomBytes)
+    val definitelyNew = withFp.filter(!maybeSeen)
+    val confirmed = withFp.filter(maybeSeen)
+      .join(indexFps.select(col("fp")), Seq("fp"), "left_anti")
+    definitelyNew.unionByName(confirmed).drop("fp")
+  }
+
   /** Streaming sink into a remote table: each micro-batch appends
     * through the `graft-remote` connector (the same batched
     * PreparedStatement write path the batch sink uses), via

@@ -184,6 +184,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming admission screen drops docs the corpus already contains") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    val corpus = Seq(
+      (1L, "seen doc one with plenty of words"),
+      (2L, "seen doc two with different words")).toDF("doc_id", "text")
+    val idxFps = DedupOps.fingerprintIndex(corpus, "doc_id", "text")
+    val bloom = DedupOps.buildFingerprintBloom(corpus, "text", 1000)
+    val mem = MemoryStream[(Long, String)]
+    val admitted = StreamingOps.admitNewDocs(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idxFps, bloom)
+    val q = admitted.writeStream.format("memory").queryName("admit_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "brand new doc alpha"),
+        (11L, "seen doc one with plenty of words"))
+      q.processAllAvailable()
+      // re-crawl with case/whitespace drift still fingerprints equal
+      mem.addData((12L, "SEEN  doc two with different words"),
+        (13L, "another new doc beta"))
+      q.processAllAvailable()
+      val got = spark.table("admit_out").select(col("doc_id"))
+        .as[Long].collect().toSet
+      assert(got == Set(10L, 13L),
+        s"admission screen admitted/dropped wrong docs: $got")
+    } finally q.stop()
+  }
+
   test("exactly-once sink: replayed epochs insert no duplicate rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
