@@ -44,7 +44,7 @@ object Bench {
     "p29_source_quota", "p30_incremental_dedup", "p35_incremental_exact",
     "p36_repeated_spans",
     "m01_multimodal", "m02_frame_sample", "m03_resize", "m04_audio",
-    "m05_image_phash")
+    "m05_image_phash", "m06_audio_phash")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above

@@ -596,6 +596,15 @@ object PipelineQueries {
       MultimodalOps.imageDHash(MultimodalOps.imageAssets(s, dir)).toDF()
         .orderBy(col("asset_id"))),
 
+    // perceptual audio hash over REAL decoded samples (57 segments'
+    // energies, 56 difference bits) — the audio analogue of m05,
+    // closing the perceptual-hash-per-modality set; every segment
+    // boundary, energy sum, and bit is reproduced by DuckDB from the
+    // cyclic-ASCII PCM model
+    "m06_audio_phash" -> ((s, dir) =>
+      MultimodalOps.audioEnergyHash(MultimodalOps.audioAssets(s, dir)).toDF()
+        .orderBy(col("asset_id"))),
+
     // real audio decode: documents encoded as genuine mono PCM16 WAV
     // clips (hand-written RIFF wire layout, sample stream = cyclic text
     // bytes, rate/length varied per asset), parsed back with
@@ -1447,6 +1456,40 @@ object PipelineQueries {
         |  AS dhash
         | FROM s)
         |SELECT doc_id AS asset_id, CAST(dhash AS BIGINT) AS dhash
+        |FROM b ORDER BY asset_id""".stripMargin,
+
+    // audio-hash oracle: reconstruct the signed samples (m04's
+    // formula), segment at the same integer boundaries, compare
+    // energies, pack the same 56 bits
+    "m06_audio_phash" ->
+      """WITH d AS (
+        | SELECT doc_id, text, 128 + (doc_id % 5) * 17 AS ns FROM documents),
+        |s AS (
+        | SELECT doc_id, ns,
+        |  substring(repeat(text, CAST(ceil(392.0 / length(text)) AS INT) + 1),
+        |    1, CAST(ns * 2 AS INT)) AS pcm
+        | FROM d),
+        |v AS (
+        | SELECT doc_id, ns,
+        |  list_transform(range(0, CAST(ns AS INT)),
+        |   i -> abs(((unicode(substring(pcm, CAST(1 + 2 * i AS INT), 1))
+        |     + 256 * unicode(substring(pcm, CAST(2 + 2 * i AS INT), 1))
+        |     + 32768) % 65536) - 32768)) AS mags
+        | FROM s),
+        |e AS (
+        | SELECT doc_id,
+        |  list_transform(range(0, 57),
+        |   k -> list_sum(list_slice(mags, CAST(k * ns // 57 + 1 AS INT),
+        |     CAST((k + 1) * ns // 57 AS INT)))) AS eng
+        | FROM v),
+        |b AS (
+        | SELECT doc_id,
+        |  list_sum(list_transform(range(0, 56),
+        |   k -> CASE WHEN eng[CAST(k + 1 AS INT)] > eng[CAST(k + 2 AS INT)]
+        |        THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END))
+        |   AS ahash
+        | FROM e)
+        |SELECT doc_id AS asset_id, CAST(ahash AS BIGINT) AS ahash
         |FROM b ORDER BY asset_id""".stripMargin,
 
     // decoded-sample oracle: the WAV data section is the ASCII text

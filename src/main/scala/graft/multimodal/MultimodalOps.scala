@@ -484,6 +484,50 @@ object MultimodalOps {
     }
   }
 
+  /** 56-bit perceptual energy-difference hash of a decoded clip. */
+  final case class AudioHash(asset_id: Long, ahash: Long)
+
+  /** Perceptual audio hash — the audio analogue of [[imageDHash]],
+    * closing the perceptual-hash-per-modality set: re-encoded or
+    * slightly-requantized copies of a clip keep a near-identical hash
+    * while byte fingerprints change completely. Construction: the
+    * decoded signed samples split into 57 integer-boundary segments
+    * (k·n/57 — every clip maps to the same fixed-length descriptor
+    * regardless of duration); each segment's energy (sum |sample|,
+    * exact integer) compares to its successor → 56 bits, sign bit
+    * clear. Pairs then band through [[graft.operators.LshJoin]]
+    * exactly like [[imageNearDupPairs]]. Per-row decode, no shuffle. */
+  def audioEnergyHash(assets: Dataset[MediaAsset]): Dataset[AudioHash] = {
+    import assets.sparkSession.implicits._
+    val segs = 57
+    assets.mapPartitions(_.map { a =>
+      val (_, pcm) = decodePcm16(a.payload)
+      val n = pcm.length / 2
+      require(n >= segs, s"clip of $n samples is shorter than $segs segments")
+      val energy = new Array[Long](segs)
+      var k = 0
+      while (k < segs) {
+        var i = k * n / segs
+        val end = (k + 1) * n / segs
+        var e = 0L
+        while (i < end) {
+          val s = (pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)
+          e += math.abs(s)
+          i += 1
+        }
+        energy(k) = e
+        k += 1
+      }
+      var bits = 0L
+      k = 0
+      while (k < segs - 1) {
+        if (energy(k) > energy(k + 1)) bits |= 1L << k
+        k += 1
+      }
+      AudioHash(a.asset_id, bits)
+    })
+  }
+
   /** REAL resize: decode via `javax.imageio`, nearest-neighbor
     * downsample by `factor` (output pixel (x,y) = source pixel
     * (x·factor, y·factor) — deterministic, no interpolation rounding),

@@ -274,6 +274,28 @@ class PipelineSpec extends AnyFunSuite {
       s"unrelated image paired: $pairs")
   }
 
+  test("audio energy hash: re-encode invariant, near-dup tolerant") {
+    import spark.implicits._
+    import graft.multimodal.{MediaAsset, MultimodalOps}
+    def clip(id: Long, seed: Array[Byte], n: Int = 160) =
+      MediaAsset(id, "audio", MultimodalOps.syntheticWav(seed, n, 8000), "spec")
+    val seedA = Array.tabulate[Byte](90)(i => ((i * 29 + 5) % 127).toByte)
+    val seedB = seedA.clone(); seedB(7) = (seedB(7) ^ 0x11).toByte
+    val seedC = Array.tabulate[Byte](90)(i => ((i * i * 31 + 3) % 127).toByte)
+    val clips = Seq(clip(1, seedA), clip(2, seedA), // identical samples
+      clip(3, seedB),                               // one perturbed byte
+      clip(4, seedC)).toDS()
+    val h = MultimodalOps.audioEnergyHash(clips).collect()
+      .map(x => x.asset_id -> x.ahash).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L), "identical samples must hash equal")
+    assert((h(1L) >> 56) == 0L, "56-bit hash must keep the sign bit clear")
+    val near = hamming(h(1L), h(3L))
+    val far = hamming(h(1L), h(4L))
+    assert(near <= 4, s"one perturbed byte moved $near bits")
+    assert(far > near, s"unrelated clip ($far) not farther than near-dup ($near)")
+  }
+
   test("hand-written WAV decodes via javax.sound to the exact seed stream") {
     import graft.multimodal.MultimodalOps._
     for (n <- Seq(1, 128, 196); sr <- Seq(8000, 12000, 16000)) {
