@@ -42,7 +42,7 @@ object Bench {
     "p21_packing", "p22_unigram_lm", "p23_quantize", "p25_chunking",
     "p26_tfidf", "p27_ivf_pq", "p33_ivf_pq_probe", "p34_ann_incremental",
     "p29_source_quota", "p30_incremental_dedup", "p35_incremental_exact",
-    "p36_repeated_spans",
+    "p36_repeated_spans", "p37_ingest_admission",
     "m01_multimodal", "m02_frame_sample", "m03_resize", "m04_audio",
     "m05_image_phash", "m06_audio_phash")
 

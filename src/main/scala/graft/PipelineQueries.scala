@@ -107,6 +107,27 @@ object PipelineQueries {
           window = 10, minDocs = 2)
         .orderBy(col("doc_id"))),
 
+    // The streaming ingest ADMISSION screen's batch twin (admitNewDocs
+    // is pure DataFrame ops, so the exact plan that runs per
+    // micro-batch runs here over the p35 construction): admitted docs
+    // = the batch minus everything the corpus already contains. The
+    // Bloom leg + anti-join composition is exact by the same argument
+    // as p35, so the oracle is a plain NOT-IN over fingerprints.
+    "p37_ingest_admission" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idxDocs = d.filter(col("doc_id") % 5 =!= 0)
+      val newBatch = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionAll(idxDocs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val bloom = DedupOps.buildFingerprintBloom(idxDocs, "text",
+        expectedItems = 200000, fpp = 0.01)
+      graft.streaming.StreamingOps.admitNewDocs(newBatch, "doc_id", "text",
+          DedupOps.fingerprintIndex(idxDocs, "doc_id", "text"), bloom)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash over the POLY hash family (dual 31-bit polynomial token
     // hashes — engine-independent by construction), so unlike a
     // xxhash-backed simhash the whole pair set is reproduced exactly by
@@ -911,6 +932,20 @@ object PipelineQueries {
         |      ELSE 0.0 END AS rep_ratio
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN na USING (doc_id) LEFT JOIN nr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "p37_ingest_admission" ->
+      """WITH f AS (
+        | SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        | FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 != 0),
+        |newb AS (
+        | SELECT doc_id, fp FROM f WHERE doc_id % 5 = 0
+        | UNION ALL
+        | SELECT doc_id + 100000 AS doc_id, fp FROM f
+        | WHERE doc_id % 5 != 0 AND doc_id % 7 = 3)
+        |SELECT n.doc_id FROM newb n
+        |WHERE n.fp NOT IN (SELECT fp FROM idx)
         |ORDER BY doc_id""".stripMargin,
 
     // the Bloom screen cannot change the output (no false negatives;
