@@ -43,6 +43,8 @@ object Bench {
     "p26_tfidf", "p27_ivf_pq", "p33_ivf_pq_probe", "p34_ann_incremental",
     "p29_source_quota", "p30_incremental_dedup", "p35_incremental_exact",
     "p36_repeated_spans", "p37_ingest_admission",
+    "p38_mixture_sample", "p39_epoch_shuffle", "p40_bigram_lm",
+    "p41_diversity_sample",
     "m01_multimodal", "m02_frame_sample", "m03_resize", "m04_audio",
     "m05_image_phash", "m06_audio_phash")
 
@@ -252,5 +254,12 @@ object Bench {
       System.err.println(s"[bench] artifact file write failed: $e") }
     println(line)
     spark.stop()
+    // A query whose reps ALL failed must fail the run's exit code too:
+    // round 6's BENCH artifact recorded rc:0 with three q29 errors, and
+    // exit-code automation read the failing run as success.
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -206,6 +206,54 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"))
         .orderBy(col("source"), col("doc_id"))),
 
+    // Mixture sampling to a token budget (the "data mixing" stage):
+    // named sources get explicit mixture weights, the long tail a
+    // default; each source is hash-threshold downsampled at
+    // min(1, weight·budget / sourceTokens). Rates are DATA-DRIVEN —
+    // computed in-plan from a tiny per-source aggregate broadcast back
+    // onto the corpus — so the corpus itself is touched once, per-row,
+    // shuffle-free.
+    "p38_mixture_sample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      SampleOps.mixtureSample(
+          d.select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+          idCol = "doc_id", sourceCol = "source", tokenCount = col("n_tok"),
+          weights = Map("src0" -> 0.30, "src1" -> 0.15, "src2" -> 0.05),
+          budgetTokens = 20000L, defaultWeight = 0.02)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("rate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic epoch shuffle + sharding: shard and within-shard
+    // sort key as pure functions of (doc_id, epoch) — a new epoch is a
+    // fresh permutation, a retry is the identical one. The writer runs
+    // partitionBy(shard) + sortWithinPartitions(sort_key): exactly one
+    // exchange, no global row-number funnel.
+    "p39_epoch_shuffle" -> ((s, dir) =>
+      SampleOps.epochShuffle(
+          docs(s, dir).select(col("doc_id")), "doc_id",
+          epoch = 1, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("sort_key"))
+        .orderBy(col("shard"), col("sort_key"), col("doc_id"))),
+
+    // CCNet-style bigram-LM quality bucketing: corpus bigram model
+    // (capped vocabulary, broadcast once per executor), per-doc mean
+    // bigram probability, fixed head/middle/tail cutoffs. Same scale
+    // shape as p22 one Markov order up: one counting groupBy for the
+    // model, per-row shuffle-free scoring.
+    "p40_bigram_lm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val probs = LmOps.bigramProbs(d, "text", topK = 16)
+      d.select(col("doc_id"),
+          TextOps.bigramCount(col("text")).as("n_bigram"),
+          LmOps.avgBigramProb(col("text"), probs).as("avg_bigram_prob"))
+        .withColumn("bucket",
+          LmOps.qualityBucket(col("avg_bigram_prob"),
+            headMin = 0.0001, middleMin = 0.00002))
+        .orderBy(col("doc_id"))
+    }),
+
     // The composed training-set materialization: language filter +
     // quality threshold + token-count band + exact-dedup keeper, in one
     // declarative plan (one window shuffle on the fingerprint; all
@@ -568,6 +616,22 @@ object PipelineQueries {
           .as("screen_recall_ok"))
       full.crossJoin(rec).orderBy(col("query_id"), col("rank"))
     }),
+
+    // Cluster-balanced diversity sampling (cluster-then-sample): every
+    // vector assigned to its nearest fixed SEED vector (deterministic —
+    // no k-means RNG, so the oracle reproduces the FULL assignment, not
+    // just a recall bound), then each semantic neighborhood capped at
+    // `quota` via the TopKPerKey operator. Assignment is per-row and
+    // shuffle-free (seeds ride the plan in the NearestCentroids
+    // expression); the cap's bounded heaps collapse hot clusters before
+    // the one key shuffle.
+    "p41_diversity_sample" -> ((s, dir) =>
+      VectorOps.diversitySample(
+          embs(s, dir).select(col("vec_id").as("id"),
+            col("embedding").as("vec")),
+          nSeeds = 8, quota = 25)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy(col("cluster"), col("vec_id"))),
 
     // ---- multimodal: REAL javax.imageio decode -------------------------
     // Documents render as genuine 24-bit BMP files (hand-written wire
@@ -1113,6 +1177,108 @@ object PipelineQueries {
          | FROM documents)
          |SELECT doc_id, source FROM ranked WHERE rn <= 10
          |ORDER BY source, doc_id""".stripMargin
+    },
+
+    // rates are data-driven: least(1, w·B/tokens_s) with long-exact
+    // token sums and one double multiply/divide — IEEE-identical in any
+    // engine, so the selected row set matches bit-for-bit
+    "p38_mixture_sample" -> {
+      val b0 = SampleOps.hashBucketSql("doc_id", 0)
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         | FROM documents),
+         |r AS (
+         | SELECT source,
+         |  least(1.0,
+         |   (CASE source WHEN 'src0' THEN 0.30 WHEN 'src1' THEN 0.15
+         |                WHEN 'src2' THEN 0.05 ELSE 0.02 END)
+         |    * 20000.0 / CAST(sum(n_tok) AS DOUBLE)) AS rate
+         | FROM t GROUP BY source)
+         |SELECT t.doc_id, t.source, t.n_tok, r.rate
+         |FROM t JOIN r ON t.source = r.source
+         |WHERE $b0 < CAST(floor(r.rate * ${SampleOps.P}.0) AS BIGINT)
+         |ORDER BY t.doc_id""".stripMargin
+    },
+
+    "p39_epoch_shuffle" -> {
+      // epoch 1 salts: 1000003·2 (shard), 7000003·2 (sort key)
+      val shardB = SampleOps.hashBucketSql("doc_id", 1000003L * 2)
+      val sortB = SampleOps.hashBucketSql("doc_id", 7000003L * 2)
+      s"""SELECT doc_id,
+         | CAST(($shardB) % 8 AS INT) AS shard,
+         | $sortB AS sort_key
+         |FROM documents
+         |ORDER BY shard, sort_key, doc_id""".stripMargin
+    },
+
+    // bigram model replicated structurally from p22's unigram oracle:
+    // bigrams as "w1 w2" strings, capped top-16 vocabulary, mean
+    // probability (probability scale, not ln — see LmOps), fixed
+    // head/middle/tail cutoffs
+    "p40_bigram_lm" ->
+      """WITH big AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   range(1, len(string_split(text, ' '))),
+        |   i -> string_split(text, ' ')[i] || ' ' ||
+        |        string_split(text, ' ')[i+1])) AS b
+        | FROM documents),
+        |cnt AS (SELECT b, count(*) AS c FROM big GROUP BY b),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+        |kept AS (SELECT b, c FROM cnt ORDER BY c DESC, b LIMIT 16),
+        |pm AS (SELECT map(list(b), list(CAST(c AS DOUBLE) / (SELECT n FROM tot)))
+        |         AS m FROM kept),
+        |scored AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) - 1 AS INT) AS n_bigram,
+        |  list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i+1]) AS blist
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, n_bigram,
+        |  CASE WHEN n_bigram = 0 THEN 0.0 ELSE
+        |   list_sum(list_transform(blist,
+        |     t -> coalesce(element_at(m, t)[1], CAST(0.0 AS DOUBLE))))
+        |    / CAST(n_bigram AS DOUBLE) END AS avg_bigram_prob
+        | FROM scored, pm)
+        |SELECT doc_id, n_bigram, avg_bigram_prob,
+        | CASE WHEN avg_bigram_prob >= 0.0001 THEN 'head'
+        |      WHEN avg_bigram_prob >= 0.00002 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // seed-anchored assignment: score = dot(vec, seed)/||seed|| (vector
+    // norm constant per row, so ranking matches cosine), left-to-right
+    // double sums exactly as NearestCentroids computes them; ties go to
+    // the lowest seed id, quota ranking by the shared hash bucket
+    "p41_diversity_sample" -> {
+      val bq = SampleOps.hashBucketSql("vec_id", 0)
+      s"""WITH s AS (
+         | SELECT vec_id AS seed_id, embedding AS sv,
+         |  sqrt(list_sum(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS snorm
+         | FROM embeddings ORDER BY vec_id LIMIT 8),
+         |scored AS (
+         | SELECT v.vec_id, s.seed_id,
+         |  CASE WHEN s.snorm = 0 THEN CAST('-infinity' AS DOUBLE) ELSE
+         |   list_sum(list_transform(range(1, len(v.embedding) + 1),
+         |     i -> CAST(v.embedding[i] AS DOUBLE) * CAST(s.sv[i] AS DOUBLE)))
+         |    / s.snorm END AS score
+         | FROM embeddings v, s),
+         |best AS (
+         | SELECT vec_id, seed_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY score DESC, seed_id) AS rn
+         | FROM scored),
+         |asg AS (SELECT vec_id, seed_id AS cluster FROM best WHERE rn = 1),
+         |ranked AS (
+         | SELECT vec_id, cluster,
+         |  row_number() OVER (PARTITION BY cluster
+         |    ORDER BY $bq, vec_id) AS qr
+         | FROM asg)
+         |SELECT vec_id, cluster FROM ranked WHERE qr <= 25
+         |ORDER BY cluster, vec_id""".stripMargin
     },
 
     "p16_quality_pipeline" ->

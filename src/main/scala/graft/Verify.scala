@@ -21,12 +21,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must be LOUD: round 6's fixture change broke four
+    // queries and the artifact silently shrank 100→96 gates because the
+    // only trace of a failure was one stderr line. Now every failure is
+    // recorded in failed.json AND the process exits non-zero, so both a
+    // dir-walking and an exit-code-checking driver see the regression.
+    val failed = collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       SparkEntry.resetSessionConfs(spark) // no cross-query conf leakage
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        // remove any partial output so the compare step sees "no spark
+        // output dir" (a FAIL) rather than stale or truncated parquet
+        val d = new java.io.File(s"$outDir/$name")
+        if (d.isDirectory) {
+          d.listFiles().foreach(_.delete()); d.delete()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +57,15 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: " +
+          failed.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

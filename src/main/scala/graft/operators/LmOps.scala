@@ -82,4 +82,50 @@ object LmOps {
       default: Double = 0.0): Column =
     graft.functions.native.token_score_sum(TextOps.tokens(text), idf, default) /
       TextOps.tokenCount(text).cast("double")
+
+  /** Bigram probabilities (adjacent-pair context — the CCNet-class
+    * quality model one order up from [[unigramProbs]]): "w1 w2" →
+    * count/total over the corpus's bigram occurrences. Same capped-
+    * vocabulary contract and the same scale shape — the corpus pays one
+    * counting groupBy (map-side combined), only the top-K table reaches
+    * the driver. Packing pairs as single strings means the existing
+    * broadcast score-table machinery serves bigrams unchanged. */
+  def bigramProbs(df: DataFrame, textCol: String,
+      topK: Int = 65536): Seq[(String, Double)] = {
+    val counted = df.select(explode(TextOps.bigrams(col(textCol))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val kept = if (topK > 0) counted.orderBy(col("c").desc, col("b")).limit(topK)
+      else counted
+    val rows = kept.collect()
+    val total =
+      if (topK > 0) df.select(sum(TextOps.bigramCount(col(textCol)).cast("long")))
+        .collect().head.getLong(0).toDouble
+      else rows.map(_.getLong(1)).sum.toDouble
+    rows.map(r => r.getString(0) -> r.getLong(1).toDouble / total)
+      .toSeq.sortBy(_._1)
+  }
+
+  /** Mean corpus probability of the document's bigrams — higher = more
+    * in-distribution phrasing, the signal CCNet thresholds on. Single-
+    * token docs (no bigrams) score `default` outright rather than 0/0.
+    * Deliberately a probability MEAN, not ln-perplexity: libm rounding
+    * differs across engines and the ordering is monotone-equivalent for
+    * fixed-length comparisons (see the object doc). */
+  def avgBigramProb(text: Column, probs: Seq[(String, Double)],
+      default: Double = 0.0): Column = {
+    val n = TextOps.bigramCount(text)
+    when(n === 0, lit(default)).otherwise(
+      graft.functions.native.token_score_sum(TextOps.bigrams(text), probs, default) /
+        n.cast("double"))
+  }
+
+  /** CCNet-style quality bucket from an LM score: 'head' (the most
+    * in-distribution tier, kept outright), 'middle' (kept, lower
+    * priority), 'tail' (dropped or down-weighted). CCNet buckets by
+    * fixed perplexity cutoffs from a reference model; these are the
+    * same fixed cutoffs expressed on the probability scale. */
+  def qualityBucket(score: Column, headMin: Double, middleMin: Double): Column =
+    when(score >= lit(headMin), lit("head"))
+      .when(score >= lit(middleMin), lit("middle"))
+      .otherwise(lit("tail"))
 }

@@ -99,4 +99,65 @@ object SampleOps {
       .when(b < lit(threshold(testFraction + valFraction)), lit("val"))
       .otherwise(lit("train"))
   }
+
+  /** Mixture sampling to a TOKEN budget (the DoReMi/Pile "data mixing"
+    * stage): each source s gets `weights(s)` of `budgetTokens` total
+    * tokens, applied as a deterministic hash-threshold downsample at
+    * rate min(1, weight·budget / tokens_s). Sources absent from
+    * `weights` use `defaultWeight`.
+    *
+    * The per-source rates are DATA-DRIVEN (they depend on each source's
+    * token total), so unlike [[stratifiedSample]] the thresholds cannot
+    * be driver-side literals; they are computed IN the plan — one tiny
+    * groupBy over (source, Σ tokens) that AQE turns into a broadcast
+    * join back onto the corpus — and the corpus itself is touched once,
+    * per-row, shuffle-free. The rate arithmetic is pure IEEE-double
+    * (long-exact token sums, one multiply/divide, `least`, `floor`), so
+    * any ANSI engine reproduces the selected row set bit-for-bit.
+    *
+    * Scale shape at 100 TB: the totals aggregate is O(sources) rows
+    * (map-side partial combine does the heavy lifting); the broadcast
+    * is O(sources); the filter is per-row integer arithmetic that
+    * whole-stage codegen inlines. No corpus shuffle anywhere. */
+  def mixtureSample(
+      df: DataFrame, idCol: String, sourceCol: String, tokenCount: Column,
+      weights: Map[String, Double], budgetTokens: Long,
+      defaultWeight: Double = 0.0, salt: Long = 0L): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, f)) =>
+      when(col(sourceCol) === lit(s), lit(f)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCount.cast("long")).as("tok_s"))
+      .select(col(sourceCol).as("__mix_source"),
+        least(lit(1.0), w * lit(budgetTokens.toDouble) /
+          col("tok_s").cast("double")).as("rate"))
+    df.join(broadcast(totals), col(sourceCol) === col("__mix_source"))
+      .filter(hashBucket(col(idCol), salt) <
+        floor(col("rate") * lit(P.toDouble)).cast("long"))
+      .drop("__mix_source")
+  }
+
+  /** Deterministic epoch shuffle + sharding for training-data writes:
+    * every row gets a shard in [0, nShards) and an independent
+    * within-shard sort key, both pure functions of (id, epoch). A new
+    * epoch draws a fresh permutation; a task retry or a re-run draws
+    * the identical one — which `orderBy(rand())`, the naive epoch
+    * shuffle, guarantees neither of.
+    *
+    * This op deliberately emits the shard and SORT KEY rather than a
+    * materialized global position: the writer runs
+    * `partitionBy(shard) + sortWithinPartitions(sort_key)` and gets the
+    * shuffled epoch with exactly one exchange, sized by nShards. A
+    * global row_number per shard would either funnel each shard through
+    * one task (the window-sort trap TopKPerKey exists to avoid) or need
+    * the two-phase prefix sum PackingOps uses — and training readers
+    * consume shard files in order, so positions are never needed. */
+  def epochShuffle(
+      df: DataFrame, idCol: String, epoch: Int, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    df.withColumn("shard",
+        pmod(hashBucket(col(idCol), 1000003L * (epoch + 1)), lit(nShards.toLong))
+          .cast("int"))
+      .withColumn("sort_key", hashBucket(col(idCol), 7000003L * (epoch + 1)))
+  }
 }

@@ -20,6 +20,20 @@ object TextOps {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text)))
 
+  /** Adjacent token bigrams as "w1 w2" strings (empty array for a
+    * single-token document). Packing the pair into one space-joined
+    * string lets every unigram operator (counting groupBy, broadcast
+    * score tables) run unchanged over bigrams. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    zip_with(slice(toks, lit(1), greatest(n - lit(1), lit(0))),
+      slice(toks, lit(2), greatest(n - lit(1), lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  def bigramCount(text: Column): Column = greatest(tokenCount(text) - lit(1), lit(0))
+
   /** BPE-ish subword piece count: each word contributes
     * ceil(len/4) pieces — a cheap, deterministic stand-in for a real
     * BPE vocab that preserves the "long words cost more tokens" shape. */

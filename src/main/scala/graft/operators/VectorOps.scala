@@ -323,4 +323,44 @@ object VectorOps {
       .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Assign every vector to its nearest SEED vector (the `nSeeds`
+    * lowest-id vectors as fixed anchors). Deterministic by construction
+    * — no k-means iterations, no RNG — so the full assignment is
+    * exactly reproducible by a reference engine, unlike a trained
+    * quantizer (p11's oracle can only assert recall). Seeds are
+    * collected once (O(nSeeds·dim), the "tiny model to the driver"
+    * contract of [[trainCentroids]]) and ride the plan inside the
+    * native [[graft.functions.NearestCentroids]] expression: per-row,
+    * shuffle-free, codegen'd — the corpus is touched once. */
+  def seedAssign(vecs: DataFrame, nSeeds: Int): DataFrame = {
+    val seedRows = vecs.orderBy(col("id")).limit(nSeeds)
+      .select(col("id"), col("vec")).collect()
+    require(seedRows.nonEmpty, "no seed vectors")
+    val cents: Seq[Seq[Double]] =
+      seedRows.map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    // nearest seed INDEX -> seed id (seeds were taken in ascending id
+    // order, so the index order IS the id order — the oracle can
+    // reproduce the mapping with a rank over seed ids)
+    val seedIdArr = array(seedRows.map(r => lit(r.getLong(0))): _*)
+    val idx = graft.functions.native.nearest_centroids(col("vec"), cents, 1)
+    vecs.withColumn("cluster",
+      element_at(seedIdArr, element_at(idx, 1) + lit(1)))
+  }
+
+  /** Cluster-balanced diversity sampling (the cluster-then-sample
+    * stage of SemDeDup-style curation): cap each semantic neighborhood
+    * at `quota` rows so over-represented regions of embedding space
+    * stop dominating the training mix. Assignment is one shuffle-free
+    * pass ([[seedAssign]]); the cap runs on the TopKPerKey physical
+    * operator via [[SampleOps.quotaPerKey]] — per-partition bounded
+    * heaps collapse hot clusters BEFORE the shuffle, so a cluster
+    * holding half the corpus ships O(tasks·quota) rows, not half the
+    * corpus. Hash-ranked selection keeps reruns/retries identical and
+    * avoids the keep-the-oldest bias of ranking by id. */
+  def diversitySample(
+      vecs: DataFrame, nSeeds: Int, quota: Int, salt: Long = 0L): DataFrame =
+    SampleOps.quotaPerKey(seedAssign(vecs, nSeeds), col("cluster"), "id",
+        quota, salt)
+      .select(col("id"), col("cluster"))
 }

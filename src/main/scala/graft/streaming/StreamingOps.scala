@@ -35,8 +35,10 @@ object StreamingOps {
     i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
 
-  /** Read the events fixture as a file stream (schema fixed up for the
-    * TIMESTAMP(NANOS) parquet — same handling as [[graft.Tables]]). */
+  /** Read the events fixture as a file stream (ts normalized to
+    * TimestampType across the fixture's encodings — TIMESTAMP(NANOS)
+    * read as raw Long, or tz-less timestamp[us] read as TIMESTAMP_NTZ
+    * which watermarks reject — same handling as [[graft.Tables]]). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -44,9 +46,14 @@ object StreamingOps {
     val raw = spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Sliding/tumbling window counts with a watermark — the canonical

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gate-count regression guard.
+  *
+  * Round 6 lesson: a fixture change broke four queries and the round's
+  * correctness artifact silently shrank 100 → 96 gates — nothing in the
+  * build failed, because Verify only stderr-logged the failures and the
+  * driver's compare keys off the output dirs that exist. Verify now
+  * exits non-zero on any failure; this spec closes the other half by
+  * pinning the inventory itself, so DELETING or misregistering a gate
+  * (name drift between queries and oracleSql, a module dropped from
+  * SparkEntry's ++ chain) fails `sbt test` before any artifact is cut.
+  */
+class GateInventorySpec extends AnyFunSuite {
+
+  // Bump this floor when ADDING gates; it must never go down. 104 =
+  // the round-7 inventory (43 q + 14 r + 41 p + 6 m).
+  private val floor = 104
+
+  test(s"gate inventory never shrinks below $floor") {
+    val n = SparkEntry.queries.size
+    assert(n >= floor,
+      s"SparkEntry.queries has $n entries, below the pinned floor $floor — " +
+        "a gate was deleted or a module fell out of the ++ chain")
+  }
+
+  test("every oracle key names a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracleSql keys with no matching query (name drift): $orphans")
+  }
+
+  test("every query has an oracle (driver gates on BOTH)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty,
+      s"queries without oracle SQL — the driver records only a weaker " +
+        s"rows-only check for these: $missing")
+  }
+
+  test("bench headline names are all registered queries") {
+    val unknown = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"Bench.headline references unknown queries: $unknown")
+  }
+}
