@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 16g default: 8g was sized for sf0.01 iteration in round 1; the
+  // per-round sf1 stress pass runs 32 concurrent local tasks over 10x
+  // data in this one JVM, where 8g leaves no old-gen headroom between
+  // the heavy dedup/ANN queries (measured round 7: p05/p16/p30 sf1
+  // medians 2-4x calmer at >=16g)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc:$f").toSeq

@@ -702,7 +702,22 @@ object PipelineQueries {
           col("n_samples"), col("duration_ms"), col("tag"),
           col("sum_abs"), col("peak"))
         .orderBy(col("asset_id"))
-    }))
+    }),
+
+    // scene-change detection over REAL decoded adjacent frames: per
+    // consecutive-frame SAD (sum of absolute RGB differences) + a cut
+    // flag at mean-per-byte threshold tau — the keyframe-selection
+    // signal of a video curation pipeline. Every decoded byte of every
+    // frame participates, and DuckDB reproduces each difference from
+    // the cyclic-ASCII pixel model, so decoder, frame offsets, and the
+    // integer threshold are all hash-verified (tau = 28 splits the
+    // fixture's boundary population near its median mean-diff)
+    "m07_scene_detect" -> ((s, dir) =>
+      MultimodalOps.sceneChanges(
+          MultimodalOps.videoAssets(s, dir, nFrames = 8), tau = 28).toDF()
+        .select(col("asset_id"), col("boundary_idx"), col("sad"),
+          col("is_cut"))
+        .orderBy(col("asset_id"), col("boundary_idx"))))
 
   /** DuckDB CTE chain computing one 62-bit dual-poly simhash family
     * (mirrors [[graft.functions.SimHashPoly]] bit-for-bit: polynomial
@@ -1723,5 +1738,27 @@ object PipelineQueries {
         | md5(pcm) AS tag,
         | CAST(list_sum(mags) AS BIGINT) AS sum_abs,
         | CAST(list_max(mags) AS INT) AS peak
-        |FROM v ORDER BY asset_id""".stripMargin)
+        |FROM v ORDER BY asset_id""".stripMargin,
+
+    // frame f's pixel stream starts at cyclic text offset f·L
+    // (L = w·h·3 from MultimodalOps.imageDims), so boundary b's SAD is
+    // Σ_j |byte[(j+b·L) mod n] − byte[(j+(b+1)·L) mod n]| — integer
+    // arithmetic end-to-end, cut flag at sad >= tau·L with tau = 28
+    "m07_scene_detect" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS n,
+        |  (13 + doc_id % 4) * (6 + doc_id % 3) * 3 AS L
+        | FROM documents),
+        |b AS (
+        | SELECT doc_id, text, n, L, unnest(range(0, 7)) AS bi FROM d),
+        |s AS (
+        | SELECT doc_id, CAST(bi AS INT) AS boundary_idx, L,
+        |  list_sum(list_transform(range(0, L), j ->
+        |    abs(unicode(text[CAST((j + bi * L) % n AS INT) + 1])
+        |      - unicode(text[CAST((j + (bi + 1) * L) % n AS INT) + 1]))))
+        |   AS sad
+        | FROM b)
+        |SELECT doc_id AS asset_id, boundary_idx, CAST(sad AS BIGINT) AS sad,
+        | sad >= 28 * L AS is_cut
+        |FROM s ORDER BY asset_id, boundary_idx""".stripMargin)
 }

@@ -37,8 +37,11 @@ object SparkEntry {
     // generation necessarily outlives the query that produced it, so
     // sweep whatever is still pinned here. Safe between independent
     // queries: nothing reuses a prior query's checkpointed lineage.
+    // blocking=true: an async unpersist's block-removal RPC storm can
+    // land inside the NEXT query's timed window (the round-4 p16
+    // mechanism); between queries nothing reads these, so wait
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
     // ... and the same determinism for the OTHER GC-driven cleanup
     // categories (the round-4 p16 lesson — checkpoint blocks —
     // generalized, per the round-5 verdict): completed queries'

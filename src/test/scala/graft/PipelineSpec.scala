@@ -296,6 +296,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(far > near, s"unrelated clip ($far) not farther than near-dup ($near)")
   }
 
+  test("scene detection: identical frames score zero, a cut is flagged") {
+    import spark.implicits._
+    import graft.multimodal.{MediaAsset, MultimodalOps}
+    // asset 16 -> imageDims (13, 7): build 4 frames by hand — A A B A —
+    // so boundaries score (0, >0, >0) and only real transitions flag
+    val id = 16L
+    val (w, h) = MultimodalOps.imageDims(id)
+    val seedA = Array.tabulate[Byte](w * h * 3)(i => ((i * 37 + 11) % 127).toByte)
+    val seedB = Array.tabulate[Byte](w * h * 3)(i => ((i * 53 + 7) % 127).toByte)
+    val payload = MultimodalOps.syntheticBmp(seedA, w, h) ++
+      MultimodalOps.syntheticBmp(seedA, w, h) ++
+      MultimodalOps.syntheticBmp(seedB, w, h) ++
+      MultimodalOps.syntheticBmp(seedA, w, h)
+    val assets = Seq(MediaAsset(id, "video", payload, "spec")).toDS()
+    val got = MultimodalOps.sceneChanges(assets, tau = 1).collect()
+      .sortBy(_.boundary_idx)
+    assert(got.map(_.boundary_idx).toSeq == Seq(0, 1, 2))
+    assert(got(0).sad == 0L && !got(0).is_cut,
+      "identical adjacent frames must score SAD 0 and not flag")
+    assert(got(1).sad > 0L && got(1).is_cut, s"A->B must flag: ${got(1)}")
+    assert(got(2).sad == got(1).sad,
+      "B->A must mirror A->B (|a-b| is symmetric)")
+    // the flag honors the threshold: an impossible tau flags nothing
+    val none = MultimodalOps.sceneChanges(assets, tau = 10000).collect()
+    assert(none.forall(!_.is_cut))
+  }
+
   test("hand-written WAV decodes via javax.sound to the exact seed stream") {
     import graft.multimodal.MultimodalOps._
     for (n <- Seq(1, 128, 196); sr <- Seq(8000, 12000, 16000)) {

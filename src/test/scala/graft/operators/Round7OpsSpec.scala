@@ -142,6 +142,34 @@ class Round7OpsSpec extends AnyFunSuite {
     } finally assigned.unpersist()
   }
 
+  // ---- plan shape (the scale contracts, pinned) ----------------------
+
+  test("round-7 operators plan their scale shapes") {
+    // p38: the corpus joins the per-source totals with a BROADCAST hash
+    // join (O(sources) build side) — a sort-merge join here would
+    // shuffle the whole corpus for a 20-row dimension
+    val mix = mixed(budget = 10000L).queryExecution.executedPlan.toString
+    assert(mix.contains("BroadcastHashJoin"), mix)
+    assert(!mix.contains("SortMergeJoin") && !mix.contains("CartesianProduct"),
+      "mixture rates must broadcast, never shuffle the corpus")
+    // p39: shard + sort key are per-row arithmetic — NO exchange at all
+    val shuf = SampleOps.epochShuffle(
+        docs.select(col("doc_id")), "doc_id", epoch = 1, nShards = 8)
+      .queryExecution.executedPlan.toString
+    assert(!shuf.contains("Exchange"),
+      s"epoch shuffle assignment must be shuffle-free:\n$shuf")
+    // p41: seed assignment is an expression (no join), the quota runs
+    // on TopKPerKey — never a per-cluster window sort
+    val div = VectorOps.diversitySample(vecs, nSeeds = 4, quota = 10)
+      .queryExecution.executedPlan.toString
+    assert(div.contains("TopKPerKeyExec"), div)
+    assert(!div.contains("Window"),
+      "cluster quota must not fall back to a window sort")
+    assert(!div.contains("CartesianProduct") &&
+      !div.contains("BroadcastNestedLoopJoin"),
+      "seed assignment must ride the plan as an expression, not a join")
+  }
+
   test("diversitySample caps every cluster at the quota, deterministically") {
     val s1 = VectorOps.diversitySample(vecs, nSeeds = 4, quota = 10)
     val counts = s1.groupBy("cluster").count().collect().map(_.getLong(1))
