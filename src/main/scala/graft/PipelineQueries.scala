@@ -107,6 +107,16 @@ object PipelineQueries {
           window = 10, minDocs = 2)
         .orderBy(col("doc_id"))),
 
+    // Boilerplate-span REMOVAL: p36 detects cross-document repeated
+    // spans; this strips every covered token and reassembles each doc.
+    // cleaned_fp hash-verifies the exact cleaned CONTENT, so window
+    // flagging, position coverage (overlap union), and reassembly
+    // order are all oracle-checked.
+    "p42_span_removal" -> ((s, dir) =>
+      DedupOps.removeRepeatedSpans(docs(s, dir), "doc_id", "text",
+          window = 10, minDocs = 2)
+        .orderBy(col("doc_id"))),
+
     // The streaming ingest ADMISSION screen's batch twin (admitNewDocs
     // is pure DataFrame ops, so the exact plan that runs per
     // micro-batch runs here over the p35 construction): admitted docs
@@ -1011,6 +1021,32 @@ object PipelineQueries {
         |      ELSE 0.0 END AS rep_ratio
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN na USING (doc_id) LEFT JOIN nr USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // removal oracle: covered = union of flagged windows' positions;
+    // cleaned text rebuilt from surviving 1-based positions in order
+    "p42_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |w AS (SELECT doc_id, i,
+        |  md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS wfp
+        | FROM t, UNNEST(range(1, len(toks) - 9 + 1)) AS r(i)
+        | WHERE len(toks) >= 10),
+        |flagged AS (SELECT wfp FROM w GROUP BY wfp
+        |            HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, i + u AS pos
+        |        FROM w, UNNEST(range(0, 10)) AS z(u)
+        |        WHERE wfp IN (SELECT wfp FROM flagged)),
+        |cut AS (SELECT doc_id, list(pos) AS lp FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        | CAST(len(toks) AS INT) AS n_tok,
+        | CAST(coalesce(len(lp), 0) AS INT) AS n_removed,
+        | md5(coalesce(array_to_string(
+        |   list_transform(
+        |     list_filter(range(1, len(toks) + 1),
+        |       p -> NOT coalesce(list_contains(lp, p), false)),
+        |     p -> toks[CAST(p AS INT)]), ' '), '')) AS cleaned_fp
+        |FROM t LEFT JOIN cut USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "p37_ingest_admission" ->

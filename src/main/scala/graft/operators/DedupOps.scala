@@ -287,6 +287,57 @@ object DedupOps {
     wins.join(flagged, Seq("wfp"), "left_semi")
   }
 
+  /** Remove cross-document boilerplate spans — the REMOVAL half of
+    * the repeated-span pipeline ([[repeatedSpanWindows]] detects; this
+    * strips). Token positions covered by ANY flagged window are cut
+    * and the document is reassembled from the survivors. Returns every
+    * input doc: (doc_id, n_tok, n_removed, cleaned_fp) with
+    * `cleaned_fp` = md5 of the cleaned text, so the exact cleaned
+    * CONTENT (not just counts) is verifiable by a reference engine.
+    *
+    * Scale shape: the window fingerprint shuffle is p36's inherent
+    * cost; covered positions are ∝ flagged tokens only (docs with no
+    * boilerplate never enter the position aggregation); the per-doc
+    * cut set is bounded by the doc's own token count — the same
+    * O(row) contract as holding the tokens. Stride is fixed at 1:
+    * removal must not skip windows, or uncovered boilerplate tokens
+    * survive (stride is a DETECTION sampling lever, p36). */
+  def removeRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, minDocs: Int = 2): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val starts = when(size(toks) >= window,
+      sequence(lit(1), size(toks) - window + 1)).otherwise(array())
+    val wins = df.select(col(idCol).as("doc_id"),
+      explode(transform(starts, i => struct(i.as("start"),
+        md5(array_join(slice(toks, i, lit(window)), " ")).as("wfp")))).as("w"))
+      .select(col("doc_id"), col("w.start").as("start"), col("w.wfp").as("wfp"))
+    val flagged = wins.groupBy(col("wfp"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("wfp"))
+    val cut = wins.join(flagged, Seq("wfp"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(window - 1)))
+          .as("pos"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cut"))
+    val cutArr = coalesce(col("cut"),
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)))
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tok"),
+        size(cutArr).as("n_removed"),
+        md5(array_join(transform(
+          filter(zip_with(col("toks"),
+              sequence(lit(1), size(col("toks"))),
+              (t, p) => struct(t.as("t"), p.as("p"))),
+            s => !array_contains(cutArr, s("p"))),
+          s => s("t")), " ")).as("cleaned_fp"))
+  }
+
   /** Per-document repeated-span statistics over
     * [[repeatedSpanWindows]]: how much of each document is made of
     * cross-document boilerplate (the span-level analogue of p18's

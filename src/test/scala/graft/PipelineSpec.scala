@@ -296,6 +296,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(far > near, s"unrelated clip ($far) not farther than near-dup ($near)")
   }
 
+  test("span removal strips exactly the covered positions, clean docs untouched") {
+    import spark.implicits._
+    val boiler = (1 to 12).map(i => s"B$i").mkString(" ") // 12-token template
+    val df = Seq(
+      (1L, s"$boiler alpha beta gamma"),      // template + unique tail
+      (2L, s"delta $boiler epsilon"),          // template mid-doc
+      (3L, "eta theta iota kappa"),            // clean (short, no windows)
+      (4L, (1 to 20).map(i => s"u$i").mkString(" ")) // clean, long
+    ).toDF("doc_id", "text")
+    val got = DedupOps.removeRepeatedSpans(df, "doc_id", "text",
+        window = 10, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    // docs 1 and 2 share every 10-token window inside the 12-token
+    // template; overlapping flagged windows must union to exactly the
+    // 12 template positions, leaving the unique tokens in order
+    assert(got(1L) == ((15, 12, md5("alpha beta gamma"))), got(1L))
+    assert(got(2L) == ((14, 12, md5("delta epsilon"))), got(2L))
+    assert(got(3L) == ((4, 0, md5("eta theta iota kappa"))))
+    assert(got(4L)._2 == 0, "a unique long doc must lose nothing")
+  }
+
   test("scene detection: identical frames score zero, a cut is flagged") {
     import spark.implicits._
     import graft.multimodal.{MediaAsset, MultimodalOps}
