@@ -257,6 +257,20 @@ object RemoteQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // DISTINCT pushdown: Spark plans SELECT DISTINCT as an Aggregate
+    // with grouping columns and NO aggregate functions — the complete
+    // aggregate pushdown ships it as a remote GROUP BY, so only the
+    // distinct rows cross the wire (a federated DISTINCT must not pull
+    // the full column). PushdownSpec pins the plan; this gate the rows.
+    "r15_remote_distinct" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "CUSTOMER")
+        .select(col("C_NATIONKEY").as("c_nationkey"),
+          col("C_MKTSEGMENT").as("c_mktsegment"))
+        .distinct()
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
     // The TableCatalog mount: plain SQL over the remote DB as a Spark
     // catalog (SELECT + aggregate through the connector with pushdown).
     // GraftCatalogSpec asserts plan shapes; this gate asserts values.
@@ -392,6 +406,9 @@ object RemoteQueries {
         | CAST(sum(c_custkey) AS BIGINT) AS sum_key,
         | min(c_custkey) AS min_key, max(c_acctbal) AS max_bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "r15_remote_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment
+        |FROM customer ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "r08_remote_runtime_filter" ->
       """SELECT n_name, count(*) AS n_cust,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal

@@ -50,6 +50,20 @@ class PushdownExtraSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == viaSpark)
   }
 
+  test("SELECT DISTINCT pushes down as a remote GROUP BY (no aggregates)") {
+    // Spark plans distinct() as an Aggregate with grouping columns and
+    // an empty aggregate list; complete pushdown must ship it as a
+    // remote GROUP BY so only distinct rows cross the wire
+    val df = remote("dbtable" -> "NATION")
+      .select(col("N_REGIONKEY")).distinct()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: true"), s"plan: $plan")
+    val got = df.collect().map(_.getInt(0)).toSet
+    val viaSpark = remote("dbtable" -> "NATION")
+      .select("N_REGIONKEY").collect().map(_.getInt(0)).toSet
+    assert(got == viaSpark)
+  }
+
   test("global AVG pushes down for integral columns, not for doubles") {
     val df = remote("dbtable" -> "NATION").agg(avg(col("N_REGIONKEY")).as("a"))
     val plan = df.queryExecution.executedPlan.toString
