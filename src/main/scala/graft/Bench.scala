@@ -46,7 +46,8 @@ object Bench {
     "p38_mixture_sample", "p39_epoch_shuffle", "p40_bigram_lm",
     "p41_diversity_sample", "p42_span_removal",
     "m01_multimodal", "m02_frame_sample", "m03_resize", "m04_audio",
-    "m05_image_phash", "m06_audio_phash", "m07_scene_detect")
+    "m05_image_phash", "m06_audio_phash", "m07_scene_detect",
+    "m08_video_neardup")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above

@@ -714,6 +714,23 @@ object PipelineQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // video near-dup candidates via shared per-frame dHashes over REAL
+    // decoded frames at one normalized resolution (16x8) — the
+    // candidate-generation stage of video dedup (the frame hash IS the
+    // bucket key; verification thresholds n_shared downstream). The
+    // fixture plants no byte-exact duplicate docs, so the gate
+    // exercises decode + hash + bucket-join on the corpus's incidental
+    // frame-hash collisions (hash-exact vs DuckDB); the SPEC proves the
+    // dup semantics on constructed duplicate/overlapping videos, where
+    // identical content shares every frame hash
+    "m08_video_neardup" -> ((s, dir) => {
+      val fh = MultimodalOps.videoFrameHashes(
+        MultimodalOps.videoAssetsUniform(s, dir, nFrames = 8, w = 16, h = 8),
+        w = 16, h = 8).toDF()
+      MultimodalOps.videoNearDupPairs(fh, minShared = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // scene-change detection over REAL decoded adjacent frames: per
     // consecutive-frame SAD (sum of absolute RGB differences) + a cut
     // flag at mean-per-byte threshold tau — the keyframe-selection
@@ -1775,6 +1792,39 @@ object PipelineQueries {
         | CAST(list_sum(mags) AS BIGINT) AS sum_abs,
         | CAST(list_max(mags) AS INT) AS peak
         |FROM v ORDER BY asset_id""".stripMargin,
+
+    // per-frame dHash at fixed 16x8 (grid index gy*16 + gx*2), frame
+    // f's pixels starting at cyclic offset (f*384) mod n; candidate
+    // pairs share >= 1 distinct frame hash
+    "m08_video_neardup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |fr AS (SELECT doc_id, text, n, unnest(range(0, 8)) AS f FROM d),
+        |s AS (SELECT doc_id, f,
+        |  substring(repeat(text, CAST(ceil(384.0 / n) AS INT) + 2),
+        |            CAST((f * 384) % n + 1 AS INT), 384) AS px
+        | FROM fr),
+        |b AS (SELECT doc_id, f,
+        |  list_sum(flatten(list_transform(range(0, 8), gy ->
+        |   list_transform(range(0, 7), gx ->
+        |    CASE WHEN
+        |      (unicode(substring(px, CAST(1 + (gy*16 + gx*2)*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(2 + (gy*16 + gx*2)*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(3 + (gy*16 + gx*2)*3 AS INT), 1)))
+        |      >
+        |      (unicode(substring(px, CAST(1 + (gy*16 + (gx+1)*2)*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(2 + (gy*16 + (gx+1)*2)*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(3 + (gy*16 + (gx+1)*2)*3 AS INT), 1)))
+        |    THEN CAST(1 AS BIGINT) << (gy*7 + gx) ELSE CAST(0 AS BIGINT) END))))
+        |  AS dhash
+        | FROM s),
+        |fh AS (SELECT DISTINCT doc_id, dhash FROM b),
+        |p AS (SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |       count(*) AS n_shared
+        |      FROM fh a JOIN fh bb ON a.dhash = bb.dhash
+        |       AND a.doc_id < bb.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM p WHERE n_shared >= 1 ORDER BY id_a, id_b""".stripMargin,
 
     // frame f's pixel stream starts at cyclic text offset f·L
     // (L = w·h·3 from MultimodalOps.imageDims), so boundary b's SAD is

@@ -299,28 +299,35 @@ object MultimodalOps {
     * (r+g+b — avoids a division) to its right neighbor → 7 bits × 8
     * rows = 56 bits (fits a positive i64, so the SQL oracle's BIGINT
     * arithmetic never overflows). Per-row decode, no shuffle. */
+  /** The 56-bit dHash of one decoded RGB frame (8×8 nearest-neighbor
+    * grid, gray-sum right-neighbor comparisons) — shared by the image
+    * and video perceptual hashes so both modalities band identically. */
+  private def dHashOf(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    def graySum(gx: Int, gy: Int): Int = {
+      val p = ((gy * h / 8) * w + (gx * w / 8)) * 3
+      (rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) + (rgb(p + 2) & 0xFF)
+    }
+    var bits = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 7) {
+        if (graySum(gx, gy) > graySum(gx + 1, gy))
+          bits |= 1L << (gy * 7 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
   def imageDHash(assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
         val (w, h, rgb) = decodeRgb(a.payload)
-        def graySum(gx: Int, gy: Int): Int = {
-          val p = ((gy * h / 8) * w + (gx * w / 8)) * 3
-          (rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) + (rgb(p + 2) & 0xFF)
-        }
-        var bits = 0L
-        var gy = 0
-        while (gy < 8) {
-          var gx = 0
-          while (gx < 7) {
-            if (graySum(gx, gy) > graySum(gx + 1, gy))
-              bits |= 1L << (gy * 7 + gx)
-            gx += 1
-          }
-          gy += 1
-        }
-        ImageHash(a.asset_id, bits)
+        ImageHash(a.asset_id, dHashOf(w, h, rgb))
       }
     }
   }
@@ -348,6 +355,76 @@ object MultimodalOps {
       .select(col("id_a"), col("id_b"),
         bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** "Video" assets at ONE resolution for every asset — perceptual
+    * video fingerprinting normalizes resolution before hashing, so
+    * frame hashes are comparable ACROSS videos (the per-asset
+    * `imageDims` variation exists to exercise BMP padding, which would
+    * make identical content hash differently per doc id). */
+  def videoAssetsUniform(spark: SparkSession, dir: String,
+      nFrames: Int, w: Int, h: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    documentsAsAssets(spark, dir).mapPartitions(_.map { a =>
+      val frameLen = w * h * 3
+      val bos = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < nFrames) {
+        val off = (f * frameLen) % a.payload.length
+        val rotated = a.payload.drop(off) ++ a.payload.take(off)
+        bos.write(syntheticBmp(rotated, w, h))
+        f += 1
+      }
+      a.copy(media_type = "video", payload = bos.toByteArray)
+    })
+  }
+
+  final case class FrameHash(asset_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Per-frame perceptual dHash over REAL decoded frames — the video
+    * analogue of [[imageDHash]], computed in the same sequential
+    * per-asset decode loop as [[sampleDecodedFrames]] (no shuffle, no
+    * frame-list materialization). */
+  def videoFrameHashes(assets: Dataset[MediaAsset],
+      w: Int, h: Int): Dataset[FrameHash] = {
+    import assets.sparkSession.implicits._
+    val frameBytes = 54 + ((w * 3 + 3) / 4) * 4 * h
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { a =>
+        Iterator.range(0, a.payload.length / frameBytes).map { f =>
+          val one = java.util.Arrays.copyOfRange(
+            a.payload, f * frameBytes, (f + 1) * frameBytes)
+          val (dw, dh, rgb) = decodeRgb(one)
+          FrameHash(a.asset_id, f, dHashOf(dw, dh, rgb))
+        }
+      }
+    }
+  }
+
+  /** Video near-duplicate pairs by SHARED FRAME HASHES: two videos are
+    * near-dups when ≥ `minShared` distinct frame dHashes coincide —
+    * re-encoded or re-containered copies keep their frame hashes while
+    * any byte-level fingerprint changes. The frame hash IS the bucket
+    * key (exact equality, no banding needed), so a billion-video dedup
+    * shuffles (id, frame-hash) pairs, never frames: the same
+    * bucket-join shape as every other dedup operator, with the same
+    * `maxBucket` guard against a viral frame (intros, test patterns)
+    * exploding one bucket quadratically. */
+  def videoNearDupPairs(frameHashes: org.apache.spark.sql.DataFrame,
+      minShared: Int, maxBucket: Int = 10000)
+      : org.apache.spark.sql.DataFrame = {
+    require(minShared >= 1)
+    // a hash repeated WITHIN one video (static scenes) counts once
+    val fh = frameHashes.select(col("asset_id").as("id"), col("dhash"))
+      .distinct()
+    val sized = fh.groupBy(col("dhash")).agg(collect_list(col("id")).as("ids"))
+    sized.filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(graft.functions.native.sorted_pairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   final case class SceneBoundary(

@@ -320,6 +320,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L)._2 == 0, "a unique long doc must lose nothing")
   }
 
+  test("video near-dup: duplicate videos share all frames, overlap counts exactly") {
+    import spark.implicits._
+    import graft.multimodal.{MediaAsset, MultimodalOps}
+    val (w, h) = (16, 8)
+    // multiplicative per-tag variation: an additive-only offset would
+    // shift every gray sum equally and leave the dHash comparisons
+    // unchanged across tags
+    def frame(tag: Int) = MultimodalOps.syntheticBmp(
+      Array.tabulate[Byte](w * h * 3)(i =>
+        ((i * (29 + 2 * tag) + tag * 7 + 3) % 127).toByte), w, h)
+    def video(id: Long, tags: Int*) =
+      MediaAsset(id, "video", tags.map(frame).reduce(_ ++ _), "spec")
+    val assets = Seq(
+      video(1L, 1, 2, 3, 4),  // original
+      video(2L, 1, 2, 3, 4),  // byte-identical copy
+      video(3L, 1, 2, 3, 9),  // re-cut: 3 of 4 frames shared
+      video(4L, 5, 6, 7, 8),  // unrelated
+      video(5L, 1, 1, 1, 2)   // static scenes: within-video repeats count once
+    ).toDS()
+    val fh = MultimodalOps.videoFrameHashes(assets, w, h).toDF()
+    val pairs = MultimodalOps.videoNearDupPairs(fh, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 4L, s"identical videos must share all 4: $pairs")
+    assert(pairs((1L, 3L)) == 3L && pairs((2L, 3L)) == 3L)
+    assert(pairs((1L, 5L)) == 2L,
+      "static within-video repeats must count once per distinct hash")
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated video must not pair")
+    // minShared thresholds the candidate set
+    val strict = MultimodalOps.videoNearDupPairs(fh, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 2L)))
+  }
+
   test("scene detection: identical frames score zero, a cut is flagged") {
     import spark.implicits._
     import graft.multimodal.{MediaAsset, MultimodalOps}
