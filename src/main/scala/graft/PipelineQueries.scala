@@ -235,6 +235,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Mixture allocation WITH UPSAMPLING: the full data-mixing
+    // semantics (a rate of 3.3 = 3 full epochs + a deterministic 30%
+    // subset riding a 4th; a rate of 0.3 = a 30% downsample). Same
+    // zero-corpus-shuffle plan as p38; n_copies is the per-doc epoch
+    // count the training reader consumes.
+    "p43_mixture_epochs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      SampleOps.mixtureEpochs(
+          d.select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+          idCol = "doc_id", sourceCol = "source", tokenCount = col("n_tok"),
+          weights = Map("src0" -> 0.05, "src1" -> 0.01),
+          budgetTokens = 100000L, defaultWeight = 0.005)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("rate"),
+          col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic epoch shuffle + sharding: shard and within-shard
     // sort key as pure functions of (doc_id, epoch) — a new epoch is a
     // fresh permutation, a retry is the identical one. The writer runs
@@ -1267,6 +1285,31 @@ object PipelineQueries {
          |FROM t JOIN r ON t.source = r.source
          |WHERE $b0 < CAST(floor(r.rate * ${SampleOps.P}.0) AS BIGINT)
          |ORDER BY t.doc_id""".stripMargin
+    },
+
+    // upsampling mixture: uncapped rate, n_copies = floor(rate) + the
+    // hash-threshold fractional remainder — IEEE-identical floor/minus
+    "p43_mixture_epochs" -> {
+      val b0 = SampleOps.hashBucketSql("doc_id", 0)
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         | FROM documents),
+         |r AS (
+         | SELECT source,
+         |  (CASE source WHEN 'src0' THEN 0.05 WHEN 'src1' THEN 0.01
+         |               ELSE 0.005 END)
+         |   * 100000.0 / CAST(sum(n_tok) AS DOUBLE) AS rate
+         | FROM t GROUP BY source),
+         |c AS (
+         | SELECT t.doc_id, t.source, t.n_tok, r.rate,
+         |  CAST(floor(r.rate) AS BIGINT) +
+         |   CASE WHEN $b0 <
+         |     CAST(floor((r.rate - floor(r.rate)) * ${SampleOps.P}.0) AS BIGINT)
+         |    THEN 1 ELSE 0 END AS n_copies
+         | FROM t JOIN r ON t.source = r.source)
+         |SELECT doc_id, source, n_tok, rate, n_copies
+         |FROM c WHERE n_copies > 0 ORDER BY doc_id""".stripMargin
     },
 
     "p39_epoch_shuffle" -> {

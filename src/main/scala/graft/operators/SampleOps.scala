@@ -137,6 +137,43 @@ object SampleOps {
       .drop("__mix_source")
   }
 
+  /** Mixture allocation WITH UPSAMPLING (the full data-mixing
+    * semantics): where [[mixtureSample]] caps each source's rate at 1,
+    * real mixes UPSAMPLE scarce high-value sources — a rate of 2.3
+    * means every doc rides 2 full epochs and a deterministic 30%
+    * subset rides a third. Returns each kept doc with `n_copies`
+    * (≥ 1; docs outside the fractional remainder of a rate < 1 source
+    * are dropped). The writer materializes `n_copies` via
+    * `explode(sequence(1, n_copies))` or, better, the training reader
+    * consumes the count directly — either way Σ n_copies·tokens ≈
+    * weight·budget per source, which is the contract.
+    *
+    * Same plan shape as [[mixtureSample]]: O(sources) aggregate,
+    * broadcast back, per-row integer arithmetic, zero corpus shuffle;
+    * same IEEE-exact rate arithmetic so the row set and every copy
+    * count reproduce bit-for-bit in any ANSI engine. */
+  def mixtureEpochs(
+      df: DataFrame, idCol: String, sourceCol: String, tokenCount: Column,
+      weights: Map[String, Double], budgetTokens: Long,
+      defaultWeight: Double = 0.0, salt: Long = 0L): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, f)) =>
+      when(col(sourceCol) === lit(s), lit(f)).otherwise(acc)
+    }
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCount.cast("long")).as("tok_s"))
+      .select(col(sourceCol).as("__mix_source"),
+        (w * lit(budgetTokens.toDouble) / col("tok_s").cast("double"))
+          .as("rate"))
+    df.join(broadcast(totals), col(sourceCol) === col("__mix_source"))
+      .withColumn("n_copies",
+        floor(col("rate")).cast("long") +
+          when(hashBucket(col(idCol), salt) <
+            floor((col("rate") - floor(col("rate"))) * lit(P.toDouble))
+              .cast("long"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .drop("__mix_source")
+  }
+
   /** Deterministic epoch shuffle + sharding for training-data writes:
     * every row gets a shard in [0, nShards) and an independent
     * within-shard sort key, both pure functions of (id, epoch). A new

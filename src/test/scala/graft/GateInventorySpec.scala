@@ -15,9 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateInventorySpec extends AnyFunSuite {
 
-  // Bump this floor when ADDING gates; it must never go down. 108 =
-  // the round-7 inventory (43 q + 15 r + 42 p + 8 m).
-  private val floor = 108
+  // Bump this floor when ADDING gates; it must never go down. 109 =
+  // the round-7 inventory (43 q + 15 r + 43 p + 8 m).
+  private val floor = 109
 
   test(s"gate inventory never shrinks below $floor") {
     val n = SparkEntry.queries.size

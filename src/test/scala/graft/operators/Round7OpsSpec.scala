@@ -52,6 +52,38 @@ class Round7OpsSpec extends AnyFunSuite {
     } finally m.unpersist()
   }
 
+  test("mixtureEpochs upsamples scarce sources and downsamples the rest") {
+    val base = docs.select(col("doc_id"), col("source"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+    val tokSrc0 = base.filter(col("source") === "src0")
+      .agg(sum("n_tok")).collect().head.getLong(0)
+    // src0 gets a budget share of 4x its own tokens -> rate 4.0-ish:
+    // every src0 doc must carry >= 4 copies (4 full epochs + maybe a
+    // fractional 5th); the default-weight tail gets a rate < 1 ->
+    // n_copies exactly 1 for a strict subset
+    val m = SampleOps.mixtureEpochs(base, "doc_id", "source", col("n_tok"),
+      weights = Map("src0" -> 1.0), budgetTokens = tokSrc0 * 4,
+      defaultWeight = 0.001).cache()
+    try {
+      val src0 = m.filter(col("source") === "src0")
+      assert(src0.count() == base.filter(col("source") === "src0").count(),
+        "rate >= 1 must keep every doc")
+      val copies = src0.select("n_copies").collect().map(_.getLong(0))
+      assert(copies.forall(c => c == 4L || c == 5L), copies.toSeq.distinct.toString)
+      // token accounting: sum(n_copies * n_tok) lands near rate * tokens
+      val served = src0.select(sum(col("n_copies") * col("n_tok")))
+        .collect().head.getLong(0)
+      assert(math.abs(served - tokSrc0 * 4L) < tokSrc0,
+        s"served $served vs target ${tokSrc0 * 4}")
+      val tail = m.filter(col("source") =!= "src0")
+      assert(tail.select("n_copies").distinct().collect()
+        .map(_.getLong(0)).toSeq == Seq(1L),
+        "fractional-rate sources carry exactly 1 copy")
+      assert(tail.count() < base.filter(col("source") =!= "src0").count(),
+        "a rate < 1 source must drop rows")
+    } finally m.unpersist()
+  }
+
   // ---- epochShuffle --------------------------------------------------
 
   test("epochShuffle: shards in range, deterministic, epoch-dependent") {
