@@ -235,6 +235,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus card: the one-row datasheet a curation run publishes
+    // (docs/tokens/chars, source+language spread, exact-dup pressure,
+    // length profile). Everything is one pass of per-row arithmetic
+    // into distributed aggregates plus one fingerprint groupBy for the
+    // dup counts — the whole card costs two shuffles of TINY aggregate
+    // state at any corpus size.
+    "p44_corpus_card" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en_docs"),
+        max(TextOps.tokenCount(col("text"))).as("max_doc_tokens"),
+        (sum(TextOps.tokenCount(col("text")).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_doc_tokens"))
+      val dups = d.groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          sum(when(col("n") > 1, col("n") - 1).otherwise(0L))
+            .as("n_redundant_docs"))
+      base.crossJoin(dups)
+    }),
+
     // Mixture allocation WITH UPSAMPLING: the full data-mixing
     // semantics (a rate of 3.3 = 3 full epochs + a deterministic 30%
     // subset riding a 4th; a rate of 0.3 = a 30% downsample). Same
@@ -1286,6 +1312,30 @@ object PipelineQueries {
          |WHERE $b0 < CAST(floor(r.rate * ${SampleOps.P}.0) AS BIGINT)
          |ORDER BY t.doc_id""".stripMargin
     },
+
+    "p44_corpus_card" ->
+      """WITH base AS (
+        | SELECT count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_en_docs,
+        |  CAST(max(len(string_split(text, ' '))) AS INT) AS max_doc_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS mean_doc_tokens
+        | FROM documents),
+        |g AS (SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |       count(*) AS n
+        |      FROM documents GROUP BY 1),
+        |dups AS (
+        | SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_groups,
+        |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+        |   AS n_redundant_docs
+        | FROM g)
+        |SELECT * FROM base, dups""".stripMargin,
 
     // upsampling mixture: uncapped rate, n_copies = floor(rate) + the
     // hash-threshold fractional remainder — IEEE-identical floor/minus
