@@ -39,7 +39,13 @@ object RemoteQueries {
     // REPLACED via the opt-in atomic truncate-and-append path — the r14
     // gate reads the final content, so a broken overwrite (append-only,
     // or truncate-without-write) breaks row count or hash
-    "OVW" -> "CREATE TABLE OVW (O_KEY INT, O_NAME VARCHAR(64), O_VAL DOUBLE)")
+    "OVW" -> "CREATE TABLE OVW (O_KEY INT, O_NAME VARCHAR(64), O_VAL DOUBLE)",
+    // keyed-upsert fixture: appended with the base rows, then a delta
+    // batch lands via mergekeys (staged MERGE) — every n%3 key updates
+    // in place, every n%5 key inserts as new. The r16 gate reads the
+    // merged content: append-instead-of-merge breaks the row count,
+    // update-misses break values, key-mismatches break everything
+    "UPS" -> "CREATE TABLE UPS (U_KEY INT, U_NAME VARCHAR(80), U_VAL DOUBLE)")
 
   /** Fixture DataFrame per remote table (GEO derives from nation: the
     * struct payload is assembled with to_json at write time, then must
@@ -69,6 +75,11 @@ object RemoteQueries {
         Tables.table(spark, dir, "nation").limit(5)
           .select((col("n_nationkey") + 1000).cast(IntegerType).as("O_KEY"),
             lit("stale").as("O_NAME"), lit(-1.0).as("O_VAL"))
+      case "UPS" => // the BASE rows the upsert delta reconciles with
+        Tables.table(spark, dir, "nation")
+          .select(col("n_nationkey").cast(IntegerType).as("U_KEY"),
+            col("n_name").as("U_NAME"),
+            (col("n_regionkey") * 1.0).as("U_VAL"))
       case t => Tables.table(spark, dir, t.toLowerCase)
     }
 
@@ -78,6 +89,37 @@ object RemoteQueries {
       .select(col("n_nationkey").cast(IntegerType).as("O_KEY"),
         col("n_name").as("O_NAME"),
         (col("n_regionkey") * 2.5).as("O_VAL"))
+
+  /** The upsert delta batch: every n%3 key carries new values for an
+    * EXISTING row (update in place), every n%5 key is a NEW row
+    * (insert). Keys hitting both branches would duplicate within the
+    * batch only if the two selects overlapped on U_KEY — they cannot
+    * (inserts are shifted by 1000). */
+  private def upsDeltaDf(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.table(spark, dir, "nation")
+    nation.filter(col("n_nationkey") % 3 === 0)
+      .select(col("n_nationkey").cast(IntegerType).as("U_KEY"),
+        concat(col("n_name"), lit("_v2")).as("U_NAME"),
+        (col("n_regionkey") + 100.5).as("U_VAL"))
+      .unionAll(nation.filter(col("n_nationkey") % 5 === 0)
+        .select((col("n_nationkey") + 1000).cast(IntegerType).as("U_KEY"),
+          concat(lit("new_"), col("n_name")).as("U_NAME"),
+          (lit(0.5) - col("n_regionkey")).as("U_VAL")))
+  }
+
+  /** The rows r16 expects to find in UPS after the upsert. */
+  private def upsFinalDf(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.table(spark, dir, "nation")
+    nation.select(col("n_nationkey").cast(IntegerType).as("U_KEY"),
+        when(col("n_nationkey") % 3 === 0, concat(col("n_name"), lit("_v2")))
+          .otherwise(col("n_name")).as("U_NAME"),
+        when(col("n_nationkey") % 3 === 0, col("n_regionkey") + 100.5)
+          .otherwise(col("n_regionkey") * 1.0).as("U_VAL"))
+      .unionAll(nation.filter(col("n_nationkey") % 5 === 0)
+        .select((col("n_nationkey") + 1000).cast(IntegerType).as("U_KEY"),
+          concat(lit("new_"), col("n_name")).as("U_NAME"),
+          (lit(0.5) - col("n_regionkey")).as("U_VAL")))
+  }
 
   /** Extra write options per fixture table (LIT goes through the
     * literal-SQL insert path). */
@@ -95,9 +137,10 @@ object RemoteQueries {
     // run's tables are valid iff the row counts match — skip the
     // rewrite then instead of paying it once per JVM
     val counts = ddl.keys.map(t =>
-      // OVW's steady state is the post-overwrite content, not the
-      // placeholder rows the rebuild path appends first
+      // OVW/UPS steady states are the post-overwrite/post-upsert
+      // contents, not the base rows the rebuild path appends first
       t -> (if (t == "OVW") ovwFinalDf(spark, dir).count()
+            else if (t == "UPS") upsFinalDf(spark, dir).count()
             else fixtureDf(spark, dir, t).count())).toMap
     val c = DriverManager.getConnection(url)
     val st = c.createStatement()
@@ -129,6 +172,13 @@ object RemoteQueries {
         .option("url", url).option("dbtable", "OVW")
         .option("allowoverwrite", "true").option("stagingwrite", "true")
         .mode("overwrite").save()
+      // land the upsert delta on UPS through the keyed-MERGE append
+      // (staged, atomic): n%3 keys update in place, n%5 keys insert
+      upsDeltaDf(spark, dir)
+        .write.format("graft-remote")
+        .option("url", url).option("dbtable", "UPS")
+        .option("mergekeys", "U_KEY").option("stagingwrite", "true")
+        .mode("append").save()
     }
     prepared += url
     url
@@ -332,6 +382,21 @@ object RemoteQueries {
         .orderBy(col("o_key"))
     }),
 
+    // Keyed-upsert round-trip: UPS was appended with the base rows,
+    // then a delta batch landed via mergekeys (staged atomic MERGE).
+    // Reading the final content proves upsert semantics: matched keys
+    // updated in place (append-instead-of-update breaks the row
+    // count), unmatched keys inserted (update-only breaks the count
+    // the other way), untouched rows intact (any key mismatch breaks
+    // the hash).
+    "r16_remote_upsert" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "UPS")
+        .select(col("U_KEY").as("u_key"), col("U_NAME").as("u_name"),
+          col("U_VAL").as("u_val"))
+        .orderBy(col("u_key"))
+    }),
+
     // Nested-struct decode end-to-end: the remote scalar JSON column is
     // declared a typed struct via structcol.<name>; the reader decodes
     // it to InternalRow (reference SdeGeometry assembly,
@@ -423,6 +488,18 @@ object RemoteQueries {
         | n_nationkey * 1.5 AS minx,
         | n_name AS pt_name
         |FROM nation ORDER BY g_key""".stripMargin,
+    "r16_remote_upsert" ->
+      """SELECT u_key, u_name, u_val FROM (
+        | SELECT n_nationkey AS u_key,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_v2' ELSE n_name END
+        |   AS u_name,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN n_regionkey + 100.5
+        |   ELSE n_regionkey * 1.0 END AS u_val
+        | FROM nation
+        | UNION ALL
+        | SELECT n_nationkey + 1000, 'new_' || n_name, 0.5 - n_regionkey
+        | FROM nation WHERE n_nationkey % 5 = 0
+        |) ORDER BY u_key""".stripMargin,
     "r12_literal_insert" ->
       """SELECT n_nationkey AS l_key,
         | n_name || '''s' AS l_name,

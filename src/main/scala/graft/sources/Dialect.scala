@@ -42,6 +42,25 @@ trait Dialect extends Serializable {
     * staged path's atomic replace. */
   def deleteAllSql(parts: Seq[String]): String = s"DELETE FROM ${tableName(parts)}"
 
+  /** ANSI `MERGE` for the keyed-upsert write mode (`mergekeys=...`):
+    * staging rows matched on the key columns update the target in
+    * place, unmatched rows insert. `updateCols` may be empty (every
+    * written column is a key) — then matches are left untouched and
+    * the statement degrades to insert-if-absent. SET columns are
+    * unqualified (ANSI: they always name the target). */
+  def mergeSql(target: Seq[String], staging: Seq[String], keys: Seq[String],
+      updateCols: Seq[String], insertCols: Seq[String]): String = {
+    val on = keys.map(k => s"T.${quote(k)} = S.${quote(k)}").mkString(" AND ")
+    val upd =
+      if (updateCols.isEmpty) ""
+      else " WHEN MATCHED THEN UPDATE SET " +
+        updateCols.map(c => s"${quote(c)} = S.${quote(c)}").mkString(", ")
+    val ins = insertCols.map(quote).mkString(", ")
+    val vals = insertCols.map(c => s"S.${quote(c)}").mkString(", ")
+    s"MERGE INTO ${tableName(target)} T USING ${tableName(staging)} S " +
+      s"ON $on$upd WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)"
+  }
+
   /** Only SELECT-shaped queries are rewritable (reference
     * `connection/mod.rs:239-248`); anything else is scanned as-is with
     * every filter/limit evaluated by Spark. */

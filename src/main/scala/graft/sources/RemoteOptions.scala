@@ -76,6 +76,16 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
     * transaction, so readers never observe the empty table; the direct
     * path deletes up front (non-atomic, like most JDBC sinks). */
   def allowOverwrite: Boolean = map.getOrElse("allowoverwrite", "false").toBoolean
+  /** Keyed upsert (MERGE) append: comma-separated remote key columns.
+    * When set, an append lands as `MERGE INTO target USING staging ON
+    * keys` — matched rows update in place, unmatched rows insert — so
+    * re-running the same batch is IDEMPOTENT (the incremental-pipeline
+    * write shape: daily deltas keyed by id). Requires
+    * `stagingwrite=true`: the MERGE is the staged job-commit statement,
+    * which is also what makes the whole upsert atomic. */
+  def mergeKeys: Seq[String] =
+    map.get("mergekeys").map(_.split(',').toSeq.map(_.trim)
+      .filter(_.nonEmpty)).getOrElse(Nil)
   /** Exactly-once streaming-sink support: a ledger table whose epoch
     * row is inserted INSIDE the staged job-commit transaction, so "the
     * batch's rows are in the target" and "the epoch is recorded" are

@@ -36,6 +36,10 @@ class RemoteWriteBuilder(
       "graft-remote is append-only by default (reference table.rs:434-441); " +
         "set allowoverwrite=true to enable truncate-and-append overwrite " +
         "(atomic with stagingwrite=true)")
+    if (opts.mergeKeys.nonEmpty) throw new UnsupportedOperationException(
+      "mergekeys (keyed upsert) contradicts overwrite: an upsert batch " +
+        "reconciles with existing rows, a truncate discards them — drop " +
+        "one of the two")
     new RemoteWriteBuilder(opts, remoteSchema, writeSchema, truncateFirst = true)
   }
 
@@ -110,6 +114,9 @@ class RemoteBatchWrite(
   require(opts.ledgerTable.isEmpty,
     "ledgertable requires stagingwrite=true — exactly-once needs the " +
       "single staged commit transaction to carry the epoch marker")
+  require(opts.mergeKeys.isEmpty,
+    "mergekeys requires stagingwrite=true — the upsert IS the staged " +
+      "commit's MERGE statement (direct tasks would race their upserts)")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncateFirst) {
@@ -227,6 +234,40 @@ class StagedRemoteBatchWrite(
           // never the empty table
           if (truncateFirst)
             st.executeUpdate(dialect.deleteAllSql(targetParts))
+          if (opts.mergeKeys.nonEmpty) {
+            // keyed upsert: resolve keys against the written fields
+            // (case-insensitive, like every write-column mapping)
+            val keys = opts.mergeKeys.map { k =>
+              writeFields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+                throw new IllegalArgumentException(
+                  s"mergekeys column '$k' is not among the written " +
+                    s"columns ${writeFields.map(_.name).mkString(", ")}")).name
+            }
+            val keySet = keys.map(_.toLowerCase).toSet
+            keys.find(k => !live.exists(_.name.equalsIgnoreCase(k))).foreach(
+              k => throw new IllegalArgumentException(
+                s"mergekeys column '$k' was stripped as an all-NULL " +
+                  "auto-increment column — an upsert cannot match on a " +
+                  "key the batch never provided"))
+            // a batch carrying the same key twice makes MERGE
+            // nondeterministic (ANSI: error on double match) — reject
+            // it BEFORE the merge with a message that names the cause
+            val kq = keys.map(dialect.quote).mkString(", ")
+            val rs = st.executeQuery(
+              s"SELECT COUNT(1) FROM (SELECT 1 AS C FROM " +
+                s"${dialect.tableName(stagingParts)} GROUP BY $kq " +
+                "HAVING COUNT(1) > 1) DUPS")
+            rs.next(); val dups = rs.getLong(1); rs.close()
+            if (dups > 0) throw new IllegalStateException(
+              s"upsert batch carries $dups duplicated merge-key group(s) " +
+                s"on ($kq) — deduplicate the batch first (e.g. " +
+                "graft.operators exactDedup), an upsert must be keyed " +
+                "uniquely to be deterministic")
+            val updateCols = live.map(_.name)
+              .filterNot(n => keySet.contains(n.toLowerCase))
+            st.executeUpdate(dialect.mergeSql(targetParts, stagingParts,
+              keys, updateCols, live.map(_.name).toSeq))
+          } else
           st.executeUpdate(
             s"INSERT INTO ${dialect.tableName(targetParts)} ($cols) " +
             s"SELECT $cols FROM ${dialect.tableName(stagingParts)}")
