@@ -45,7 +45,13 @@ object RemoteQueries {
     // in place, every n%5 key inserts as new. The r16 gate reads the
     // merged content: append-instead-of-merge breaks the row count,
     // update-misses break values, key-mismatches break everything
-    "UPS" -> "CREATE TABLE UPS (U_KEY INT, U_NAME VARCHAR(80), U_VAL DOUBLE)")
+    "UPS" -> "CREATE TABLE UPS (U_KEY INT, U_NAME VARCHAR(80), U_VAL DOUBLE)",
+    // delete-pushdown fixture: appended with the base rows, then
+    // `DELETE FROM ... WHERE` runs through the catalog (SupportsDeleteV2
+    // ships the compiled predicate as one remote DELETE). The r17 gate
+    // reads the survivors: a no-op delete breaks the row count, a
+    // mis-compiled predicate deletes the wrong rows and breaks the hash
+    "DEL" -> "CREATE TABLE DEL (D_KEY INT, D_NAME VARCHAR(64), D_VAL DOUBLE)")
 
   /** Fixture DataFrame per remote table (GEO derives from nation: the
     * struct payload is assembled with to_json at write time, then must
@@ -80,6 +86,11 @@ object RemoteQueries {
           .select(col("n_nationkey").cast(IntegerType).as("U_KEY"),
             col("n_name").as("U_NAME"),
             (col("n_regionkey") * 1.0).as("U_VAL"))
+      case "DEL" => // the BASE rows the pushed DELETE prunes
+        Tables.table(spark, dir, "nation")
+          .select(col("n_nationkey").cast(IntegerType).as("D_KEY"),
+            col("n_name").as("D_NAME"),
+            (col("n_regionkey") * 3.0).as("D_VAL"))
       case t => Tables.table(spark, dir, t.toLowerCase)
     }
 
@@ -121,6 +132,17 @@ object RemoteQueries {
           (lit(0.5) - col("n_regionkey")).as("U_VAL")))
   }
 
+  /** The predicate the r17 DELETE pushes, and the rows that survive it
+    * (NOT the predicate). Kept as constants so the delete statement,
+    * the steady-state count, and the oracle can never drift apart. */
+  private val delWhereSql = "D_KEY >= 20 OR D_NAME < 'NATION_05'"
+  private def delFinalDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "nation")
+      .filter(!(col("n_nationkey") >= 20 || col("n_name") < "NATION_05"))
+      .select(col("n_nationkey").cast(IntegerType).as("D_KEY"),
+        col("n_name").as("D_NAME"),
+        (col("n_regionkey") * 3.0).as("D_VAL"))
+
   /** Extra write options per fixture table (LIT goes through the
     * literal-SQL insert path). */
   private def writeOptions(table: String): Map[String, String] =
@@ -141,6 +163,7 @@ object RemoteQueries {
       // contents, not the base rows the rebuild path appends first
       t -> (if (t == "OVW") ovwFinalDf(spark, dir).count()
             else if (t == "UPS") upsFinalDf(spark, dir).count()
+            else if (t == "DEL") delFinalDf(spark, dir).count()
             else fixtureDf(spark, dir, t).count())).toMap
     val c = DriverManager.getConnection(url)
     val st = c.createStatement()
@@ -179,6 +202,12 @@ object RemoteQueries {
         .option("url", url).option("dbtable", "UPS")
         .option("mergekeys", "U_KEY").option("stagingwrite", "true")
         .mode("append").save()
+      // prune DEL through the pushed `DELETE FROM ... WHERE` (the
+      // compiled predicate runs remotely; no rows cross the wire)
+      spark.conf.set("spark.sql.catalog.graftdel", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftdel.url", url)
+      spark.conf.set("spark.sql.catalog.graftdel.allowdelete", "true")
+      spark.sql(s"DELETE FROM graftdel.APP.DEL WHERE $delWhereSql")
     }
     prepared += url
     url
@@ -397,6 +426,20 @@ object RemoteQueries {
         .orderBy(col("u_key"))
     }),
 
+    // DELETE-pushdown round-trip: DEL was appended with the base rows,
+    // then `DELETE FROM ... WHERE` ran through the catalog — the
+    // compiled predicate executed remotely as one DELETE statement
+    // (SupportsDeleteV2). Reading the survivors proves the predicate
+    // compiled faithfully: a dropped disjunct resurrects rows, an
+    // over-eager compile kills rows the oracle keeps.
+    "r17_remote_delete" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "DEL")
+        .select(col("D_KEY").as("d_key"), col("D_NAME").as("d_name"),
+          col("D_VAL").as("d_val"))
+        .orderBy(col("d_key"))
+    }),
+
     // Nested-struct decode end-to-end: the remote scalar JSON column is
     // declared a typed struct via structcol.<name>; the reader decodes
     // it to InternalRow (reference SdeGeometry assembly,
@@ -488,6 +531,12 @@ object RemoteQueries {
         | n_nationkey * 1.5 AS minx,
         | n_name AS pt_name
         |FROM nation ORDER BY g_key""".stripMargin,
+    "r17_remote_delete" ->
+      """SELECT n_nationkey AS d_key, n_name AS d_name,
+        | n_regionkey * 3.0 AS d_val
+        |FROM nation
+        |WHERE NOT (n_nationkey >= 20 OR n_name < 'NATION_05')
+        |ORDER BY d_key""".stripMargin,
     "r16_remote_upsert" ->
       """SELECT u_key, u_name, u_val FROM (
         | SELECT n_nationkey AS u_key,

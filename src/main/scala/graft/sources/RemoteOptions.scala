@@ -76,6 +76,12 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
     * transaction, so readers never observe the empty table; the direct
     * path deletes up front (non-atomic, like most JDBC sinks). */
   def allowOverwrite: Boolean = map.getOrElse("allowoverwrite", "false").toBoolean
+  /** Opt-in for `DELETE FROM` (SupportsDeleteV2): compiled predicates
+    * ship as one remote `DELETE ... WHERE`. Default false: the
+    * reference treats remote tables as append-only, so destructive
+    * row removal must be asked for explicitly (same posture as
+    * `allowoverwrite`). */
+  def allowDelete: Boolean = map.getOrElse("allowdelete", "false").toBoolean
   /** Keyed upsert (MERGE) append: comma-separated remote key columns.
     * When set, an append lands as `MERGE INTO target USING staging ON
     * keys` — matched rows update in place, unmatched rows insert — so

@@ -73,7 +73,8 @@ object RemoteTableImpl {
   * `RemoteTable::try_new` (`table.rs:237-274`). */
 class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType],
     knownRemoteSchema: Option[RemoteSchema] = None)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   val isCommand: Boolean = opts.command.isDefined
 
@@ -126,6 +127,55 @@ class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType],
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new RemoteWriteBuilder(opts, remoteSchema, info.schema())
+
+  // ---- DELETE FROM (SupportsDeleteV2) ------------------------------------
+  // `DELETE FROM t WHERE ...` ships as ONE remote DELETE statement with
+  // the compiled predicate — the row-removal analogue of filter
+  // pushdown (no rows cross the wire; at federation scale a GDPR-style
+  // purge touches the remote only). Opt-in via allowdelete=true; the
+  // default keeps the reference's append-only posture (table.rs:434-441).
+  // AlwaysTrue predicates (Spark's unconditional-DELETE / truncate
+  // encoding) drop out of the WHERE rather than being rendered: not
+  // every dialect accepts a bare boolean literal in WHERE.
+
+  private def compiledDelete(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Seq[String]] =
+    try Some(predicates.toSeq
+      .filterNot(_.name == "ALWAYS_TRUE")
+      .map(p => new V2PredicateSQL(opts.dialect).build(p)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    opts.source.isInstanceOf[RemoteSource.TableRef] &&
+      !isCommand && opts.transformClass.isEmpty &&
+      compiledDelete(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    if (!opts.allowDelete) throw new UnsupportedOperationException(
+      "graft-remote rejects DELETE by default (the reference treats " +
+        "remote tables as append-only); set allowdelete=true " +
+        "(table option or spark.sql.catalog.<name>.allowdelete) to " +
+        "enable remote DELETE ... WHERE pushdown")
+    val parts = opts.source match {
+      case RemoteSource.TableRef(p) => p
+      case RemoteSource.Query(_) => throw new UnsupportedOperationException(
+        "cannot DELETE from a query source")
+    }
+    val where = compiledDelete(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"cannot compile DELETE predicates ${predicates.mkString(", ")} " +
+          "to remote SQL"))
+    val sql = s"DELETE FROM ${opts.dialect.tableName(parts)}" +
+      (if (where.isEmpty) "" else where.mkString(" WHERE (", ") AND (", ")"))
+    val conn = GraftConnections.open(opts)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    } finally GraftConnections.close(conn)
+  }
 }
 
 /** Pushdown negotiation — the port of `supports_filters_pushdown` +
