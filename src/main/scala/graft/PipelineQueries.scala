@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.operators.{ClusterOps, DedupOps, LmOps, PackingOps, SampleOps, TextOps, VectorOps}
+import graft.operators.{ClusterOps, DedupOps, DiffOps, LmOps, PackingOps, SampleOps, TextOps, VectorOps}
 import graft.multimodal.MultimodalOps
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -259,6 +259,26 @@ object PipelineQueries {
           sum(when(col("n") > 1, col("n") - 1).otherwise(0L))
             .as("n_redundant_docs"))
       base.crossJoin(dups)
+    }),
+
+    // Corpus snapshot diff: two releases of the corpus (old drops
+    // id%17=3, new drops id%17=7 and revises id%11=0 docs), every doc
+    // classified added/removed/changed/unchanged by the dedup
+    // fingerprint — the dataset-versioning primitive (release notes,
+    // and the added+changed set is what incremental reprocessing
+    // re-ingests). One full-outer id equi-join of (id, fp) pairs; at
+    // 100 TB id-bucketed snapshots make it exchange-free.
+    "p45_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 17 =!= 3)
+      val newSnap = d.filter(col("doc_id") % 17 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      DiffOps.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("fp_old"), col("fp_new"),
+          col("change"))
+        .orderBy(col("doc_id"))
     }),
 
     // Mixture allocation WITH UPSAMPLING: the full data-mixing
@@ -1312,6 +1332,28 @@ object PipelineQueries {
          |WHERE $b0 < CAST(floor(r.rate * ${SampleOps.P}.0) AS BIGINT)
          |ORDER BY t.doc_id""".stripMargin
     },
+
+    // the diff is pure fingerprint algebra, so the oracle rebuilds both
+    // snapshots and full-outer-joins them the same way
+    "p45_snapshot_diff" ->
+      """WITH f AS (
+        | SELECT doc_id, text,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        | FROM documents),
+        |o AS (SELECT doc_id, fp AS fp_old FROM f WHERE doc_id % 17 != 3),
+        |n AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN
+        |   md5(lower(regexp_replace(text || ' rev2', '\s+', ' ', 'g')))
+        |  ELSE fp END AS fp_new
+        | FROM f WHERE doc_id % 17 != 7)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, fp_old, fp_new,
+        | CASE WHEN fp_old IS NULL THEN 'added'
+        |      WHEN fp_new IS NULL THEN 'removed'
+        |      WHEN fp_old != fp_new THEN 'changed'
+        |      ELSE 'unchanged' END AS change
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "p44_corpus_card" ->
       """WITH base AS (

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Snapshot diff: per-document added/removed/changed/unchanged
+  * classification between two corpus releases, by the same normalized
+  * fingerprint exact dedup uses. */
+class DiffOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("classifies added, removed, changed, unchanged") {
+    val oldSnap = Seq((1L, "alpha text"), (2L, "beta text"),
+      (3L, "gamma text")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta text"), (3L, "gamma text edited"),
+      (4L, "delta text")).toDF("doc_id", "text")
+    val out = DiffOps.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .select(col("id"), col("change")).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("whitespace/case re-flow is unchanged (dedup-grade normalization)") {
+    val oldSnap = Seq((1L, "Alpha   Text")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "alpha text")).toDF("doc_id", "text")
+    val out = DiffOps.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .select(col("change")).as[String].collect()
+    assert(out.toSeq == Seq("unchanged"))
+  }
+
+  test("summary counts every class") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    val m = DiffOps.snapshotDiffSummary(oldSnap, newSnap, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(m == Map("added" -> 2L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 1L))
+  }
+}
