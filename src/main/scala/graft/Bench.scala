@@ -46,7 +46,7 @@ object Bench {
     "p36_repeated_spans", "p37_ingest_admission",
     "p38_mixture_sample", "p39_epoch_shuffle", "p40_bigram_lm",
     "p41_diversity_sample", "p42_span_removal", "p43_mixture_epochs",
-    "p44_corpus_card", "p45_snapshot_diff",
+    "p44_corpus_card", "p45_snapshot_diff", "p46_quality_threshold",
     "m01_multimodal", "m02_frame_sample", "m03_resize", "m04_audio",
     "m05_image_phash", "m06_audio_phash", "m07_scene_detect",
     "m08_video_neardup")

@@ -281,6 +281,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source quality-threshold selection: keep the best 20% of
+    // every source by lexical-diversity score — the filtering stage
+    // after quality scoring, in its scalable shape: a per-(source,
+    // score-bucket) histogram (bounded state), a CDF walk from the top
+    // for each source's threshold bucket, and a per-row admit filter
+    // under a broadcast threshold table. The corpus is never shuffled
+    // and never per-key sorted. Bucket-granular semantics: >= ceil
+    // (0.2·n_source) rows kept, threshold-bucket ties all admitted.
+    "p46_quality_threshold" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("score",
+        TextOps.distinctTokenCount(col("text")).cast(DoubleType) /
+          TextOps.tokenCount(col("text")))
+      SampleOps.topFractionByScore(d, "source", "score",
+          fraction = 0.2, buckets = 1000)
+        .select(col("doc_id"), col("source"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Mixture allocation WITH UPSAMPLING: the full data-mixing
     // semantics (a rate of 3.3 = 3 full epochs + a deterministic 30%
     // subset riding a 4th; a rate of 0.3 = a 30% downsample). Same
@@ -1332,6 +1350,29 @@ object PipelineQueries {
          |WHERE $b0 < CAST(floor(r.rate * ${SampleOps.P}.0) AS BIGINT)
          |ORDER BY t.doc_id""".stripMargin
     },
+
+    // the histogram/CDF construction is integer arithmetic over
+    // IEEE-quantized scores, so the oracle rebuilds it bin-for-bin
+    // (0.2 cast to DOUBLE: DuckDB parses bare 0.2 as DECIMAL, whose
+    // ceil-product could round differently from Spark's double)
+    "p46_quality_threshold" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS score
+        | FROM documents),
+        |b AS (SELECT doc_id, source, score,
+        |  CAST(least(floor(score * 1000), 999) AS INT) AS bkt FROM t),
+        |h AS (SELECT source, bkt, count(*) AS n FROM b GROUP BY 1, 2),
+        |c AS (SELECT source, bkt,
+        |  sum(n) OVER (PARTITION BY source ORDER BY bkt DESC) AS cum,
+        |  sum(n) OVER (PARTITION BY source) AS tot FROM h),
+        |thr AS (SELECT source, max(bkt) AS thr FROM c
+        |  WHERE cum >= ceil(CAST(0.2 AS DOUBLE) * CAST(tot AS DOUBLE))
+        |  GROUP BY source)
+        |SELECT b.doc_id, b.source, b.score
+        |FROM b JOIN thr ON b.source = thr.source AND b.bkt >= thr.thr
+        |ORDER BY b.doc_id""".stripMargin,
 
     // the diff is pure fingerprint algebra, so the oracle rebuilds both
     // snapshots and full-outer-joins them the same way

@@ -87,6 +87,49 @@ object SampleOps {
       order = Seq(hashBucket(col(idCol), salt).asc, col(idCol).asc),
       k = quota)
 
+  /** Keep the top `fraction` of rows PER KEY by a bounded score in
+    * [0, 1] — quality-threshold selection ("keep the best 20% of every
+    * source"), the filtering stage after quality scoring.
+    *
+    * Sorting per key is the naive shape (a full corpus shuffle + skew
+    * on hot keys); exact per-key quantiles cost per-group value state.
+    * This uses the scalable idiom instead: quantize the score into
+    * `buckets` fixed bins, build the per-(key, bucket) HISTOGRAM
+    * (bounded state: keys × buckets rows, whatever the corpus size),
+    * walk its CDF from the top to find each key's threshold bucket,
+    * and admit rows by `bucket >= threshold` — a per-row filter under
+    * a broadcast of the tiny threshold table. The corpus is touched
+    * twice (histogram pass + filter pass) but never shuffled.
+    *
+    * Semantics are bucket-granular and DETERMINISTIC: at least
+    * ceil(fraction·n_key) rows are kept per key, and dropping the
+    * lowest admitted bucket would undershoot the target — ties within
+    * the threshold bucket are all kept (threshold selection, not exact
+    * count). Both engines reproduce the exact same row set because the
+    * whole construction is integer arithmetic over IEEE-quantized
+    * scores. */
+  def topFractionByScore(df: DataFrame, keyCol: String, scoreCol: String,
+      fraction: Double, buckets: Int = 1000): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction $fraction outside (0,1]")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val bkt = least(floor(col(scoreCol) * buckets), lit(buckets - 1))
+      .cast("int")
+    val binned = df.withColumn("__bkt", bkt)
+    val hist = binned.groupBy(col(keyCol), col("__bkt"))
+      .agg(count(lit(1)).as("__n"))
+    val byKeyDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__bkt").desc)
+    val cum = hist.withColumn("__cum", sum(col("__n")).over(byKeyDesc))
+    val tot = hist.groupBy(col(keyCol)).agg(sum(col("__n")).as("__tot"))
+    val thr = cum.join(tot, keyCol)
+      .filter(col("__cum") >=
+        ceil(lit(fraction) * col("__tot").cast("double")))
+      .groupBy(col(keyCol)).agg(max(col("__bkt")).as("__thr"))
+    binned.join(broadcast(thr), keyCol)
+      .filter(col("__bkt") >= col("__thr"))
+      .drop("__bkt", "__thr")
+  }
+
   /** Deterministic train/validation/test split: a labeled column, not a
     * filter — every row keeps exactly one split on every run/retry.
     * Fractions must sum to ≤ 1; the remainder is "train". */
