@@ -796,6 +796,19 @@ object PipelineQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // audio QUALITY screen over the same real-decoded clips: clipping
+    // and silence counts against thresholds + exact Σ s² energy, and
+    // the mostly-clipped / mostly-silent drop flag — the audio
+    // analogue of p03's text quality scoring. Thresholds sit inside
+    // the fixture's dynamic range (ASCII-byte PCM spans ~8k..31k
+    // magnitude) so every count varies per clip; the SPEC exercises
+    // true full-scale clipping and digital silence with the production
+    // defaults on planted extreme clips.
+    "m09_audio_quality" -> ((s, dir) =>
+      MultimodalOps.audioQualityMetrics(MultimodalOps.audioAssets(s, dir),
+          clipThreshold = 28000, silenceThreshold = 26000)
+        .toDF().orderBy(col("asset_id"))),
+
     // video near-dup candidates via shared per-frame dHashes over REAL
     // decoded frames at one normalized resolution (16x8) — the
     // candidate-generation stage of video dedup (the frame hash IS the
@@ -1968,6 +1981,38 @@ object PipelineQueries {
         | CAST(list_sum(mags) AS BIGINT) AS sum_abs,
         | CAST(list_max(mags) AS INT) AS peak
         |FROM v ORDER BY asset_id""".stripMargin,
+
+    // same sample reconstruction as m04; counts/energy/flag from the
+    // magnitude list (BIGINT cast before squaring — Σ s² overflows i32)
+    "m09_audio_quality" ->
+      """WITH d AS (
+        | SELECT doc_id, text,
+        |  128 + (doc_id % 5) * 17 AS ns
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, ns,
+        |  substring(repeat(text, CAST(ceil(392.0 / length(text)) AS INT) + 1),
+        |    1, CAST(ns * 2 AS INT)) AS pcm
+        | FROM d),
+        |v AS (
+        | SELECT doc_id, ns,
+        |  list_transform(range(0, CAST(ns AS INT)),
+        |   i -> abs(((unicode(substring(pcm, CAST(1 + 2 * i AS INT), 1))
+        |     + 256 * unicode(substring(pcm, CAST(2 + 2 * i AS INT), 1))
+        |     + 32768) % 65536) - 32768)) AS mags
+        | FROM s),
+        |q AS (
+        | SELECT doc_id, ns,
+        |  len(list_filter(mags, m -> m >= 28000)) AS clip_cnt,
+        |  len(list_filter(mags, m -> m <= 26000)) AS silence_cnt,
+        |  list_sum(list_transform(mags, m -> CAST(m AS BIGINT) * m)) AS sum_sq
+        | FROM v)
+        |SELECT doc_id AS asset_id, CAST(ns AS INT) AS n_samples,
+        | CAST(clip_cnt AS BIGINT) AS clip_cnt,
+        | CAST(silence_cnt AS BIGINT) AS silence_cnt,
+        | CAST(sum_sq AS BIGINT) AS sum_sq,
+        | (5 * clip_cnt > ns OR 2 * silence_cnt > ns) AS low_quality
+        |FROM q ORDER BY asset_id""".stripMargin,
 
     // per-frame dHash at fixed 16x8 (grid index gy*16 + gx*2), frame
     // f's pixels starting at cyclic offset (f*384) mod n; candidate

@@ -609,6 +609,49 @@ object MultimodalOps {
     }
   }
 
+  /** Audio curation screen per clip — exact integer stats over the
+    * REAL decoded samples. */
+  final case class AudioQuality(
+      asset_id: Long, n_samples: Int, clip_cnt: Long, silence_cnt: Long,
+      sum_sq: Long, low_quality: Boolean)
+
+  /** Audio QUALITY metrics — the audio analogue of text quality
+    * scoring (p03): count samples at/above the clipping threshold and
+    * at/below the silence threshold, plus the exact energy sum
+    * (Σ s², signed-sample squares in long arithmetic), and flag clips
+    * that are mostly clipped (>20%) or mostly silent (>50%) — the
+    * standard drop rules of audio dataset curation (clipped =
+    * distorted recording, silent = dead air). Per-row decode + integer
+    * arithmetic inside the same mapPartitions stage as every
+    * multimodal operator: shuffle-free, and every decoded byte
+    * participates (a header/endianness/sign bug changes the counts).
+    * Thresholds are parameters: 32000/327 (~98%/1% full scale) are the
+    * production defaults; gates pick thresholds inside the fixture's
+    * dynamic range so the counts actually vary per clip. */
+  def audioQualityMetrics(assets: Dataset[MediaAsset],
+      clipThreshold: Int = 32000, silenceThreshold: Int = 327)
+      : Dataset[AudioQuality] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val (_, pcm) = decodePcm16(a.payload)
+      val n = pcm.length / 2
+      var clip = 0L
+      var sil = 0L
+      var ss = 0L
+      var i = 0
+      while (i < pcm.length) {
+        val s = (pcm(i) & 0xFF) | (pcm(i + 1) << 8)
+        val abs = math.abs(s)
+        if (abs >= clipThreshold) clip += 1
+        if (abs <= silenceThreshold) sil += 1
+        ss += s.toLong * s
+        i += 2
+      }
+      AudioQuality(a.asset_id, n, clip, sil, ss,
+        5 * clip > n || 2 * sil > n)
+    })
+  }
+
   /** 56-bit perceptual energy-difference hash of a decoded clip. */
   final case class AudioHash(asset_id: Long, ahash: Long)
 
