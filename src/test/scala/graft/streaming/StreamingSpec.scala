@@ -213,6 +213,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsert streaming sink: re-delivered records deduplicate by key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.sources.DerbyFixture.init
+    val url = graft.sources.DerbyFixture.url
+    val c = java.sql.DriverManager.getConnection(url)
+    try c.createStatement().executeUpdate(
+      """CREATE TABLE stream_ups (
+        | event_id BIGINT NOT NULL,
+        | user_id BIGINT NOT NULL,
+        | value DOUBLE NOT NULL)""".stripMargin)
+    finally c.close()
+
+    // the KEYED idempotence alternative to the epoch ledger: at-least-
+    // once redelivery (foreachBatch retries, overlapping offset
+    // replays) converges on one row per key because every micro-batch
+    // lands as a MERGE — no ledger table needed when rows carry a
+    // natural key, and late updates to a key win instead of
+    // duplicating
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.writeToRemote(
+      mem.toDF().select(col("event_id"), col("user_id"), col("value")),
+      url, "STREAM_UPS", s"/tmp/graft_ups_ckpt_${System.nanoTime()}",
+      extraOptions = Map("mergekeys" -> "EVENT_ID",
+        "stagingwrite" -> "true"))
+    try {
+      mem.addData(batch1.take(3): _*)
+      q.processAllAvailable()
+      // epoch 2 re-delivers event 3 with an UPDATED value (the
+      // at-least-once overlap shape) plus genuinely new events
+      mem.addData(Event(3, ts(20), 1, "buy", 30.0))
+      mem.addData(batch1.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val back = spark.read.format("graft-remote")
+      .option("url", url).option("dbtable", "STREAM_UPS").load()
+      .orderBy(col("EVENT_ID"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(back == Seq(1L -> 1.0, 2L -> 2.0, 3L -> 30.0, 4L -> 4.0,
+      5L -> 5.0, 6L -> 6.0), s"upsert sink diverged: $back")
+  }
+
   test("exactly-once sink: replayed epochs insert no duplicate rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
