@@ -525,6 +525,27 @@ object CoreQueries {
           |FROM nation_v43 ORDER BY n_nationkey""".stripMargin)
     }),
 
+    // ---- RANGE-frame window (moving event-time aggregate) ----------------
+    // the sliding value-based frame (30-day trailing revenue per
+    // customer) — a distinct window class from q04's ROWS frames and
+    // q40's ranking functions: the frame bound is a VALUE offset on the
+    // ordering column (peers included), the standard moving-average /
+    // trailing-metric shape. Ordering on an integer day number keeps
+    // Spark's rangeBetween and the SQL RANGE frame bit-identical.
+    "q44_range_window" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          datediff(col("o_orderdate").cast(DateType),
+            to_date(lit("1990-01-01"))).as("day_num"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+        .rangeBetween(-29, Window.currentRow)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day_num"),
+          sum(col("o_totalprice").cast(DecimalType(25, 6))).over(w)
+            .cast(DoubleType).as("sum_30d"),
+          count(lit(1)).over(w).as("n_30d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- union all + dedup ----------------------------------------------
     "q18_unionall" -> ((s, dir) => {
       val cu = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
@@ -755,6 +776,19 @@ object CoreQueries {
         | (SELECT coalesce(max(s_acctbal), -1.0) FROM supplier
         |  WHERE s_nationkey = n_nationkey) AS max_bal
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q44_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        | date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |  AS day_num,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE)
+        |  AS sum_30d,
+        | count(*) OVER w AS n_30d
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        | ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        | RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q42_setops_all" ->
       """WITH hi AS (SELECT o_custkey AS ck FROM orders

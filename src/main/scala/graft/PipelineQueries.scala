@@ -796,6 +796,17 @@ object PipelineQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // image QUALITY screen over real-decoded pixels: bright/dark pixel
+    // counts, exact gray sum, min/max gray, and the blank/black/flat
+    // drop flag — the image analogue of m09/p03. Thresholds sit inside
+    // the fixture's gray range (ASCII pixels span ~96..366 of 765) so
+    // every count varies; the SPEC exercises true white/black/flat
+    // images at the production defaults.
+    "m10_image_quality" -> ((s, dir) =>
+      MultimodalOps.imageQualityMetrics(MultimodalOps.imageAssets(s, dir),
+          brightThreshold = 330, darkThreshold = 150, contrastMin = 60)
+        .toDF().orderBy(col("asset_id"))),
+
     // audio QUALITY screen over the same real-decoded clips: clipping
     // and silence counts against thresholds + exact Σ s² energy, and
     // the mostly-clipped / mostly-silent drop flag — the audio
@@ -1981,6 +1992,40 @@ object PipelineQueries {
         | CAST(list_sum(mags) AS BIGINT) AS sum_abs,
         | CAST(list_max(mags) AS INT) AS peak
         |FROM v ORDER BY asset_id""".stripMargin,
+
+    // same pixel reconstruction as m01; per-pixel gray = R+G+B over
+    // the cyclic ASCII stream
+    "m10_image_quality" ->
+      """WITH d AS (
+        | SELECT doc_id, text, 13 + doc_id % 4 AS w, 6 + doc_id % 3 AS h
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, w, h,
+        |  substring(repeat(text, CAST(ceil(384.0 / length(text)) AS INT) + 1),
+        |    1, CAST(w * h * 3 AS INT)) AS px
+        | FROM d),
+        |g AS (
+        | SELECT doc_id, w * h AS np,
+        |  list_transform(range(0, CAST(w * h AS INT)), i ->
+        |    unicode(substring(px, CAST(1 + i * 3 AS INT), 1))
+        |    + unicode(substring(px, CAST(2 + i * 3 AS INT), 1))
+        |    + unicode(substring(px, CAST(3 + i * 3 AS INT), 1))) AS grays
+        | FROM s),
+        |q AS (
+        | SELECT doc_id, np,
+        |  len(list_filter(grays, x -> x >= 330)) AS bright_cnt,
+        |  len(list_filter(grays, x -> x <= 150)) AS dark_cnt,
+        |  list_sum(list_transform(grays, x -> CAST(x AS BIGINT))) AS gray_sum,
+        |  list_min(grays) AS min_gray, list_max(grays) AS max_gray
+        | FROM g)
+        |SELECT doc_id AS asset_id, CAST(np AS INT) AS n_pixels,
+        | CAST(bright_cnt AS BIGINT) AS bright_cnt,
+        | CAST(dark_cnt AS BIGINT) AS dark_cnt,
+        | CAST(gray_sum AS BIGINT) AS gray_sum,
+        | CAST(min_gray AS INT) AS min_gray, CAST(max_gray AS INT) AS max_gray,
+        | (2 * bright_cnt > np OR 2 * dark_cnt > np
+        |  OR (max_gray - min_gray) < 60) AS low_quality
+        |FROM q ORDER BY asset_id""".stripMargin,
 
     // same sample reconstruction as m04; counts/energy/flag from the
     // magnitude list (BIGINT cast before squaring — Σ s² overflows i32)

@@ -609,6 +609,53 @@ object MultimodalOps {
     }
   }
 
+  /** Image curation screen per image — exact integer stats over the
+    * REAL decoded pixels. */
+  final case class ImageQuality(
+      asset_id: Long, n_pixels: Int, bright_cnt: Long, dark_cnt: Long,
+      gray_sum: Long, min_gray: Int, max_gray: Int, low_quality: Boolean)
+
+  /** Image QUALITY metrics — the image analogue of [[audioQualityMetrics]]:
+    * per-pixel gray level (R+G+B, 0..765) counted against
+    * bright/dark thresholds, exact gray sum, min/max gray, and a drop
+    * flag for mostly-bright (>50%), mostly-dark (>50%), or
+    * low-contrast (max−min below `contrastMin`) images — the standard
+    * screens of image dataset curation (blank pages, black frames,
+    * flat fills). Per-row decode + integer arithmetic in the same
+    * mapPartitions stage as every multimodal operator: shuffle-free,
+    * every decoded byte participates. Thresholds are parameters;
+    * defaults are ~94%/6% of full scale and a 30-level contrast floor. */
+  def imageQualityMetrics(assets: Dataset[MediaAsset],
+      brightThreshold: Int = 720, darkThreshold: Int = 45,
+      contrastMin: Int = 30): Dataset[ImageQuality] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val (w, h, rgb) = decodeRgb(a.payload)
+        val n = w * h
+        var bright = 0L
+        var dark = 0L
+        var sum = 0L
+        var mn = 766
+        var mx = -1
+        var i = 0
+        while (i < n) {
+          val g = (rgb(3 * i) & 0xFF) + (rgb(3 * i + 1) & 0xFF) +
+            (rgb(3 * i + 2) & 0xFF)
+          if (g >= brightThreshold) bright += 1
+          if (g <= darkThreshold) dark += 1
+          sum += g
+          if (g < mn) mn = g
+          if (g > mx) mx = g
+          i += 1
+        }
+        ImageQuality(a.asset_id, n, bright, dark, sum, mn, mx,
+          2 * bright > n || 2 * dark > n || (mx - mn) < contrastMin)
+      }
+    }
+  }
+
   /** Audio curation screen per clip — exact integer stats over the
     * REAL decoded samples. */
   final case class AudioQuality(
