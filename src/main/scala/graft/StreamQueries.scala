@@ -83,6 +83,20 @@ object StreamQueries {
           ev.filter(col("event_type") === "click"),
           windowMin = 30)
         .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    }),
+
+    // stream-stream LEFT OUTER join, batch twin: views with no click in
+    // their window survive with NULL click columns — the abandoned-
+    // funnel query. The streaming form's distinct semantics (unmatched
+    // rows emit only after the watermark clears the window) are pinned
+    // in StreamingSpec; this gate pins the join/null values.
+    "q45_streamjoin_outer" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+      StreamingOps.viewClickJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          windowMin = 30, joinType = "left_outer")
+        .orderBy(col("user_id"), col("view_id"), col("click_id"))
     }))
 
   /** As-of oracle shared by q21 (single-window asof) and q32 (bucketed
@@ -141,6 +155,18 @@ object StreamQueries {
         |FROM events v JOIN events c
         | ON v.user_id = c.user_id
         | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts
+        | AND c.ts <= v.ts + INTERVAL 30 MINUTE
+        |ORDER BY user_id, view_id, click_id""".stripMargin,
+
+    "q45_streamjoin_outer" ->
+      """WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click')
+        |SELECT v.user_id AS user_id,
+        | v.event_id AS view_id, c.event_id AS click_id,
+        | epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+        |FROM v LEFT JOIN c
+        | ON v.user_id = c.user_id
         | AND c.ts >= v.ts
         | AND c.ts <= v.ts + INTERVAL 30 MINUTE
         |ORDER BY user_id, view_id, click_id""".stripMargin)

@@ -90,13 +90,22 @@ object StreamingOps {
     * serves batch inputs (watermark is a no-op there), so the
     * correctness gate oracles this exact function. */
   def viewClickJoin(
-      views: DataFrame, clicks: DataFrame, windowMin: Int): DataFrame = {
+      views: DataFrame, clicks: DataFrame, windowMin: Int,
+      joinType: String = "inner"): DataFrame = {
     val v = views.withWatermark("ts", s"$windowMin minutes").alias("v")
     val c = clicks.withWatermark("ts", s"$windowMin minutes").alias("c")
+    // left_outer: a view with no click inside its window emits ONCE
+    // with NULL click columns — but only after the watermark passes the
+    // window's end (the engine must know no matching click can still
+    // arrive before declaring the view unmatched); inner results stream
+    // out immediately either way. State stays bounded in both modes:
+    // the time-range condition lets the engine drop rows older than
+    // watermark − window.
     v.join(c, expr(
         s"""v.user_id = c.user_id AND
            |c.ts >= v.ts AND
-           |c.ts <= v.ts + interval $windowMin minutes""".stripMargin))
+           |c.ts <= v.ts + interval $windowMin minutes""".stripMargin),
+        joinType)
       .select(col("v.user_id").as("user_id"),
         col("v.event_id").as("view_id"), col("c.event_id").as("click_id"),
         unix_micros(col("v.ts")).as("view_us"),

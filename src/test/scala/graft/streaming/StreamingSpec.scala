@@ -117,6 +117,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched views after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(
+      Event(1, ts(0), 1, "view", 0),  // click 11 in window → matched
+      Event(2, ts(10), 2, "view", 0), // user 2's click is out of window
+      Event(3, ts(15), 3, "view", 0)) // user with no clicks at all
+    val clicks = Seq(
+      Event(11, ts(5), 1, "click", 0),
+      Event(13, ts(100), 2, "click", 0))
+    val vMem = MemoryStream[Event]
+    val cMem = MemoryStream[Event]
+    val joined = StreamingOps.viewClickJoin(vMem.toDF(), cMem.toDF(), 30,
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("vc_outer")
+      .outputMode("append").start()
+    try {
+      vMem.addData(views: _*); cMem.addData(clicks: _*)
+      q.processAllAvailable()
+      // BEFORE the watermark clears the windows, unmatched views must
+      // NOT have been declared unmatched (a late click could still
+      // arrive): no NULL-click rows yet
+      val early = spark.table("vc_outer")
+        .filter(col("click_id").isNull).count()
+      assert(early == 0, s"$early views declared unmatched pre-watermark")
+      // advance both watermarks far past every window
+      vMem.addData(Event(98, ts(500), 9, "view", 0))
+      cMem.addData(Event(99, ts(500), 9, "click", 0))
+      q.processAllAvailable()
+      val got = spark.table("vc_outer").filter(col("user_id") =!= 9)
+        .select("user_id", "view_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      // matched row streams through; views 2 and 3 emit exactly once
+      // with NULL click — and the streaming result equals the batch
+      // left join through the same code path
+      assert(got == Set((1L, 1L, 11L), (2L, 2L, -1L), (3L, 3L, -1L)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("watermarked streaming dedup drops in-horizon duplicate event ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
