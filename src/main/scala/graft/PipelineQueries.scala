@@ -261,6 +261,15 @@ object PipelineQueries {
       base.crossJoin(dups)
     }),
 
+    // Vocabulary coverage curve: top-20 tokens by corpus frequency
+    // with rank and cumulative coverage of all corpus tokens — the
+    // tokenizer-design signal (vocab size vs text coverage). One
+    // counting groupBy + TakeOrdered over the aggregated token table;
+    // the running-sum window sees 20 rows, never the corpus.
+    "p47_vocab_coverage" -> ((s, dir) =>
+      LmOps.vocabCoverage(docs(s, dir), "text", k = 20)
+        .orderBy(col("rank"))),
+
     // Corpus snapshot diff: two releases of the corpus (old drops
     // id%17=3, new drops id%17=7 and revises id%11=0 docs), every doc
     // classified added/removed/changed/unchanged by the dedup
@@ -1374,6 +1383,24 @@ object PipelineQueries {
          |WHERE $b0 < CAST(floor(r.rate * ${SampleOps.P}.0) AS BIGINT)
          |ORDER BY t.doc_id""".stripMargin
     },
+
+    // the curve is count arithmetic with deterministic tie-breaks, so
+    // the oracle rebuilds it row-for-row
+    "p47_vocab_coverage" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |top AS (SELECT t, cnt FROM c ORDER BY cnt DESC, t LIMIT 20),
+        |r AS (
+        | SELECT t, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, t) AS rank,
+        |  sum(cnt) OVER (ORDER BY cnt DESC, t ROWS UNBOUNDED PRECEDING)
+        |   AS cum_cnt
+        | FROM top)
+        |SELECT rank, t AS token, cnt, CAST(cum_cnt AS BIGINT) AS cum_cnt,
+        | CAST(cum_cnt AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+        |FROM r, tot ORDER BY rank""".stripMargin,
 
     // the histogram/CDF construction is integer arithmetic over
     // IEEE-quantized scores, so the oracle rebuilds it bin-for-bin

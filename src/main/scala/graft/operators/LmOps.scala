@@ -52,6 +52,37 @@ object LmOps {
     graft.functions.native.token_score_sum(TextOps.tokens(text), probs, default) /
       TextOps.tokenCount(text).cast("double")
 
+  /** Vocabulary coverage curve: the top-`k` tokens by corpus frequency
+    * with rank, count, cumulative count, and the cumulative fraction
+    * of ALL corpus tokens they cover — the tokenizer-design signal
+    * ("how many word types cover 95% of the text decides vocabulary
+    * size; the uncovered tail becomes subword splits"). Fully
+    * distributed, nothing reaches the driver: one counting groupBy
+    * (map-side combined), a TakeOrdered top-k of the AGGREGATED token
+    * table (never the corpus), and the running sum windows over the
+    * k-row slice only — the single-task window is k rows by
+    * construction, not a corpus funnel. Ties break by token so the
+    * curve is deterministic across engines. */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = df.select(explode(TextOps.tokens(col(textCol))).as("t"))
+    val top = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(k)
+    val total = toks.agg(count(lit(1)).as("total"))
+    val curve = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("t"))
+    top.crossJoin(broadcast(total))
+      .select(row_number().over(curve).as("rank"), col("t").as("token"),
+        col("cnt"),
+        sum(col("cnt")).over(curve.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).as("cum_cnt"),
+        (sum(col("cnt")).over(curve.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)).cast("double") /
+          col("total").cast("double")).as("coverage"))
+  }
+
   /** Inverse-document-frequency table: token -> N/df (the RATIO form,
     * not ln(N/df) — libm rounding differs across engines and exactness
     * matters more here than the logarithm's compression; monotone in
