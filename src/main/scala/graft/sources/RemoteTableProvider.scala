@@ -586,9 +586,55 @@ class RemoteScan(
       s"PushedGroupBy: [${agg.toSeq.flatMap(_.groupBy).mkString(", ")}]"
   }
 
+  /** Remote MIN/MAX of the partition column, probed ONCE per scan at
+    * planning time when `partitioncolumn` + `numpartitions` are set
+    * WITHOUT explicit bounds — one cheap (typically index-only) remote
+    * aggregate replaces the look-up-the-key-range-by-hand step every
+    * range-partitioned ingest otherwise needs, and the bounds track
+    * the table as it grows instead of fossilizing in job config.
+    * Pushed filters fold into the probe so the range matches what the
+    * scan will read. Probe failure (or an empty/all-NULL column) falls
+    * back to one partition with a warning — parallelism is an
+    * optimization, never a correctness dependency. */
+  private lazy val probedBounds: Option[(Long, Long)] =
+    opts.partitionColumn.flatMap { c =>
+      try {
+        val q = opts.dialect.quote(c)
+        val where =
+          if (pushedSql.isEmpty) ""
+          else pushedSql.mkString(" WHERE (", ") AND (", ")")
+        val sql = s"SELECT MIN($q), MAX($q) FROM " +
+          s"${opts.dialect.fromClause(opts.source)}$where"
+        GraftConnections.withConnection(opts) { conn =>
+          val st = conn.createStatement()
+          try {
+            val rs = st.executeQuery(sql)
+            try {
+              rs.next()
+              val lo = rs.getLong(1); val loNull = rs.wasNull()
+              val hi = rs.getLong(2); val hiNull = rs.wasNull()
+              if (loNull || hiNull) None else Some((lo, hi))
+            } finally rs.close()
+          } finally st.close()
+        }
+      } catch {
+        case e: Exception =>
+          logWarning(s"partition-bounds probe failed, scanning with one " +
+            s"partition: $e")
+          None
+      }
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val n = opts.numPartitions
-    (opts.partitionColumn, opts.lowerBound, opts.upperBound) match {
+    val bounds =
+      if (opts.partitionColumn.isEmpty || n <= 1) None
+      else (opts.lowerBound, opts.upperBound) match {
+        case (Some(l), Some(h)) => Some((l, h))
+        case (l, h) => probedBounds.map(p =>
+          (l.getOrElse(p._1), h.getOrElse(p._2)))
+      }
+    (opts.partitionColumn, bounds.map(_._1), bounds.map(_._2)) match {
       case (Some(col), Some(lo), Some(hi)) if n > 1 && agg.isEmpty =>
         val q = opts.dialect.quote(col)
         val stride = math.max(1L, (hi - lo) / n)
