@@ -56,6 +56,25 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet.contains("CAT_RT"))
   }
 
+  test("CREATE TABLE AS SELECT derives remote DDL from the query schema") {
+    spark.sql("DROP TABLE IF EXISTS rdb.APP.CAT_CTAS")
+    spark.sql(
+      """CREATE TABLE rdb.APP.CAT_CTAS AS
+        |SELECT N_REGIONKEY AS RK, count(*) AS N_NATIONS
+        |FROM rdb.APP.NATION GROUP BY N_REGIONKEY""".stripMargin)
+    val back = spark.sql("SELECT RK, N_NATIONS FROM rdb.APP.CAT_CTAS ORDER BY RK")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(back == (0 to 4).map(rk => (rk, 2L)), s"got $back")
+    // the table is REAL on the remote (visible outside Spark)
+    val c = java.sql.DriverManager.getConnection(DerbyFixture.url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT COUNT(1) FROM APP.CAT_CTAS")
+      rs.next(); assert(rs.getLong(1) == 5); rs.close()
+    } finally c.close()
+    spark.sql("DROP TABLE rdb.APP.CAT_CTAS")
+  }
+
   test("INSERT OVERWRITE through the catalog (allowoverwrite flows from catalog config)") {
     spark.conf.set("spark.sql.catalog.rdbow", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.rdbow.url", DerbyFixture.url)
