@@ -47,7 +47,7 @@ object Bench {
     "p38_mixture_sample", "p39_epoch_shuffle", "p40_bigram_lm",
     "p41_diversity_sample", "p42_span_removal", "p43_mixture_epochs",
     "p44_corpus_card", "p45_snapshot_diff", "p46_quality_threshold",
-    "p47_vocab_coverage",
+    "p47_vocab_coverage", "p48_split_leakage",
     "m01_multimodal", "m02_frame_sample", "m03_resize", "m04_audio",
     "m05_image_phash", "m06_audio_phash", "m07_scene_detect",
     "m08_video_neardup", "m09_audio_quality", "m10_image_quality",

@@ -261,6 +261,25 @@ object PipelineQueries {
       base.crossJoin(dups)
     }),
 
+    // Split-leakage audit: the corpus plus a planted re-crawl overlap
+    // (id%7=3 docs re-keyed +100000, same text — the post-dedup
+    // re-fetch shape) is split deterministically, then every
+    // (eval, train) fingerprint collision is reported — eval docs
+    // whose content the model trains on. The split-integrity check a
+    // training run gates on.
+    "p48_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      DedupOps.splitLeakage(
+          corpus.withColumn("split",
+            SampleOps.split(col("doc_id"), valFraction = 0.2,
+              testFraction = 0.1)),
+          "doc_id", "text", "split")
+        .orderBy(col("id_eval"), col("id_train"))
+    }),
+
     // Vocabulary coverage curve: top-20 tokens by corpus frequency
     // with rank and cumulative coverage of all corpus tokens — the
     // tokenizer-design signal (vocab size vs text coverage). One
@@ -1382,6 +1401,33 @@ object PipelineQueries {
          |FROM t JOIN r ON t.source = r.source
          |WHERE $b0 < CAST(floor(r.rate * ${SampleOps.P}.0) AS BIGINT)
          |ORDER BY t.doc_id""".stripMargin
+    },
+
+    // split labels are the shared hash-threshold arithmetic
+    // (hashBucketSql/threshold — Spark and SQL can never drift), so
+    // the oracle rebuilds corpus, splits, and the leak join exactly
+    "p48_split_leakage" -> {
+      val b = SampleOps.hashBucketSql("doc_id", 0)
+      val tTest = SampleOps.threshold(0.1)
+      val tVal = SampleOps.threshold(0.1 + 0.2)
+      s"""WITH c AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 100000 AS doc_id, text FROM documents
+         | WHERE doc_id % 7 = 3),
+         |f AS (
+         | SELECT doc_id,
+         |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+         |  CASE WHEN $b < $tTest THEN 'test'
+         |       WHEN $b < $tVal THEN 'val'
+         |       ELSE 'train' END AS split
+         | FROM c),
+         |tr AS (SELECT doc_id AS id_train, fp FROM f WHERE split = 'train'),
+         |ev AS (SELECT doc_id AS id_eval, split AS eval_split, fp
+         |       FROM f WHERE split != 'train')
+         |SELECT ev.id_eval, ev.eval_split, tr.id_train, ev.fp
+         |FROM ev JOIN tr ON ev.fp = tr.fp
+         |ORDER BY id_eval, id_train""".stripMargin
     },
 
     // the curve is count arithmetic with deterministic tie-breaks, so

@@ -32,6 +32,30 @@ object DedupOps {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Train/eval SPLIT-LEAKAGE detector: every (eval doc, train doc)
+    * pair sharing a content fingerprint — the integrity check run
+    * AFTER splitting, because dedup-then-split only protects against
+    * leakage the dedup pass saw (a re-crawl landing post-dedup, or
+    * near-dups under a weaker normalization, silently contaminate
+    * eval). Distinct from decontamination (p20): that screens against
+    * an EXTERNAL benchmark; this audits the corpus's own splits.
+    * One equi-join of (id, fingerprint) pairs — bodies never ride the
+    * shuffle; at 100 TB the train side is the prebuilt fingerprint
+    * index and the eval side rides [[buildFingerprintBloom]] first
+    * (the p35 screen), making the audit Δ-proportional. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      splitCol: String, trainLabel: String = "train"): DataFrame = {
+    val fps = df.select(col(idCol).as("id"), col(splitCol).as("split"),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val train = fps.filter(col("split") === trainLabel)
+      .select(col("id").as("id_train"), col("fp"))
+    val eval_ = fps.filter(col("split") =!= trainLabel)
+      .select(col("id").as("id_eval"), col("split").as("eval_split"),
+        col("fp"))
+    eval_.join(train, "fp")
+      .select(col("id_eval"), col("eval_split"), col("id_train"), col("fp"))
+  }
+
   /** Exact Jaccard similarity between two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))

@@ -15,9 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateInventorySpec extends AnyFunSuite {
 
-  // Bump this floor when ADDING gates; it must never go down. 119 =
-  // the round-7 inventory (45 q + 17 r + 47 p + 10 m).
-  private val floor = 119
+  // Bump this floor when ADDING gates; it must never go down. 120 =
+  // the round-7 inventory (45 q + 17 r + 48 p + 10 m).
+  private val floor = 120
 
   test(s"gate inventory never shrinks below $floor") {
     val n = SparkEntry.queries.size

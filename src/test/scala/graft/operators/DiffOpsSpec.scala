@@ -31,6 +31,21 @@ class DiffOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("unchanged"))
   }
 
+  test("split leakage reports every cross-split fingerprint collision") {
+    val df = Seq(
+      (1L, "shared doc", "train"),
+      (2L, "shared doc", "test"),   // leaks: trains on test content
+      (3L, "Shared   DOC", "val"),  // leaks via normalization
+      (4L, "clean doc", "test"),    // no train twin — clean
+      (5L, "train only", "train"),
+      (6L, "shared doc", "train")   // second train copy → second pair
+    ).toDF("doc_id", "text", "split")
+    val got = DedupOps.splitLeakage(df, "doc_id", "text", "split")
+      .select(col("id_eval"), col("id_train")).as[(Long, Long)]
+      .collect().toSet
+    assert(got == Set((2L, 1L), (2L, 6L), (3L, 1L), (3L, 6L)))
+  }
+
   test("summary counts every class") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d"), (5L, "e"))
