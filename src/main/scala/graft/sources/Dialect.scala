@@ -450,12 +450,51 @@ object MySqlDialect extends Dialect {
   override def stringDdlType: String = "TEXT"
   override def quote(ident: String): String =
     "`" + ident.replace("`", "``") + "`"
+
+  /** MySQL has no ANSI MERGE: the keyed upsert renders as
+    * `INSERT .. SELECT .. ON DUPLICATE KEY UPDATE`, which matches on
+    * the target's UNIQUE indexes — the merge keys must therefore be
+    * backed by a unique index on the target (MySQL's own upsert
+    * contract). All-keys batches degrade to `INSERT IGNORE`
+    * (insert-if-absent, matching the ANSI form's no-update branch). */
+  override def mergeSql(target: Seq[String], staging: Seq[String],
+      keys: Seq[String], updateCols: Seq[String],
+      insertCols: Seq[String]): String = {
+    val ins = insertCols.map(quote).mkString(", ")
+    val sel = insertCols.map(c => s"S.${quote(c)}").mkString(", ")
+    val ignore = if (updateCols.isEmpty) " IGNORE" else ""
+    val base = s"INSERT$ignore INTO ${tableName(target)} ($ins) " +
+      s"SELECT $sel FROM ${tableName(staging)} S"
+    if (updateCols.isEmpty) base
+    else base + " ON DUPLICATE KEY UPDATE " +
+      updateCols.map(c => s"${quote(c)} = S.${quote(c)}").mkString(", ")
+  }
 }
 
 /** SQLite rendering (reference `connection/sqlite.rs`). */
 object SqliteDialect extends Dialect {
   val name = "sqlite"
   override def stringDdlType: String = "TEXT"
+
+  /** SQLite has no ANSI MERGE: the keyed upsert renders as the
+    * `ON CONFLICT(keys) DO UPDATE` form (3.24+), whose conflict target
+    * needs a unique index on the merge keys. `WHERE true` after the
+    * SELECT is SQLite's required disambiguation between a join and the
+    * upsert clause. All-keys batches render `DO NOTHING`. */
+  override def mergeSql(target: Seq[String], staging: Seq[String],
+      keys: Seq[String], updateCols: Seq[String],
+      insertCols: Seq[String]): String = {
+    val ins = insertCols.map(quote).mkString(", ")
+    val sel = insertCols.map(c => s"S.${quote(c)}").mkString(", ")
+    val conflict = keys.map(quote).mkString(", ")
+    val action =
+      if (updateCols.isEmpty) "DO NOTHING"
+      else "DO UPDATE SET " + updateCols
+        .map(c => s"${quote(c)} = excluded.${quote(c)}").mkString(", ")
+    s"INSERT INTO ${tableName(target)} ($ins) " +
+      s"SELECT $sel FROM ${tableName(staging)} S WHERE true " +
+      s"ON CONFLICT($conflict) $action"
+  }
 }
 
 /** Oracle rendering: no LIMIT — wrap with ROWNUM like the reference
@@ -510,6 +549,15 @@ object MdbDialect extends Dialect {
   override def stringDdlType: String = "LONGTEXT"
   override def quote(ident: String): String =
     "[" + ident.replace("]", "]]") + "]"
+
+  /** Access SQL has no MERGE/upsert statement at all — fail the keyed
+    * upsert loudly instead of emitting SQL the backend cannot parse. */
+  override def mergeSql(target: Seq[String], staging: Seq[String],
+      keys: Seq[String], updateCols: Seq[String],
+      insertCols: Seq[String]): String =
+    throw new UnsupportedOperationException(
+      "mdb (Access) SQL has no MERGE/upsert statement — mergekeys is " +
+        "not supported on this dialect")
   override def isRewritable(source: RemoteSource): Boolean = source match {
     case _: RemoteSource.TableRef => true
     case _ => false

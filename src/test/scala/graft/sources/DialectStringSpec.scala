@@ -96,4 +96,32 @@ class DialectStringSpec extends AnyFunSuite {
     assert(!MdbDialect.supportsCountStatistics)
     assert(DmDialect.supportsCountStatistics && GaussDbDialect.supportsCountStatistics)
   }
+
+  test("upsert SQL per dialect: ANSI MERGE / ON DUPLICATE KEY / ON CONFLICT / MDB reject") {
+    val t = Seq("S", "T"); val g = Seq("S", "G")
+    val keys = Seq("K"); val upd = Seq("V"); val all = Seq("K", "V")
+    // ANSI family (Derby, Postgres, GaussDB, DM, Oracle): one MERGE
+    val ansi = DerbyDialect.mergeSql(t, g, keys, upd, all)
+    assert(ansi.startsWith("MERGE INTO ") &&
+      ansi.contains("WHEN MATCHED THEN UPDATE SET \"V\" = S.\"V\"") &&
+      ansi.contains("WHEN NOT MATCHED THEN INSERT (\"K\", \"V\")"), ansi)
+    assert(GaussDbDialect.mergeSql(t, g, keys, upd, all).contains("MERGE INTO"))
+    // all-keys batches drop the MATCHED branch (insert-if-absent)
+    assert(!DerbyDialect.mergeSql(t, g, all, Nil, all).contains("WHEN MATCHED"))
+    // MySQL: INSERT .. ON DUPLICATE KEY UPDATE (unique-key contract)
+    val my = MySqlDialect.mergeSql(t, g, keys, upd, all)
+    assert(my.startsWith("INSERT INTO `S`.`T`") &&
+      my.contains("ON DUPLICATE KEY UPDATE `V` = S.`V`"), my)
+    assert(MySqlDialect.mergeSql(t, g, all, Nil, all).startsWith("INSERT IGNORE"))
+    // SQLite: ON CONFLICT upsert with the WHERE true disambiguator
+    val sq = SqliteDialect.mergeSql(t, g, keys, upd, all)
+    assert(sq.contains("WHERE true ON CONFLICT(\"K\") DO UPDATE SET " +
+      "\"V\" = excluded.\"V\""), sq)
+    assert(SqliteDialect.mergeSql(t, g, all, Nil, all).contains("DO NOTHING"))
+    // MDB: no upsert statement exists — loud reject
+    val e = intercept[UnsupportedOperationException] {
+      MdbDialect.mergeSql(t, g, keys, upd, all)
+    }
+    assert(e.getMessage.contains("mergekeys"))
+  }
 }
