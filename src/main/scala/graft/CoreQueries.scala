@@ -194,6 +194,29 @@ object CoreQueries {
             col("exact_cust") <= 0.05).as("within_5pct"))
         .orderBy(col("o_orderstatus"))),
 
+    // ---- MERGEABLE distinct sketches (incremental analytics) -----------
+    // the production incremental-distinct shape: per-day HLL sketches
+    // (a materialized daily sketch table at scale) UNIONED into the
+    // total — "distinct users this quarter" costs a union of 90 tiny
+    // sketches, never a re-scan of history. Gate: the merged estimate
+    // lands within 5% of the exact distinct (q26's tolerance-boolean
+    // pattern); per-day exact counts pin that the daily grouping is
+    // real, n_days pins the sketch count that merged.
+    "q46_hll_merge" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("exact_day"))
+      val merged = daily.agg(count(lit(1)).as("n_days"),
+        sum(col("exact_day")).as("sum_daily_exact"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.crossJoin(exact)
+        .select(col("n_days"), col("sum_daily_exact"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+            col("exact_users") <= 0.05).as("within_5pct"))
+    }),
+
     // ---- exact percentiles (linear interpolation, both engines) --------
     "q27_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -682,6 +705,15 @@ object CoreQueries {
         | count(DISTINCT o_custkey) AS exact_cust,
         | TRUE AS within_5pct
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q46_hll_merge" ->
+      """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        | (SELECT sum(n) FROM (
+        |   SELECT count(DISTINCT user_id) AS n FROM events
+        |   GROUP BY CAST(ts AS DATE))) AS sum_daily_exact,
+        | count(DISTINCT user_id) AS exact_users,
+        | TRUE AS within_5pct
+        |FROM events""".stripMargin,
 
     "q27_percentile" ->
       """SELECT l_returnflag,
