@@ -824,6 +824,21 @@ object PipelineQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // asset INTEGRITY screen: a corrupt payload (truncated download)
+    // must quarantine per-row, never kill the stage — here every
+    // id%13=0 image is truncated to its first 10 bytes before the
+    // screen, and the gate pins exactly which assets decode. The
+    // corrupt rows' n_bytes pins that the truncation (not some other
+    // failure) is what the screen saw.
+    "m11_asset_integrity" -> ((s, dir) => {
+      import s.implicits._
+      val corrupted = MultimodalOps.imageAssets(s, dir).map(a =>
+        if (a.asset_id % 13 == 0) a.copy(payload = a.payload.take(10)) else a)
+      MultimodalOps.assetIntegrity(corrupted).toDF()
+        .select(col("asset_id"), col("n_bytes"), col("decode_ok"))
+        .orderBy(col("asset_id"))
+    }),
+
     // image QUALITY screen over real-decoded pixels: bright/dark pixel
     // counts, exact gray sum, min/max gray, and the blank/black/flat
     // drop flag — the image analogue of m09/p03. Thresholds sit inside
@@ -2065,6 +2080,17 @@ object PipelineQueries {
         | CAST(list_sum(mags) AS BIGINT) AS sum_abs,
         | CAST(list_max(mags) AS INT) AS peak
         |FROM v ORDER BY asset_id""".stripMargin,
+
+    // byte sizes are pure arithmetic (54-byte header + padded rows,
+    // truncated to 10 for the planted corrupt set); decode_ok is the
+    // planted predicate
+    "m11_asset_integrity" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(CASE WHEN doc_id % 13 = 0 THEN 10
+        |  ELSE 54 + (((13 + doc_id % 4) * 3 + 3) // 4) * 4 * (6 + doc_id % 3)
+        |  END AS INT) AS n_bytes,
+        | (doc_id % 13 != 0) AS decode_ok
+        |FROM documents ORDER BY asset_id""".stripMargin,
 
     // same pixel reconstruction as m01; per-pixel gray = R+G+B over
     // the cyclic ASCII stream
