@@ -57,4 +57,24 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
       s"expected parquet filter pushdown in plan:\n$plan")
   }
+
+  test("HLL sketches survive parquet storage and merge to the same estimate") {
+    import org.apache.spark.sql.functions._
+    // the q46 claim, end-to-end: a daily sketch table MATERIALIZED to
+    // parquet (binary column) re-loads and unions to the identical
+    // estimate — which is what makes "distinct this quarter" a
+    // 90-sketch union instead of a history re-scan
+    val ev = Tables.table(spark, sf, "events")
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val direct = daily
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).collect().head.getLong(0)
+    val dir = s"/tmp/graft_sketches_${System.nanoTime()}"
+    daily.write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).collect().head.getLong(0)
+    assert(reloaded == direct, s"stored-sketch merge $reloaded != $direct")
+    val exact = ev.agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(math.abs(reloaded - exact).toDouble / exact <= 0.05)
+  }
 }
