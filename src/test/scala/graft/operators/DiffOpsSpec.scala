@@ -46,6 +46,21 @@ class DiffOpsSpec extends AnyFunSuite {
     assert(got == Set((2L, 1L), (2L, 6L), (3L, 1L), (3L, 6L)))
   }
 
+  test("diff and leakage join on fingerprints only — no nested-loop join") {
+    val df = (1 to 200).map(i => (i.toLong, s"doc body number $i"))
+      .toDF("doc_id", "text")
+    val diffPlan = DiffOps.snapshotDiff(df, df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!diffPlan.contains("BroadcastNestedLoopJoin") &&
+      !diffPlan.contains("CartesianProduct"), diffPlan)
+    val leakPlan = DedupOps.splitLeakage(
+        df.withColumn("split", SampleOps.split(col("doc_id"), 0.2, 0.1)),
+        "doc_id", "text", "split")
+      .queryExecution.executedPlan.toString
+    assert(!leakPlan.contains("BroadcastNestedLoopJoin") &&
+      !leakPlan.contains("CartesianProduct"), leakPlan)
+  }
+
   test("summary counts every class") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d"), (5L, "e"))
