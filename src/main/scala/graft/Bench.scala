@@ -48,11 +48,14 @@ object Bench {
     "p41_diversity_sample", "p42_span_removal", "p43_mixture_epochs",
     "p44_corpus_card", "p45_snapshot_diff", "p46_quality_threshold",
     "p47_vocab_coverage", "p48_split_leakage",
+    "p49_domain_block", "p50_url_dedup", "p51_bm25_topk",
+    "p52_rank_fusion", "p53_unicode_dedup",
     "m01_multimodal", "m02_frame_sample", "m03_resize", "m04_audio",
     "m05_image_phash", "m06_audio_phash", "m07_scene_detect",
     "m08_video_neardup", "m09_audio_quality", "m10_image_quality",
     "m11_asset_integrity",
-    "q44_range_window", "q45_streamjoin_outer", "q46_hll_merge")
+    "q44_range_window", "q45_streamjoin_outer", "q46_hll_merge",
+    "q47_listagg", "q48_grouping_sets")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above

@@ -217,6 +217,37 @@ object CoreQueries {
             col("exact_users") <= 0.05).as("within_5pct"))
     }),
 
+    // ---- ordered string aggregation (LISTAGG class) --------------------
+    // collect_list order is partition-nondeterministic, so the
+    // deterministic form is array_sort before the join — the exact
+    // equivalent of LISTAGG(... ORDER BY). Per-group state is bounded
+    // by group cardinality (here nations per region), not corpus size.
+    "q47_listagg" -> ((s, dir) => {
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+            .as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ---- GROUPING SETS (the general grouping form under rollup/cube) ---
+    // an explicit non-hierarchical set list — (flag, status), (status),
+    // () — which neither rollup nor cube expresses; grouping() columns
+    // disambiguate real NULLs from subtotal rows
+    "q48_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+          grouping(col("l_returnflag")).as("g1"),
+          grouping(col("l_linestatus")).as("g2"))
+        .orderBy(col("g1"), col("g2"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // ---- exact percentiles (linear interpolation, both engines) --------
     "q27_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -714,6 +745,24 @@ object CoreQueries {
         | count(DISTINCT user_id) AS exact_users,
         | TRUE AS within_5pct
         |FROM events""".stripMargin,
+
+    "q47_listagg" ->
+      """SELECT r_name,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | count(*) AS n_nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q48_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         | ${sqlDsum("l_quantity")} AS qty,
+         | CAST(grouping(l_returnflag) AS TINYINT) AS g1,
+         | CAST(grouping(l_linestatus) AS TINYINT) AS g2
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         | (l_linestatus), ())
+         |ORDER BY g1, g2, l_returnflag NULLS FIRST,
+         | l_linestatus NULLS FIRST""".stripMargin,
 
     "q27_percentile" ->
       """SELECT l_returnflag,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.operators.{ClusterOps, DedupOps, DiffOps, LmOps, PackingOps, SampleOps, TextOps, VectorOps}
+import graft.operators.{ClusterOps, DedupOps, DiffOps, LmOps, PackingOps, RetrievalOps, SampleOps, TextOps, UrlOps, VectorOps}
 import graft.multimodal.MultimodalOps
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -20,6 +20,20 @@ object PipelineQueries {
     Tables.table(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
+
+  /** p49 blocklist: shared by the gate and its oracle so the two can
+    * never drift. Exercises exact-host and subdomain-suffix matches,
+    * plus the specificity rule (assets.src4.com must win over a
+    * hypothetical src4.com entry for cdn.assets.src4.com hosts). */
+  private val blocklist49 = Seq("src3.com", "src7.org", "assets.src4.com",
+    "cdn.assets.src5.org", "src12.org")
+  private val blocklist49Sql =
+    blocklist49.map(r => s"'$r'").mkString("[", ", ", "]")
+
+  /** p51/p52 query batch (all terms exist in the fixture vocabulary). */
+  private val queries51: Seq[(Int, String)] = Seq(
+    1 -> "spark join table", 2 -> "hash agg filter",
+    3 -> "window batch stream", 4 -> "fast scan column value")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis -------------------------------------------------
@@ -356,6 +370,104 @@ object PipelineQueries {
           epoch = 1, nShards = 8)
         .select(col("doc_id"), col("shard"), col("sort_key"))
         .orderBy(col("shard"), col("sort_key"), col("doc_id"))),
+
+    // Domain blocklist screen with registrable-suffix semantics:
+    // "block example.com" also blocks cdn.assets.example.com. Hosts
+    // derived deterministically from (doc_id, source) — the fixture
+    // has no URL column, so the derivation is part of the gate and
+    // reproduced verbatim in the oracle (the m01 synthetic-payload
+    // pattern). Per-row bounded suffix expansion + a literal/broadcast
+    // rule set: zero corpus shuffle, and the verdict is auditable
+    // (which rule fired), not a silent drop.
+    "p49_domain_block" -> ((s, dir) => {
+      val host = concat(
+        when(col("doc_id") % 3 === 0, lit("www."))
+          .when(col("doc_id") % 3 === 1, lit("cdn.assets."))
+          .otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 2 === 0, lit(".com")).otherwise(lit(".org")))
+      UrlOps.domainBlocklistScreen(
+          docs(s, dir).select(col("doc_id"), host.as("host")),
+          "host", blocklist49)
+        .select(col("doc_id"), col("host"), col("blocked"), col("rule"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Canonical-URL dedup: the same landing page crawled as
+    // HTTPS/https, with/without :443, with tracking params and
+    // fragments collapses to ONE canonical URL before any content is
+    // fetched or text-deduped. URLs derived in-plan (no URL column in
+    // the fixture); the canonicalization chain is an order-pinned
+    // RE2-safe regex sequence both engines replay identically.
+    "p50_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW."))
+          .otherwise(lit("https://www.")),
+        col("source"),
+        when(col("doc_id") % 4 === 1, lit(".COM:443")).otherwise(lit(".com")),
+        lit("/Docs/"), (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=feed&ref="), col("source")))
+          .when(col("doc_id") % 3 === 1, lit("?id=7&utm_campaign=x"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+      UrlOps.urlDedup(
+          docs(s, dir).select(col("doc_id"), url.as("url")), "doc_id", "url")
+        .orderBy(col("canonical_url"))
+    }),
+
+    // BM25 lexical retrieval (inverted-index join, ratio-idf variant):
+    // the keyword-recall complement of the ANN path. The corpus is
+    // tokenized once, pruned to the query vocabulary per-row, tf/df
+    // aggregate map-side, queries + df table ride broadcasts, and the
+    // per-query ranking runs on TopKPerKey. Scores fold per-term
+    // contributions in sorted term order — a fixed IEEE sequence the
+    // oracle replays exactly.
+    "p51_bm25_topk" -> ((s, dir) =>
+      RetrievalOps.bm25TopK(docs(s, dir), "doc_id", "text", queries51,
+          k = 10)
+        .orderBy(col("qid"), col("rank"))),
+
+    // Reciprocal-rank fusion: BM25 top-20 per query fused with the
+    // query-independent quality-prior top-20 (1/(60+rank) each, the
+    // Cormack RRF constant) — the standard calibration-free merge of
+    // lexical retrieval with a second ranked signal. Both inputs are
+    // bounded top-k lists, so fusion runs on k·|queries| rows whatever
+    // the corpus size.
+    "p52_rank_fusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bm = RetrievalOps.bm25TopK(d, "doc_id", "text", queries51, k = 20)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val qids = d.sparkSession.createDataFrame(
+        queries51.map(q => Tuple1(q._1))).toDF("qid")
+      val prior = RetrievalOps.qualityTopK(d, "doc_id", "text", k = 20)
+        .crossJoin(broadcast(qids))
+        .select(col("qid"), col("doc_id"), col("rank"))
+      RetrievalOps.rrfFuse(bm, prior, kRrf = 60, topK = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Unicode-robust dedup audit: re-crawls that round-tripped through
+    // a different Unicode normalizer (precomposed vs combining
+    // accents, case drift) survive byte-level exact dedup; NFC +
+    // casefold fingerprinting catches them. The gate plants composed
+    // (+uppercase) and decomposed variants of the same docs and pins
+    // every normalized dup group — and `raw_match` shows exactly which
+    // members byte-level dedup would have missed.
+    "p53_unicode_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            // precomposed U+00E1 + case drift
+            upper(regexp_replace(col("text"), "a", "\u00e1")).as("text")))
+        .unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            // decomposed: 'a' + combining acute U+0301
+            regexp_replace(col("text"), "a", "a\u0301").as("text")))
+      DedupOps.unicodeDedupGroups(corpus, "doc_id", "text")
+        .orderBy(col("fp_norm"), col("id"))
+    }),
 
     // CCNet-style bigram-LM quality bucketing: corpus bigram model
     // (capped vocabulary, broadcast once per executor), per-doc mean
@@ -958,8 +1070,173 @@ object PipelineQueries {
         |  >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
 
+  /** BM25 oracle CTE chain (p51/p52 share it so the two cannot
+    * drift): rebuilds postings, df, the ratio-idf BM25 contributions
+    * with every literal CAST to DOUBLE (bare decimals are DECIMAL in
+    * DuckDB), and the sorted-term left fold Spark's aggregate() runs —
+    * list_reduce is a left fold, list_prepend supplies the 0.0 init. */
+  private def bm25OracleCte(k1: Double = 1.2, b: Double = 0.75): String = {
+    val qterms = queries51.flatMap { case (qid, q) =>
+      q.split(" ").distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    val vocab = queries51.flatMap(_._2.split(" ")).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |base AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+       |stats AS (SELECT count(*) AS n_docs,
+       |           CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+       |post AS (
+       | SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |  SELECT doc_id, dl, unnest(toks) AS term FROM base)
+       | WHERE term IN ($vocab) GROUP BY doc_id, dl, term),
+       |dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+       |qt AS (SELECT * FROM (VALUES $qterms) v(qid, term)),
+       |sc AS (
+       | SELECT qt.qid, post.doc_id, post.term,
+       |  ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |    / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |  * ((CAST(tf AS DOUBLE) * CAST(${k1 + 1.0} AS DOUBLE))
+       |    / (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE)
+       |      * (CAST(${1.0 - b} AS DOUBLE) + CAST($b AS DOUBLE)
+       |        * CAST(dl AS DOUBLE)
+       |        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+       |   AS contrib
+       | FROM post JOIN dft USING (term) JOIN qt USING (term), stats),
+       |agg AS (
+       | SELECT qid, doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(contrib ORDER BY term)), (a, x) -> a + x) AS score
+       | FROM sc GROUP BY qid, doc_id),
+       |ranked AS (
+       | SELECT qid, doc_id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)
+       |   AS rank
+       | FROM agg)""".stripMargin
+  }
+
   /** DuckDB equivalents — every pipeline gate carries one. */
   val oracle: Map[String, String] = Map(
+    // host derivation + suffix expansion + most-specific-first match,
+    // rebuilt with list lambdas
+    "p49_domain_block" ->
+      s"""WITH h AS (
+         | SELECT doc_id,
+         |  (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+         |        WHEN doc_id % 3 = 1 THEN 'cdn.assets.' ELSE '' END)
+         |  || source ||
+         |  (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END) AS host
+         | FROM documents),
+         |m AS (
+         | SELECT doc_id, host,
+         |  list_filter(
+         |   list_transform(range(1, len(string_split(host, '.'))),
+         |     i -> array_to_string(string_split(host, '.')[i:], '.')),
+         |   x -> list_contains($blocklist49Sql, x)) AS mm
+         | FROM h)
+         |SELECT doc_id, host, len(mm) > 0 AS blocked,
+         | CASE WHEN len(mm) > 0 THEN mm[1] ELSE NULL END AS rule
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the same order-pinned canonicalization chain, step for step
+    // (\\1 is DuckDB's backreference spelling of Java's $1)
+    "p50_url_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+        |        ELSE 'https://www.' END)
+        |  || source ||
+        |  (CASE WHEN doc_id % 4 = 1 THEN '.COM:443' ELSE '.com' END)
+        |  || '/Docs/' || CAST(doc_id % 25 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=' || source
+        |           WHEN doc_id % 3 = 1 THEN '?id=7&utm_campaign=x'
+        |           ELSE '' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+        | FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+        |c2 AS (SELECT doc_id,
+        |        lower(regexp_extract(u, '^([^/]*//[^/]*)', 1))
+        |         || regexp_replace(u, '^[^/]*//[^/]*', '') AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(u,
+        |        '^(https?://[^/:]*):(80|443)(/|$)', '\1\3') AS u FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(u,
+        |        '([?&])(utm_[^=&]*|fbclid|gclid|ref)=[^&]*', '\1', 'g')
+        |        AS u FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(
+        |        regexp_replace(u, '\?&+', '?', 'g'), '&&+', '&', 'g')
+        |        AS u FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(
+        |        regexp_replace(u, '[?&]+$', ''), '/+$', '') AS u FROM c5)
+        |SELECT u AS canonical_url, min(doc_id) AS keeper,
+        | count(*) AS n_variants, list(doc_id ORDER BY doc_id) AS variant_ids
+        |FROM c6 GROUP BY u ORDER BY canonical_url""".stripMargin,
+
+    "p51_bm25_topk" ->
+      s"""WITH ${bm25OracleCte()}
+         |SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    // BM25 top-20 ∪ quality-prior top-20, RRF-fused; the quality
+    // expression is p03's, verbatim
+    "p52_rank_fusion" ->
+      s"""WITH ${bm25OracleCte()},
+         |tq AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |        len(string_split(text, ' ')) AS n_tok FROM documents),
+         |qsc AS (SELECT doc_id,
+         |  ((CASE WHEN n_tok BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+         |   + (CASE WHEN CAST(len(list_filter(toks, x -> x IN
+         |        ('the','a','and','of','to','in','is'))) AS DOUBLE) / n_tok
+         |        BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+         |   + CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok) / 3.0 AS q
+         |  FROM tq),
+         |prior AS (SELECT doc_id, q FROM qsc ORDER BY q DESC, doc_id LIMIT 20),
+         |pr AS (SELECT doc_id,
+         |        row_number() OVER (ORDER BY q DESC, doc_id) AS rank_b
+         |       FROM prior),
+         |fb AS (SELECT qids.qid, pr.doc_id, pr.rank_b
+         |       FROM pr CROSS JOIN (SELECT DISTINCT qid FROM qt) qids),
+         |fa AS (SELECT qid, doc_id, rank AS rank_a
+         |       FROM ranked WHERE rank <= 20),
+         |fu AS (SELECT COALESCE(fa.qid, fb.qid) AS qid,
+         |        COALESCE(fa.doc_id, fb.doc_id) AS doc_id, rank_a, rank_b,
+         |        COALESCE(CAST(1.0 AS DOUBLE)
+         |          / (CAST(60.0 AS DOUBLE) + CAST(rank_a AS DOUBLE)),
+         |          CAST(0.0 AS DOUBLE))
+         |        + COALESCE(CAST(1.0 AS DOUBLE)
+         |          / (CAST(60.0 AS DOUBLE) + CAST(rank_b AS DOUBLE)),
+         |          CAST(0.0 AS DOUBLE)) AS fused
+         |       FROM fa FULL OUTER JOIN fb
+         |        ON fa.qid = fb.qid AND fa.doc_id = fb.doc_id)
+         |SELECT qid, doc_id, rank_a, rank_b, fused,
+         | row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id)
+         |  AS rank
+         |FROM fu QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // composed (chr(225)) and decomposed (chr(769) combining) variants
+    // rebuilt, NFC+casefold fingerprints via nfc_normalize
+    "p53_unicode_dedup" ->
+      """WITH c AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 200000 AS doc_id,
+        |  upper(regexp_replace(text, 'a', chr(225), 'g')) AS text
+        | FROM documents WHERE doc_id % 5 = 0
+        | UNION ALL
+        | SELECT doc_id + 400000 AS doc_id,
+        |  regexp_replace(text, 'a', 'a' || chr(769), 'g') AS text
+        | FROM documents WHERE doc_id % 10 = 0),
+        |f AS (SELECT doc_id AS id,
+        |  md5(lower(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')))
+        |   AS fp_norm,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_raw
+        | FROM c),
+        |g AS (SELECT fp_norm, min(id) AS keeper, count(*) AS group_n,
+        |       arg_min(fp_raw, id) AS keeper_fp_raw
+        |      FROM f GROUP BY fp_norm HAVING count(*) > 1)
+        |SELECT f.fp_norm, g.keeper, f.id, g.group_n,
+        | f.fp_raw = g.keeper_fp_raw AS raw_match
+        |FROM f JOIN g ON f.fp_norm = g.fp_norm
+        |ORDER BY f.fp_norm, f.id""".stripMargin,
+
     "p18_repetition" ->
       """WITH t AS (
         | SELECT doc_id, string_split(text, ' ') AS s FROM documents

@@ -80,7 +80,8 @@ object GraftFunctions {
         if (exprs.length > 3) doubleArg(exprs(3), "token_score_sum default")
         else 0.0
       TokenScoreSum(exprs.head, keys.zip(vals), default)
-    })
+    },
+    "nfc_normalize" -> { exprs => NfcNormalize(exprs.head) })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -805,6 +805,49 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     copy(child = c)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer). Dedup
+  * fingerprints over raw bytes miss visually-identical documents whose
+  * only difference is composition form — "café" with a precomposed
+  * U+00E9 vs "cafe" + combining U+0301 hash apart, so one re-crawl
+  * survives every byte-level dedup pass. NFC is the W3C-recommended
+  * canonical form; normalizing BEFORE fingerprinting makes composition
+  * drift invisible, exactly like whitespace collapse makes formatting
+  * drift invisible. Engine-independent (Unicode defines one NFC), so
+  * a SQL oracle with its own NFC function agrees byte-for-byte.
+  * Skips the (expensive) normalizer call when the string is already
+  * in NFC — true for virtually all real text, so the common case is a
+  * quick-check scan, not a rewrite. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNormalize", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize needs string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object native {
   def shingle_set(tokens: Column, n: Int): Column =
     Bridge.column(ShingleSet(Bridge.expression(tokens), n))
@@ -842,4 +885,6 @@ object native {
     Bridge.column(SortedPairs(Bridge.expression(c)))
   def bloom_might_contain(c: Column, bloomBytes: Array[Byte]): Column =
     Bridge.column(BloomMightContain(Bridge.expression(c), bloomBytes))
+  def nfc_normalize(c: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(c)))
 }

@@ -32,6 +32,32 @@ object DedupOps {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** Unicode-robust dedup audit: documents whose NFC-normalized
+    * fingerprints collide but whose BYTE-level fingerprints do not all
+    * agree — the dup population exact dedup structurally misses
+    * (composition-form drift from re-crawls through different
+    * normalizers). Returns one row per member of every normalized dup
+    * group: (fp_norm, keeper, doc id, group size, whether the raw
+    * fingerprint already matched the keeper's). Same one-shuffle
+    * groupBy shape as [[exactDedup]], on the normalized key; member
+    * lists are bounded by per-document crawl multiplicity. */
+  def unicodeDedupGroups(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fps = df.select(col(idCol).cast("long").as("id"),
+      TextOps.nfcFingerprint(col(textCol)).as("fp_norm"),
+      TextOps.fingerprint(col(textCol)).as("fp_raw"))
+    val groups = fps.groupBy(col("fp_norm"))
+      .agg(min(col("id")).as("keeper"), count(lit(1)).as("group_n"),
+        // the keeper's raw fingerprint = raw fp of the min-id member:
+        // min of (id, fp_raw) structs picks it deterministically
+        min(struct(col("id"), col("fp_raw"))).getField("fp_raw")
+          .as("keeper_fp_raw"))
+      .filter(col("group_n") > 1)
+    fps.join(groups, "fp_norm")
+      .select(col("fp_norm"), col("keeper"), col("id"), col("group_n"),
+        (col("fp_raw") === col("keeper_fp_raw")).as("raw_match"))
+  }
+
   /** Train/eval SPLIT-LEAKAGE detector: every (eval doc, train doc)
     * pair sharing a content fingerprint — the integrity check run
     * AFTER splitting, because dedup-then-split only protects against

@@ -119,6 +119,18 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Unicode-robust content fingerprint: NFC-normalize BEFORE the
+    * [[fingerprint]] normalization. Byte-level fingerprints hash a
+    * precomposed "é" (U+00E9) and its decomposed twin (e + U+0301)
+    * apart, so a re-crawl that round-tripped through a different
+    * normalization form survives every exact-dedup pass; NFC folds the
+    * composition drift the way whitespace collapse folds formatting
+    * drift. Per-row, shuffle-free; the NFC step is the quick-check
+    * scan in the (overwhelming) already-normalized case. */
+  def nfcFingerprint(text: Column): Column =
+    md5(lower(regexp_replace(
+      graft.functions.native.nfc_normalize(text), "\\s+", " ")))
+
   // ---- document chunking (RAG / context-window splitting) --------------
 
   /** Overlapping token-window chunks: windows of `size` tokens moving

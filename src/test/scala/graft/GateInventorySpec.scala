@@ -15,9 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateInventorySpec extends AnyFunSuite {
 
-  // Bump this floor when ADDING gates; it must never go down. 122 =
-  // the round-7 inventory (46 q + 17 r + 48 p + 11 m).
-  private val floor = 122
+  // Bump this floor when ADDING gates; it must never go down. 129 =
+  // the round-7 inventory (48 q + 17 r + 53 p + 11 m).
+  private val floor = 129
 
   test(s"gate inventory never shrinks below $floor") {
     val n = SparkEntry.queries.size
