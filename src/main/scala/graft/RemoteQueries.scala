@@ -440,6 +440,22 @@ object RemoteQueries {
         .orderBy(col("d_key"))
     }),
 
+    // TABLESAMPLE pushdown: df.sample ships as a deterministic
+    // hash-threshold WHERE on samplecolumn — only ~20% of CUSTOMER
+    // crosses the wire, and the SAME rows come back on every run/retry
+    // (server-side RANDOM() sampling would be neither reproducible nor
+    // oracle-able). The oracle replays the identical bucket arithmetic
+    // on the parquet twin.
+    "r18_remote_sample" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "CUSTOMER", "samplecolumn" -> "C_CUSTKEY")
+        .sample(withReplacement = false, fraction = 0.2, seed = 42L)
+        .select(col("C_CUSTKEY").as("c_custkey"),
+          col("C_NATIONKEY").as("c_nationkey"),
+          col("C_ACCTBAL").as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Nested-struct decode end-to-end: the remote scalar JSON column is
     // declared a typed struct via structcol.<name>; the reader decodes
     // it to InternalRow (reference SdeGeometry assembly,
@@ -537,6 +553,12 @@ object RemoteQueries {
         |FROM nation
         |WHERE NOT (n_nationkey >= 20 OR n_name < 'NATION_05')
         |ORDER BY d_key""".stripMargin,
+    "r18_remote_sample" -> {
+      val b = graft.operators.SampleOps.hashBucketSql("c_custkey", 42L)
+      val thr = graft.operators.SampleOps.threshold(0.2)
+      s"""SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+         |WHERE $b < $thr ORDER BY c_custkey""".stripMargin
+    },
     "r16_remote_upsert" ->
       """SELECT u_key, u_name, u_val FROM (
         | SELECT n_nationkey AS u_key,

@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
 object SampleOps {
 
   val P: Long = 1000000007L
-  private val AmodP: Long = 2654435761L % P // 654435747
+  /** Knuth multiplier reduced mod P — public because the connector's
+    * TABLESAMPLE pushdown renders the SAME bucket arithmetic as remote
+    * SQL (sampling semantics must not drift between the in-engine and
+    * pushed-down forms). */
+  val AmodP: Long = 2654435761L % P // 654435747
 
   /** Deterministic uniform bucket in [0, P) from a stable numeric id.
     * Change `salt` to draw an independent sample: the salt shifts the

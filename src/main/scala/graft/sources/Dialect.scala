@@ -152,6 +152,27 @@ trait Dialect extends Serializable {
     limit.fold(sql + off)(n => s"$sql LIMIT $n$off")
   }
 
+  /** Deterministic TABLESAMPLE predicate: the SAME Knuth
+    * multiplicative-hash bucket arithmetic as
+    * `graft.operators.SampleOps.hashBucket`, rendered as remote SQL —
+    * a pushed sample must select the SAME rows the in-engine
+    * hash-threshold sample would (reproducible across runs, retries,
+    * and engines; a server-side RANDOM() would be none of those).
+    * Every intermediate stays below 2^60, so the arithmetic is exact
+    * in any 64-bit SQL engine. ANSI `MOD()` spelling (Derby included);
+    * operator-only engines override, engines without integer modulo
+    * return None (sample stays Spark-side). `column` arrives quoted. */
+  def sampleFilterSql(
+      column: String, lo: Long, hi: Long, salt: Long): Option[String] = {
+    val p = graft.operators.SampleOps.P
+    val a = graft.operators.SampleOps.AmodP
+    // CAST to BIGINT: engines type MOD by their OPERANDS, so an INT key
+    // column would run the multiply in 32-bit arithmetic and overflow
+    val bucket = s"MOD((MOD(CAST($column AS BIGINT), $p) + $salt) * $a, $p)"
+    Some(if (lo > 0L) s"($bucket >= $lo AND $bucket < $hi)"
+    else s"$bucket < $hi")
+  }
+
   /** Compile one Spark v2 SortOrder-ish triple to dialect SQL. */
   def sortClause(column: String, descending: Boolean, nullsFirst: Boolean): String = {
     val dir = if (descending) "DESC" else "ASC"
@@ -476,6 +497,18 @@ object SqliteDialect extends Dialect {
   val name = "sqlite"
   override def stringDdlType: String = "TEXT"
 
+  /** SQLite ships no MOD() function (math functions are a compile-time
+    * option); its `%` operator is always present and matches MOD for
+    * the non-negative operands the bucket arithmetic produces. */
+  override def sampleFilterSql(
+      column: String, lo: Long, hi: Long, salt: Long): Option[String] = {
+    val p = graft.operators.SampleOps.P
+    val a = graft.operators.SampleOps.AmodP
+    val bucket = s"(((CAST($column AS BIGINT) % $p) + $salt) * $a) % $p"
+    Some(if (lo > 0L) s"($bucket >= $lo AND $bucket < $hi)"
+    else s"$bucket < $hi")
+  }
+
   /** SQLite has no ANSI MERGE: the keyed upsert renders as the
     * `ON CONFLICT(keys) DO UPDATE` form (3.24+), whose conflict target
     * needs a unique index on the merge keys. `WHERE true` after the
@@ -549,6 +582,12 @@ object MdbDialect extends Dialect {
   override def stringDdlType: String = "LONGTEXT"
   override def quote(ident: String): String =
     "[" + ident.replace("]", "]]") + "]"
+
+  /** Access SQL has neither MOD() nor `%` (its MOD is a VBA operator
+    * with engine-specific integer coercion) — decline, sample runs
+    * Spark-side. */
+  override def sampleFilterSql(
+      column: String, lo: Long, hi: Long, salt: Long): Option[String] = None
 
   /** Access SQL has no MERGE/upsert statement at all — fail the keyed
     * upsert loudly instead of emitting SQL the backend cannot parse. */

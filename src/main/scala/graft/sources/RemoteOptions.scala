@@ -137,6 +137,10 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
     map.getOrElse("poolcheckouttimeout", "300000").toLong
 
   def partitionColumn: Option[String] = map.get("partitioncolumn")
+  /** Stable numeric key column for deterministic TABLESAMPLE pushdown
+    * (`df.sample` ships as a hash-threshold WHERE on this column).
+    * Unset = sampling stays Spark-side. */
+  def sampleColumn: Option[String] = map.get("samplecolumn")
   def lowerBound: Option[Long] = map.get("lowerbound").map(_.toLong)
   def upperBound: Option[Long] = map.get("upperbound").map(_.toLong)
   def numPartitions: Int = map.getOrElse("numpartitions", "1").toInt

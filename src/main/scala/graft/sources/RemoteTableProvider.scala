@@ -200,7 +200,8 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
   with SupportsPushDownTopN
   with SupportsPushDownOffset
   with SupportsPushDownAggregates
-  with SupportsPushDownJoin {
+  with SupportsPushDownJoin
+  with SupportsPushDownTableSample {
 
   // defs, not vals: join pushdown swaps `table` for a joined-query table
   private def opts = table.opts
@@ -270,6 +271,37 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
   }
 
   override def isPartiallyPushed(): Boolean = opts.numPartitions > 1
+
+  /** TABLESAMPLE pushdown: `df.sample(f, seed)` / `TABLESAMPLE (f
+    * PERCENT)` over a remote table ships as a deterministic
+    * hash-threshold WHERE predicate on `samplecolumn` (a stable
+    * numeric key the USER names — sampling must be a pure function of
+    * a row's identity, not of its physical position, or retries and
+    * re-runs draw different rows). Only ~f of the table crosses the
+    * wire — the federation win for "profile 1% of a remote table" —
+    * and the predicate composes with every other pushdown (filters
+    * fold beside it, aggregates run remotely over the sampled rows,
+    * range partitions AND it into their slices). Declines without a
+    * samplecolumn, with replacement semantics, after a pushed
+    * aggregate (sampling AGG OUTPUT must stay Spark-side), or when the
+    * dialect has no integer modulo — Spark then samples locally,
+    * which is correct, just not wire-proportional. */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (!rewritable || agg.isDefined || withReplacement ||
+      upperBound <= lowerBound) return false
+    val p = graft.operators.SampleOps.P
+    (for {
+      c <- opts.sampleColumn
+      renamed <- renameForPushdown(c)
+      sql <- dialect.sampleFilterSql(dialect.quote(renamed),
+        lo = (lowerBound * p).toLong, hi = (upperBound * p).toLong,
+        salt = ((seed % p) + p) % p)
+    } yield sql) match {
+      case Some(sql) => pushedSql = pushedSql :+ sql; true
+      case None => false
+    }
+  }
 
   /** OFFSET pushdown — single partition only (a per-partition offset
     * would drop the wrong rows) and only for dialects that render it. */
