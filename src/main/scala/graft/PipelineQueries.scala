@@ -469,6 +469,47 @@ object PipelineQueries {
         .orderBy(col("fp_norm"), col("id"))
     }),
 
+    // Heavy hitters WITHOUT the full-vocabulary shuffle: per-partition
+    // Misra-Gries sketches (bounded slots) merge into a candidate set,
+    // then only candidates are exactly recounted — the web-scale way
+    // to ask "top tokens" when the distinct tail is unbounded. Result
+    // provably exact while guarantee_ok holds (k-th count > N/counters
+    // — carried in-band like IVF's recall assertion), which is why the
+    // oracle can be the plain exact top-k.
+    "p54_heavy_hitters" -> ((s, dir) =>
+      LmOps.heavyHitters(docs(s, dir), "text", k = 20, counters = 4096)
+        .orderBy(col("rank"))),
+
+    // Δ-only reprocessing driven by the snapshot diff (p45): the
+    // added+changed set — and ONLY it — is re-scored (quality, langid,
+    // token count) and screened against the previous release's
+    // fingerprint index for re-introduced duplicates. The incremental
+    // pipeline composition: a 100 TB corpus re-ingests its daily Δ at
+    // Δ-proportional cost (diff join + per-row scoring on Δ + the p35
+    // Δ-vs-index screen), never re-running the full pipeline.
+    "p55_incremental_reingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 17 =!= 3)
+      val newSnap = d.filter(col("doc_id") % 17 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      val reingest = DiffOps.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .filter(col("change").isin("added", "changed"))
+        .select(col("id").as("doc_id"), col("change"))
+        .join(newSnap, "doc_id")
+      val index = DedupOps.fingerprintIndex(oldSnap, "doc_id", "text")
+      reingest
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .join(index, Seq("fp"), "left_outer")
+        .select(col("doc_id"), col("change"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          col("keeper").as("dup_of"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style bigram-LM quality bucketing: corpus bigram model
     // (capped vocabulary, broadcast once per executor), per-doc mean
     // bigram probability, fixed head/middle/tail cutoffs. Same scale
@@ -1210,6 +1251,71 @@ object PipelineQueries {
          | row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id)
          |  AS rank
          |FROM fu QUALIFY rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // the MG+recount result is exact while guarantee_ok holds, so the
+    // oracle IS the plain exact top-k (p47 pattern) + the same check
+    "p54_heavy_hitters" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        |tot AS (SELECT count(*) AS total FROM tok),
+        |top AS (SELECT t, cnt FROM c ORDER BY cnt DESC, t LIMIT 20)
+        |SELECT row_number() OVER (ORDER BY cnt DESC, t) AS rank,
+        | t AS token, cnt, cnt * 4096 > total AS guarantee_ok
+        |FROM top, tot ORDER BY rank""".stripMargin,
+
+    // diff (p45 CTE) -> added+changed only -> re-score (p03 quality,
+    // p04 langid, verbatim) + previous-release fingerprint-index screen
+    "p55_incremental_reingest" ->
+      """WITH f AS (
+        | SELECT doc_id, text,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        | FROM documents),
+        |o AS (SELECT doc_id, fp AS fp_old FROM f WHERE doc_id % 17 != 3),
+        |n AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END AS text,
+        |  CASE WHEN doc_id % 11 = 0 THEN
+        |   md5(lower(regexp_replace(text || ' rev2', '\s+', ' ', 'g')))
+        |  ELSE fp END AS fp_new
+        | FROM f WHERE doc_id % 17 != 7),
+        |d AS (
+        | SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN fp_old IS NULL THEN 'added'
+        |       WHEN fp_new IS NULL THEN 'removed'
+        |       WHEN fp_old != fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS change
+        | FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+        |r AS (
+        | SELECT d.doc_id, d.change, n.text, n.fp_new,
+        |  string_split(n.text, ' ') AS toks,
+        |  len(string_split(n.text, ' ')) AS n_tok
+        | FROM d JOIN n ON d.doc_id = n.doc_id
+        | WHERE d.change IN ('added', 'changed')),
+        |idx AS (SELECT fp_old AS fp, min(doc_id) AS keeper FROM o
+        |        GROUP BY fp_old),
+        |sc AS (
+        | SELECT r.*,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','nicht','das'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','que','una','por'))) AS s_es,
+        |  idx.keeper AS dup_of
+        | FROM r LEFT JOIN idx ON r.fp_new = idx.fp)
+        |SELECT doc_id, change, n_tok AS n_tokens,
+        | ((CASE WHEN n_tok BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+        |  + (CASE WHEN CAST(len(list_filter(toks, x -> x IN
+        |       ('the','a','and','of','to','in','is'))) AS DOUBLE) / n_tok
+        |       BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+        |  + CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok) / 3.0
+        |  AS quality,
+        | CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |      ELSE 'es' END AS lang_pred,
+        | dup_of
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // composed (chr(225)) and decomposed (chr(769) combining) variants
     // rebuilt, NFC+casefold fingerprints via nfc_normalize

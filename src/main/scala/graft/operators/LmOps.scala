@@ -83,6 +83,67 @@ object LmOps {
           col("total").cast("double")).as("coverage"))
   }
 
+  /** Exact top-k frequent tokens WITHOUT a full-vocabulary shuffle —
+    * the heavy-hitters shape for web-scale corpora, where the distinct
+    * token tail (typos, hashes, garbage) is effectively unbounded and
+    * [[vocabCoverage]]'s groupBy over it becomes the dominant shuffle.
+    *
+    * Three stages:
+    *  1. per-partition Misra-Gries sketch (`counters` bounded slots,
+    *     imperative per-partition state — the documented mapPartitions
+    *     case): each task emits ≤ counters (token, weight) survivors;
+    *  2. candidate set = the merged survivors (≤ tasks·counters rows —
+    *     mergeable-summaries law: any token with global frequency
+    *     > N/counters survives SOME partition's sketch);
+    *  3. exact recount of the candidates only (broadcast semi-join +
+    *     a groupBy over the candidate-pruned stream), top-k by
+    *     (count desc, token).
+    *
+    * The result is provably EXACT — not approximate — whenever the
+    * true k-th count exceeds N/counters; `guarantee_ok` carries that
+    * check in-band (the caller sizes `counters` until it is true, the
+    * same contract as IVF's recall assertion). MG survivor sets depend
+    * on row order, but the FINAL output never does: recounts are exact
+    * and the guarantee makes the candidate set a superset of the true
+    * top-k under any ordering. */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int,
+      counters: Int = 4096): DataFrame = {
+    require(k > 0 && counters > k, s"need counters ($counters) > k ($k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(TextOps.tokens(col(textCol))).as("t"))
+    val sketched = toks.as[String].mapPartitions { it =>
+      val m = new java.util.HashMap[String, Long](counters * 2)
+      it.foreach { t =>
+        val c = m.get(t)
+        if (c != 0L || m.containsKey(t)) m.put(t, c + 1L)
+        else if (m.size < counters) m.put(t, 1L)
+        else { // decrement-all, drop zeros (classic Misra-Gries step)
+          val e = m.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+          }
+        }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        m.entrySet().iterator()).asScala.map(kv => (kv.getKey, kv.getValue))
+    }.toDF("t", "w")
+    // candidate set: merged survivors, bounded by tasks·counters
+    val candidates = sketched.groupBy(col("t")).agg(sum(col("w")).as("w"))
+      .select(col("t"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val exact = toks.join(broadcast(candidates), Seq("t"), "left_semi")
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(k)
+    val order = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("t"))
+    exact.crossJoin(broadcast(total))
+      .select(row_number().over(order).as("rank"), col("t").as("token"),
+        col("cnt"),
+        (col("cnt") * lit(counters.toLong) > col("total")).as("guarantee_ok"))
+  }
+
   /** Inverse-document-frequency table: token -> N/df (the RATIO form,
     * not ln(N/df) — libm rounding differs across engines and exactness
     * matters more here than the logarithm's compression; monotone in
