@@ -173,6 +173,13 @@ trait Dialect extends Serializable {
     else s"$bucket < $hi")
   }
 
+  /** RENAME TABLE DDL — `ALTER TABLE .. RENAME TO` is the widest
+    * spelling (Postgres/MySQL/SQLite/Oracle); Derby overrides with its
+    * own `RENAME TABLE` statement. The new name is always unqualified
+    * (same schema — the catalog enforces it). */
+  def renameTableSql(oldParts: Seq[String], newName: String): String =
+    s"ALTER TABLE ${tableName(oldParts)} RENAME TO ${quote(newName)}"
+
   /** Compile one Spark v2 SortOrder-ish triple to dialect SQL. */
   def sortClause(column: String, descending: Boolean, nullsFirst: Boolean): String = {
     val dir = if (descending) "DESC" else "ASC"
@@ -353,6 +360,10 @@ object Dialect {
 object DerbyDialect extends Dialect {
   val name = "derby"
   override def subqueryAlias: String = "GRAFT_SUBQUERY"
+  /** Derby has no ALTER TABLE .. RENAME TO; its statement is `RENAME
+    * TABLE old TO new` (new name unqualified). */
+  override def renameTableSql(oldParts: Seq[String], newName: String): String =
+    s"RENAME TABLE ${tableName(oldParts)} TO ${quote(newName)}"
   /** Derby rejects SQL-standard `DATE '...'` literals; it wants the
     * function form `DATE('...')` (same for TIMESTAMP). */
   override def dateLiteral(d: LocalDate): String = s"DATE('$d')"

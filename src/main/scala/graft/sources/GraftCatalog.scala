@@ -137,9 +137,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new RemoteTableImpl(o, Some(schema))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported (append-only connector)")
+  /** ALTER TABLE as remote DDL: ADD COLUMN and DROP COLUMN ship as one
+    * dialect statement each (the schema lives on the REMOTE — there is
+    * nothing Spark-side to alter). Other change classes (type changes,
+    * renames-within-table, property edits) have engine-divergent
+    * semantics and fail loudly rather than guessing. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = opts().dialect
+    val parts = ident.namespace() :+ ident.name()
+    val stmts = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "remote ALTER TABLE cannot add nested fields")
+        val nn = if (a.isNullable) "" else " NOT NULL"
+        s"ALTER TABLE ${d.tableName(parts)} ADD COLUMN " +
+          s"${d.quote(a.fieldNames().head)} ${d.ddlType(a.dataType())}$nn"
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "remote ALTER TABLE cannot drop nested fields")
+        s"ALTER TABLE ${d.tableName(parts)} DROP COLUMN " +
+          s"${d.quote(del.fieldNames().head)}"
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other " +
+          "(ADD COLUMN / DROP COLUMN only)")
+    }
+    withConnection { conn =>
+      val st = conn.createStatement()
+      try stmts.foreach(st.executeUpdate) finally st.close()
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
@@ -153,9 +180,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     true
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft catalog: RENAME TABLE is not supported")
+  /** RENAME TABLE as remote DDL (dialect spelling: Derby `RENAME
+    * TABLE`, most others `ALTER TABLE .. RENAME TO`). Cross-schema
+    * moves are not a rename in any engine — rejected. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // Spark hands RENAME targets through with whatever qualification
+    // the user typed (often none) — an EMPTY namespace means "same
+    // schema"; anything else must match the source schema
+    require(newIdent.namespace().isEmpty ||
+      oldIdent.namespace().toSeq == newIdent.namespace().toSeq,
+      "graft catalog: RENAME TABLE cannot move tables across schemas")
+    if (!tableExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        oldIdent)
+    val d = opts().dialect
+    val sql = d.renameTableSql(
+      oldIdent.namespace() :+ oldIdent.name(), newIdent.name())
+    withConnection { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(sql) finally st.close()
+    }
+  }
 
   // ---- namespaces (remote schemas) ---------------------------------------
 

@@ -123,9 +123,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
   }
 
-  test("unsupported DDL fails loudly") {
-    intercept[Exception] {
-      spark.sql("ALTER TABLE rdb.APP.NATION ADD COLUMN X INT")
-    }
+  test("ALTER TABLE ADD/DROP COLUMN ships as remote DDL") {
+    spark.sql("DROP TABLE IF EXISTS rdb.APP.CAT_ALTER")
+    spark.sql("CREATE TABLE rdb.APP.CAT_ALTER (ID BIGINT, NAME STRING)")
+    spark.sql("INSERT INTO rdb.APP.CAT_ALTER VALUES (1, 'a')")
+    spark.sql("ALTER TABLE rdb.APP.CAT_ALTER ADD COLUMN SCORE DOUBLE")
+    // the new column is immediately remote-real: writable and readable
+    spark.sql("INSERT INTO rdb.APP.CAT_ALTER VALUES (2, 'b', 1.5)")
+    val back = spark.sql(
+      "SELECT ID, SCORE FROM rdb.APP.CAT_ALTER ORDER BY ID").collect()
+    assert(back.length == 2 && back(0).isNullAt(1) &&
+      back(1).getDouble(1) == 1.5)
+    spark.sql("ALTER TABLE rdb.APP.CAT_ALTER DROP COLUMN NAME")
+    val cols = spark.table("rdb.APP.CAT_ALTER").schema.fieldNames.toSeq
+    assert(cols.map(_.toUpperCase) == Seq("ID", "SCORE"))
+    spark.sql("DROP TABLE rdb.APP.CAT_ALTER")
+  }
+
+  test("RENAME TABLE ships as remote DDL (Derby RENAME TABLE spelling)") {
+    spark.sql("DROP TABLE IF EXISTS rdb.APP.CAT_RN1")
+    spark.sql("DROP TABLE IF EXISTS rdb.APP.CAT_RN2")
+    spark.sql("CREATE TABLE rdb.APP.CAT_RN1 (ID BIGINT)")
+    spark.sql("INSERT INTO rdb.APP.CAT_RN1 VALUES (7)")
+    spark.sql("ALTER TABLE rdb.APP.CAT_RN1 RENAME TO CAT_RN2")
+    val back = spark.sql("SELECT ID FROM rdb.APP.CAT_RN2").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(7L))
+    // the old name is gone on the REMOTE, not just in Spark's view
+    assert(!spark.sql("SHOW TABLES IN rdb.APP").select("tableName")
+      .collect().map(_.getString(0)).contains("CAT_RN1"))
+    spark.sql("DROP TABLE rdb.APP.CAT_RN2")
+  }
+
+  test("unsupported DDL change classes still fail loudly") {
+    spark.sql("DROP TABLE IF EXISTS rdb.APP.CAT_ALTER2")
+    spark.sql("CREATE TABLE rdb.APP.CAT_ALTER2 (ID BIGINT)")
+    try intercept[Exception] {
+      // column type change: engine-divergent semantics, rejected
+      spark.sql("ALTER TABLE rdb.APP.CAT_ALTER2 ALTER COLUMN ID TYPE STRING")
+    } finally spark.sql("DROP TABLE rdb.APP.CAT_ALTER2")
   }
 }
