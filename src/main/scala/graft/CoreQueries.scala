@@ -248,6 +248,70 @@ object CoreQueries {
         .orderBy(col("g1"), col("g2"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // ---- statistical aggregates (variance/stddev/correlation) ----------
+    // built-in corr()/var_samp() accumulate co-moments in partial-merge
+    // order — float results drift across partitionings and retries. The
+    // deterministic spelling: EXACT decimal sums of x, y, x², y², xy
+    // (the dsum trick), then the closed forms in one pinned double
+    // expression tree. Same category, reproducible bit-for-bit.
+    "q49_stats_agg" -> ((s, dir) => {
+      // co-moment sums quantize each FACTOR to decimal before the
+      // multiply (a double PRODUCT cast to decimal lands on rounding
+      // boundaries where engines disagree), and the variable pair is
+      // (quantity, discount) DELIBERATELY: every co-moment's unscaled
+      // decimal stays below 2^53, where decimal→double is a single
+      // correctly-rounded operation in any engine. Measured: the
+      // (quantity, price) pair's Σy² has a 26-digit unscaled value and
+      // Spark's Decimal.toDouble and DuckDB's hugeint cast disagree by
+      // 1 ulp on it (both double-round) — magnitude discipline, not a
+      // wider type, is the fix.
+      def dprod(a: Column, b: Column): Column =
+        sum(a.cast(DecimalType(18, 6)) * b.cast(DecimalType(18, 6)))
+          .cast(DoubleType)
+      val base = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_discount")).as("sy"),
+          dprod(col("l_quantity"), col("l_quantity")).as("sxx"),
+          dprod(col("l_discount"), col("l_discount")).as("syy"),
+          dprod(col("l_quantity"), col("l_discount")).as("sxy"))
+      base.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)).as("var_qty"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)).as("std_qty"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr_qty_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- time-series gap fill + forward fill ---------------------------
+    // the resample/as-known-at query: a complete per-user daily spine
+    // (users × sequence(min_day, max_day)), observed daily totals left-
+    // joined on, and missing days carried forward with last(ignoreNulls)
+    // — the standard dashboard/feature-store shape. The spine bounds
+    // come from ONE global aggregate; the window is per-user by day.
+    "q50_gapfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("user_id") < 20)
+      val daily = ev.groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast(DateType).as("day"))
+        .agg(dsum(col("value")).as("total"))
+      val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val spine = daily.select(col("user_id")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left_outer")
+        .select(col("user_id"), col("day"), col("total"),
+          last(col("total"), ignoreNulls = true).over(w).as("carried"),
+          col("total").isNull.as("was_gap"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
     // ---- exact percentiles (linear interpolation, both engines) --------
     "q27_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -745,6 +809,51 @@ object CoreQueries {
         | count(DISTINCT user_id) AS exact_users,
         | TRUE AS within_5pct
         |FROM events""".stripMargin,
+
+    "q49_stats_agg" -> {
+      // DECIMAL(19,6) not 18: DuckDB multiplies int64-backed decimals
+      // in int64 and overflows; 19 forces int128 backing. The width
+      // differs from Spark's (18,6) but both sides are EXACT, which is
+      // all the equality needs.
+      def dprod(a: String, b: String) =
+        s"CAST(sum(CAST($a AS DECIMAL(19,6)) * CAST($b AS DECIMAL(19,6))) AS DOUBLE)"
+      val sxx = dprod("l_quantity", "l_quantity")
+      val syy = dprod("l_discount", "l_discount")
+      val sxy = dprod("l_quantity", "l_discount")
+      s"""WITH b AS (
+         | SELECT l_returnflag,
+         |  CAST(count(*) AS DOUBLE) AS n,
+         |  ${sqlDsum("l_quantity")} AS sx,
+         |  ${sqlDsum("l_discount")} AS sy,
+         |  $sxx AS sxx, $syy AS syy, $sxy AS sxy
+         | FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+         | (sxx - sx * sx / n) / (n - 1) AS var_qty,
+         | sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+         | (sxy - sx * sy / n)
+         |  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+         |  AS corr_qty_disc
+         |FROM b ORDER BY l_returnflag""".stripMargin
+    },
+
+    "q50_gapfill" ->
+      s"""WITH daily AS (
+         | SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  ${sqlDsum("value")} AS total
+         | FROM events WHERE user_id < 20 GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |spine AS (
+         | SELECT u.user_id, CAST(d.day AS DATE) AS day
+         | FROM (SELECT DISTINCT user_id FROM daily) u
+         | CROSS JOIN (SELECT unnest(generate_series(d0, d1,
+         |   INTERVAL 1 DAY)) AS day FROM b) d)
+         |SELECT s.user_id, s.day, daily.total,
+         | last_value(daily.total IGNORE NULLS)
+         |  OVER (PARTITION BY s.user_id ORDER BY s.day) AS carried,
+         | daily.total IS NULL AS was_gap
+         |FROM spine s LEFT JOIN daily
+         | ON s.user_id = daily.user_id AND s.day = daily.day
+         |ORDER BY s.user_id, s.day""".stripMargin,
 
     "q47_listagg" ->
       """SELECT r_name,
