@@ -84,9 +84,23 @@ object ConnectorBench {
       .collect().head.getLong(0)
     val fullScanMs = (System.nanoTime() - t3) / 1e6
 
+    // sampled full-width scan: TABLESAMPLE pushdown (r18) — only ~5%
+    // of rows cross the wire; the wall-clock vs full_scan_ms IS the
+    // wire-proportionality evidence for the pushed sample
+    val t4 = System.nanoTime()
+    val n4 = spark.read.format("graft-remote").option("url", url)
+      .option("dbtable", "BENCH_T").option("samplecolumn", "C_INT").load()
+      .sample(withReplacement = false, fraction = 0.05, seed = 11L)
+      .agg(count(col("C_INT")), sum(col("C_DOUBLE")),
+        max(length(col("C_TEXT"))), max(octet_length(col("C_BYTES"))),
+        max(length(col("C_JSON"))), max(col("C_TS")))
+      .collect().head.getLong(0)
+    val sampleScanMs = (System.nanoTime() - t4) / 1e6
+
     require(n == rows && n2 == rows && n3 == rows,
       s"row count mismatch: $n / $n2 / $n3 != $rows")
-    println(s"""{"rows":$rows,"insert_ms":$insertMs,"count_pushdown_ms":$countMs,"scan2col_ms":$scanMs,"full_scan_ms":$fullScanMs}""")
+    require(n4 > 0 && n4 < rows, s"sampled scan returned $n4 of $rows rows")
+    println(s"""{"rows":$rows,"insert_ms":$insertMs,"count_pushdown_ms":$countMs,"scan2col_ms":$scanMs,"full_scan_ms":$fullScanMs,"sample5pct_rows":$n4,"sample5pct_scan_ms":$sampleScanMs}""")
     spark.stop()
     // embedded Derby DBs are ~1 GB at 1M rows; don't accrete in /tmp
     graft.sources.GraftConnectionPool.drainAll()
