@@ -456,6 +456,23 @@ object RemoteQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Scalar-function filter pushdown (v2 Predicate path): an OR tree
+    // mixing LOWER and CHAR_LENGTH is inexpressible in the v1 Filter
+    // algebra, so the whole predicate ships through the dialect's
+    // scalar whitelist as ONE remote WHERE clause (r19). The reference
+    // excludes every scalar fn from pushdown (transform.rs:53-77) —
+    // beyond-reference surface, refuse-by-default per dialect.
+    "r19_remote_fn_filter" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "CUSTOMER")
+        .filter(lower(col("C_MKTSEGMENT")) === "building" ||
+          length(col("C_MKTSEGMENT")) === 9)
+        .select(col("C_CUSTKEY").as("c_custkey"),
+          col("C_NAME").as("c_name"),
+          col("C_MKTSEGMENT").as("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Nested-struct decode end-to-end: the remote scalar JSON column is
     // declared a typed struct via structcol.<name>; the reader decodes
     // it to InternalRow (reference SdeGeometry assembly,
@@ -533,6 +550,10 @@ object RemoteQueries {
     "r15_remote_distinct" ->
       """SELECT DISTINCT c_nationkey, c_mktsegment
         |FROM customer ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "r19_remote_fn_filter" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE lower(c_mktsegment) = 'building' OR length(c_mktsegment) = 9
+        |ORDER BY c_custkey""".stripMargin,
     "r08_remote_runtime_filter" ->
       """SELECT n_name, count(*) AS n_cust,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal

@@ -324,6 +324,31 @@ trait Dialect extends Serializable {
       case _ => None
     }
   }
+
+  // ---- scalar functions in pushed filters (v2 Predicate path) -------------
+
+  /** Render a whitelisted deterministic scalar function for remote
+    * evaluation, or `None` ⇒ the containing predicate stays Spark-side.
+    *
+    * The reference excludes ALL scalar functions from filter pushdown
+    * (`transform.rs:53-77` maps them to `Unsupported`); this widens
+    * that surface behind the same refuse-by-default posture: only
+    * functions whose semantics are engine-identical for the types we
+    * ship may appear — ASCII-safe case mapping, character-counting
+    * length, ANSI COALESCE/ABS and integer-exact math. Fractional
+    * float functions (SQRT/EXP/…) are deliberately absent: a pushed
+    * filter is Exact (never re-checked by Spark), and a last-ulp
+    * rounding difference between engines would silently change rows.
+    * `fn` arrives as Spark's V2 function name (CHAR_LENGTH, UPPER, …);
+    * `args` are already-rendered SQL fragments. */
+  def scalarFn(fn: String, args: Seq[String]): Option[String] = fn match {
+    case "UPPER" | "LOWER" | "ABS" | "COALESCE" | "FLOOR" | "CEIL" =>
+      Some(s"$fn(${args.mkString(", ")})")
+    case "CHAR_LENGTH" | "CHARACTER_LENGTH" =>
+      Some(s"CHAR_LENGTH(${args.head})")
+    case "SUBSTRING" => Some(s"SUBSTRING(${args.mkString(", ")})")
+    case _ => None
+  }
 }
 
 object Dialect {
@@ -373,6 +398,14 @@ object DerbyDialect extends Dialect {
     * to store into BLOB columns without an explicit cast. */
   override def binaryLiteral(b: Array[Byte]): String =
     "CAST(X'" + b.map("%02x".format(_)).mkString + "' AS BLOB)"
+  /** Derby spells character length LENGTH and substring SUBSTR. */
+  override def scalarFn(fn: String, args: Seq[String]): Option[String] =
+    fn match {
+      case "CHAR_LENGTH" | "CHARACTER_LENGTH" =>
+        Some(s"LENGTH(${args.head})")
+      case "SUBSTRING" => Some(s"SUBSTR(${args.mkString(", ")})")
+      case _ => super.scalarFn(fn, args)
+    }
   override protected def applyLimit(
       sql: String, limit: Option[Int], offset: Option[Int] = None): String = {
     val off = offset.fold("")(o => s" OFFSET $o ROWS")
@@ -508,6 +541,18 @@ object SqliteDialect extends Dialect {
   val name = "sqlite"
   override def stringDdlType: String = "TEXT"
 
+  /** SQLite: LENGTH/SUBSTR spellings; FLOOR/CEIL live in the optional
+    * math extension (compile-time flag) — decline rather than gamble
+    * on the build the user's libsqlite was compiled with. */
+  override def scalarFn(fn: String, args: Seq[String]): Option[String] =
+    fn match {
+      case "CHAR_LENGTH" | "CHARACTER_LENGTH" =>
+        Some(s"LENGTH(${args.head})")
+      case "SUBSTRING" => Some(s"SUBSTR(${args.mkString(", ")})")
+      case "FLOOR" | "CEIL" => None
+      case _ => super.scalarFn(fn, args)
+    }
+
   /** SQLite ships no MOD() function (math functions are a compile-time
     * option); its `%` operator is always present and matches MOD for
     * the non-negative operands the bucket arithmetic produces. */
@@ -552,6 +597,14 @@ object OracleDialect extends Dialect {
     limit.fold(sql)(n => s"SELECT * FROM ($sql) WHERE ROWNUM <= $n")
   override def timestampLiteral(t: LocalDateTime): String =
     s"TO_TIMESTAMP('${java.sql.Timestamp.valueOf(t)}', 'YYYY-MM-DD HH24:MI:SS.FF')"
+  /** Oracle: LENGTH/SUBSTR spellings (SQL Language Reference). */
+  override def scalarFn(fn: String, args: Seq[String]): Option[String] =
+    fn match {
+      case "CHAR_LENGTH" | "CHARACTER_LENGTH" =>
+        Some(s"LENGTH(${args.head})")
+      case "SUBSTRING" => Some(s"SUBSTR(${args.mkString(", ")})")
+      case _ => super.scalarFn(fn, args)
+    }
 }
 
 /** DM (Dameng) rendering — no JDBC driver ships in this image, but the
@@ -565,6 +618,14 @@ object DmDialect extends Dialect {
   override def stringDdlType: String = "CLOB"
   override def binaryLiteral(b: Array[Byte]): String =
     "HEXTORAW('" + b.map("%02x".format(_)).mkString + "')"
+  /** DM is Oracle-compatible: LENGTH/SUBSTR spellings. */
+  override def scalarFn(fn: String, args: Seq[String]): Option[String] =
+    fn match {
+      case "CHAR_LENGTH" | "CHARACTER_LENGTH" =>
+        Some(s"LENGTH(${args.head})")
+      case "SUBSTRING" => Some(s"SUBSTR(${args.mkString(", ")})")
+      case _ => super.scalarFn(fn, args)
+    }
 }
 
 /** GaussDB rendering — Postgres-family per the reference
@@ -599,6 +660,12 @@ object MdbDialect extends Dialect {
     * Spark-side. */
   override def sampleFilterSql(
       column: String, lo: Long, hi: Long, salt: Long): Option[String] = None
+
+  /** Access function spellings are VBA (UCase/LCase/Len), with
+    * engine-specific NULL propagation, and its parser rejects the
+    * parentheses a function call needs in WHERE anyway — no scalar
+    * function ever pushes to MDB. */
+  override def scalarFn(fn: String, args: Seq[String]): Option[String] = None
 
   /** Access SQL has no MERGE/upsert statement at all — fail the keyed
     * upsert loudly instead of emitting SQL the backend cannot parse. */

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, Transform => 
 import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -194,7 +194,7 @@ class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType],
   */
 class RemoteScanBuilder(private var table: RemoteTableImpl)
   extends ScanBuilder
-  with SupportsPushDownFilters
+  with SupportsPushDownV2Filters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownLimit
   with SupportsPushDownTopN
@@ -210,7 +210,8 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
   private def hasTransform = opts.transformClass.isDefined
 
   private var pushedSql: Seq[String] = Nil
-  private var pushed: Array[Filter] = Array.empty
+  private var pushedPreds: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
   private var required: StructType = table.transformedSchema
   private var limit: Option[Int] = None
   private var sortSql: Seq[String] = Nil
@@ -225,19 +226,40 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
     mapped.filter(m => table.remoteSchema.fields.exists(_.name.equalsIgnoreCase(m)))
   }
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    if (!rewritable) { pushed = Array.empty; return filters }
-    val (ok, rest) = filters.partition { f =>
-      // every referenced column must survive the rename
-      val renameable = f.references.forall(c => renameForPushdown(c).isDefined)
-      renameable && dialect.compileFilter(f, c => renameForPushdown(c).get).isDefined
+  /** v2 filter pushdown, two-tier (r19):
+    *   1. every v1-expressible predicate converts back to a
+    *      `sources.Filter` and the established `Dialect.compileFilter`
+    *      path decides — byte-identical SQL and identical declines to
+    *      the previous v1 `SupportsPushDownFilters` implementation;
+    *   2. only trees the v1 algebra CANNOT express (scalar function
+    *      calls — `CHAR_LENGTH(c) > 10`, `LOWER(c) = '…'`) go to
+    *      [[ScalarPredicateSQL]], whose per-dialect whitelist refuses
+    *      anything not verified engine-identical.
+    * A v1-expressible predicate the dialect declined is NOT retried on
+    * tier 2: dialect exclusion rules are final. */
+  override def pushPredicates(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    if (!rewritable) { pushedPreds = Array.empty; return predicates }
+    val compiled = predicates.toSeq.map { p =>
+      val sql = org.apache.spark.sql.graftbridge.Bridge.predicateToV1(p) match {
+        case Some(f) =>
+          // every referenced column must survive the rename
+          if (f.references.forall(c => renameForPushdown(c).isDefined))
+            dialect.compileFilter(f, c => renameForPushdown(c).get)
+          else None
+        case None =>
+          try Some(new ScalarPredicateSQL(dialect, renameForPushdown).build(p))
+          catch { case scala.util.control.NonFatal(_) => None }
+      }
+      (p, sql)
     }
-    pushed = ok
-    pushedSql = ok.toSeq.flatMap(f =>
-      dialect.compileFilter(f, c => renameForPushdown(c).get))
-    rest
+    pushedPreds = compiled.collect { case (p, Some(_)) => p }.toArray
+    pushedSql = compiled.collect { case (_, Some(s)) => s }
+    compiled.collect { case (p, None) => p }.toArray
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates(): Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate] = pushedPreds
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -515,14 +537,14 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
         table = new RemoteTableImpl(RemoteOptions(newMap), None,
           Some(RemoteSchema(joinedFields)))
         required = table.transformedSchema
-        pushed = Array.empty
+        pushedPreds = Array.empty
         pushedSql = Nil
         true
     }
   }
 
   override def build(): Scan =
-    new RemoteScan(table, pushedSql, pushed, required, limit, sortSql, offset, agg)
+    new RemoteScan(table, pushedSql, required, limit, sortSql, offset, agg)
 }
 
 /** A pushed-down (complete) aggregate: the rendered SELECT list
@@ -547,7 +569,6 @@ final case class RemotePartition(
 class RemoteScan(
     table: RemoteTableImpl,
     pushedSql: Seq[String],
-    pushedFilters: Array[Filter],
     required: StructType,
     limit: Option[Int],
     sortSql: Seq[String],

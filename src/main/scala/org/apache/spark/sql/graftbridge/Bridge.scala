@@ -69,6 +69,16 @@ object Bridge {
     sc.cleaner.foreach(c => ids.foreach(id =>
       c.doCleanupShuffle(id, blocking = true)))
 
+  /** V2 `Predicate` → v1 `sources.Filter` (`PredicateUtils` is
+    * private[sql]). The scan builder's v2 filter pushdown uses this to
+    * route every v1-expressible predicate through the battle-tested
+    * `Dialect.compileFilter` path, reserving the v2 SQL builder for
+    * trees the v1 algebra cannot express (scalar function calls). */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
   /** V2 connector expression factories (`FieldReference`/`LiteralValue`
     * companions are private[sql]) — used by specs that exercise the
     * join-pushdown SQL builder directly. */

@@ -123,11 +123,31 @@ class RemoteSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(1)).toSet == Set("ARGENTINA"))
   }
 
-  test("unpushable filter still evaluated by Spark (scalar fn exclusion)") {
+  test("scalar-fn filter pushdown (r19): LENGTH/LOWER ship as remote SQL") {
+    // an OR tree mixing two scalar fns is inexpressible in the v1
+    // Filter algebra — it must travel the v2 ScalarPredicateSQL path
+    // as ONE pushed predicate (reference excludes ALL scalar fns,
+    // transform.rs:53-77; this is beyond-reference surface)
     val df = remote("dbtable" -> "NATION")
-      .filter(length(col("N_NAME")) === 6) // function => not pushed
+      .filter(length(col("N_NAME")) === 6 || lower(col("N_NAME")) === "algeria")
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pushed.contains("LENGTH("), s"pushed: $pushed\nplan: $plan")
+    assert(pushed.contains("LOWER("), s"pushed: $pushed")
     assert(df.collect().map(_.getString(1)).toSet ==
-      Set("BRAZIL", "CANADA", "FRANCE"))
+      Set("ALGERIA", "BRAZIL", "CANADA", "FRANCE"))
+  }
+
+  test("non-whitelisted scalar fn declines: Spark evaluates, rows correct") {
+    // SQRT is deliberately absent from the whitelist (per-engine float
+    // rounding on an Exact filter) — the predicate must stay Spark-side
+    val df = remote("dbtable" -> "NATION")
+      .filter(sqrt(col("N_REGIONKEY")) > 1.5)
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(!pushed.contains("SQRT"), s"pushed: $pushed")
+    val keys = df.collect().map(_.getInt(2))
+    assert(keys.nonEmpty && keys.forall(k => math.sqrt(k) > 1.5))
   }
 
   test("limit pushdown") {
