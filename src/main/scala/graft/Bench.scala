@@ -57,7 +57,8 @@ object Bench {
     "m08_video_neardup", "m09_audio_quality", "m10_image_quality",
     "m11_asset_integrity",
     "q44_range_window", "q45_streamjoin_outer", "q46_hll_merge",
-    "q47_listagg", "q48_grouping_sets", "q49_stats_agg", "q50_gapfill")
+    "q47_listagg", "q48_grouping_sets", "q49_stats_agg", "q50_gapfill",
+    "q51_recursive")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above

@@ -287,6 +287,28 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- recursive CTE (iterative self-referencing query) ---------------
+    // WITH RECURSIVE (Spark 4.x UnionLoop execution): a data-dependent
+    // walk over nation — each step joins the frontier row back to the
+    // table to pick the next key, so the recursion CANNOT be unrolled
+    // at plan time and the engine must iterate to the fixpoint. The
+    // relational surface DuckDB/Postgres users expect for hierarchy /
+    // graph-reachability queries; bounded depth keeps each iteration a
+    // 1-row broadcast join against the dimension.
+    "q51_recursive" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql(
+        """WITH RECURSIVE walk(step, nkey, acc) AS (
+          | SELECT 0, 0, CAST(0 AS BIGINT)
+          | UNION ALL
+          | SELECT w.step + 1,
+          |  CAST((w.nkey * 7 + n.n_regionkey + 3) % 25 AS INT),
+          |  w.acc + n.n_regionkey
+          | FROM walk w JOIN nation_v n ON n.n_nationkey = w.nkey
+          | WHERE w.step < 40)
+          |SELECT step, nkey, acc FROM walk ORDER BY step""".stripMargin)
+    }),
+
     // ---- time-series gap fill + forward fill ---------------------------
     // the resample/as-known-at query: a complete per-user daily spine
     // (users × sequence(min_day, max_day)), observed daily totals left-
@@ -854,6 +876,17 @@ object CoreQueries {
          |FROM spine s LEFT JOIN daily
          | ON s.user_id = daily.user_id AND s.day = daily.day
          |ORDER BY s.user_id, s.day""".stripMargin,
+
+    "q51_recursive" ->
+      """WITH RECURSIVE walk(step, nkey, acc) AS (
+        | SELECT 0, 0, CAST(0 AS BIGINT)
+        | UNION ALL
+        | SELECT w.step + 1,
+        |  CAST((w.nkey * 7 + n.n_regionkey + 3) % 25 AS INT),
+        |  w.acc + n.n_regionkey
+        | FROM walk w JOIN nation n ON n.n_nationkey = w.nkey
+        | WHERE w.step < 40)
+        |SELECT step, nkey, acc FROM walk ORDER BY step""".stripMargin,
 
     "q47_listagg" ->
       """SELECT r_name,
