@@ -97,10 +97,28 @@ object ConnectorBench {
       .collect().head.getLong(0)
     val sampleScanMs = (System.nanoTime() - t4) / 1e6
 
+    // scalar-fn filter pushdown (r19): `SUBSTRING(C_JSON, 1, 1) = '{'
+    // AND C_INT < rows/20` ships as remote WHERE SQL — only ~5% of
+    // full-width rows cross the wire. The same query with pushdown
+    // impossible (filter on a fn of a fetched value Spark must compute)
+    // would pay full_scan_ms; fn_filter_scan_ms vs full_scan_ms is the
+    // wire-savings evidence for the whitelist path.
+    val t5 = System.nanoTime()
+    val n5 = spark.read.format("graft-remote").option("url", url)
+      .option("dbtable", "BENCH_T").load()
+      .filter(substring(col("C_JSON"), 1, 1) === "{" &&
+        col("C_INT") < rows / 20)
+      .agg(count(col("C_INT")), sum(col("C_DOUBLE")),
+        max(length(col("C_TEXT"))), max(octet_length(col("C_BYTES"))),
+        max(length(col("C_JSON"))), max(col("C_TS")))
+      .collect().head.getLong(0)
+    val fnFilterMs = (System.nanoTime() - t5) / 1e6
+
     require(n == rows && n2 == rows && n3 == rows,
       s"row count mismatch: $n / $n2 / $n3 != $rows")
     require(n4 > 0 && n4 < rows, s"sampled scan returned $n4 of $rows rows")
-    println(s"""{"rows":$rows,"insert_ms":$insertMs,"count_pushdown_ms":$countMs,"scan2col_ms":$scanMs,"full_scan_ms":$fullScanMs,"sample5pct_rows":$n4,"sample5pct_scan_ms":$sampleScanMs}""")
+    require(n5 == rows / 20, s"fn-filter scan returned $n5 of ${rows / 20}")
+    println(s"""{"rows":$rows,"insert_ms":$insertMs,"count_pushdown_ms":$countMs,"scan2col_ms":$scanMs,"full_scan_ms":$fullScanMs,"sample5pct_rows":$n4,"sample5pct_scan_ms":$sampleScanMs,"fn_filter_rows":$n5,"fn_filter_scan_ms":$fnFilterMs}""")
     spark.stop()
     // embedded Derby DBs are ~1 GB at 1M rows; don't accrete in /tmp
     graft.sources.GraftConnectionPool.drainAll()
