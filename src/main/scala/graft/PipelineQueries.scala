@@ -510,6 +510,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Semantic decontamination (p56): corpus embeddings whose cosine to
+    // ANY eval-set embedding reaches tau — catches paraphrased eval
+    // leakage that shares no n-grams with the original (the failure
+    // mode p20's shingle screen cannot see). Eval set = 13 vectors
+    // folded into ONE per-row expression: the corpus plan is scan →
+    // project → filter, zero joins, zero shuffles (spec-pinned).
+    "p56_semantic_decontam" -> ((s, dir) => {
+      val all = embs(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      VectorOps.semanticContamination(
+          corpus = all.filter(col("id") % 41 =!= 0),
+          evalSet = all.filter(col("id") % 41 === 0), tau = 0.30)
+        .orderBy(col("id"))
+    }),
+
     // CCNet-style bigram-LM quality bucketing: corpus bigram model
     // (capped vocabulary, broadcast once per executor), per-doc mean
     // bigram probability, fixed head/middle/tail cutoffs. Same scale
@@ -1316,6 +1331,32 @@ object PipelineQueries {
         |      ELSE 'es' END AS lang_pred,
         | dup_of
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // max-over-evals cosine, identical arithmetic to the p08 oracle
+    // (index-order double accumulation); ties toward the smallest
+    // eval id via the row_number ordering
+    "p56_semantic_decontam" ->
+      """WITH e AS (
+        | SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 = 0),
+        |c AS (
+        | SELECT vec_id, embedding FROM embeddings WHERE vec_id % 41 <> 0),
+        |scored AS (
+        | SELECT c.vec_id AS id, e.vec_id AS eval_id,
+        |  list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |    i -> CAST(c.embedding[i] AS DOUBLE) * e.embedding[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * c.embedding[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * e.embedding[i]))))
+        |   AS cosine
+        | FROM c JOIN e ON true),
+        |ranked AS (
+        | SELECT id, eval_id, cosine,
+        |  row_number() OVER (PARTITION BY id
+        |                     ORDER BY cosine DESC, eval_id) AS rn
+        | FROM scored)
+        |SELECT id, eval_id AS nearest_eval, cosine AS max_cos
+        |FROM ranked WHERE rn = 1 AND cosine >= 0.30 ORDER BY id""".stripMargin,
 
     // composed (chr(225)) and decomposed (chr(769) combining) variants
     // rebuilt, NFC+casefold fingerprints via nfc_normalize

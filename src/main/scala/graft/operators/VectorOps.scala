@@ -348,6 +348,40 @@ object VectorOps {
       element_at(seedIdArr, element_at(idx, 1) + lit(1)))
   }
 
+  /** Semantic decontamination: flag corpus vectors whose cosine to ANY
+    * eval-set vector reaches `tau` — the embedding analogue of the
+    * n-gram contamination screen (`DedupOps.contaminationCounts`),
+    * catching paraphrased/reformatted eval leakage that shares no
+    * shingles with the original. Scale shape: the eval set is tiny by
+    * construction (a benchmark), so it is collected ONCE (O(k·dim))
+    * and folded into a single per-row expression — the corpus is
+    * touched once inside whole-stage codegen, with no join, no
+    * broadcast table, and no shuffle; at 100 TB the plan is scan →
+    * project → filter. Returns (id, nearest_eval, max_cos), ties on
+    * cosine broken toward the smallest eval id (`array_position` finds
+    * the FIRST maximum; evals ride in ascending-id order). */
+  def semanticContamination(
+      corpus: DataFrame, evalSet: DataFrame, tau: Double): DataFrame = {
+    val evals = evalSet.select(col("id"), col("vec")).orderBy(col("id"))
+      .collect()
+    require(evals.nonEmpty, "empty eval set")
+    val ids = evals.map(_.getLong(0))
+    val cosCols: Seq[Column] = evals.toSeq.map { r =>
+      val v = r.getSeq[Float](1).toArray
+      // driver-side norm: index-order double accumulation, the same
+      // order the SQL oracle's list_sum uses — bit-identical
+      var n2 = 0.0
+      v.foreach(x => n2 += x.toDouble * x.toDouble)
+      dot(col("vec"), lit(v)) / (norm(col("vec")) * lit(math.sqrt(n2)))
+    }
+    val cosArr = array(cosCols: _*)
+    corpus.select(col("id"),
+        element_at(lit(ids), array_position(cosArr, array_max(cosArr))
+          .cast(org.apache.spark.sql.types.IntegerType)).as("nearest_eval"),
+        array_max(cosArr).as("max_cos"))
+      .filter(col("max_cos") >= tau)
+  }
+
   /** Cluster-balanced diversity sampling (the cluster-then-sample
     * stage of SemDeDup-style curation): cap each semantic neighborhood
     * at `quota` rows so over-represented regions of embedding space

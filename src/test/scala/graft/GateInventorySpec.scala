@@ -15,9 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateInventorySpec extends AnyFunSuite {
 
-  // Bump this floor when ADDING gates; it must never go down. 136 =
-  // the round-7 inventory (51 q + 19 r + 55 p + 11 m).
-  private val floor = 136
+  // Bump this floor when ADDING gates; it must never go down. 137 =
+  // the round-7 inventory (51 q + 19 r + 56 p + 11 m).
+  private val floor = 137
 
   test(s"gate inventory never shrinks below $floor") {
     val n = SparkEntry.queries.size
