@@ -58,7 +58,7 @@ object Bench {
     "m11_asset_integrity",
     "q44_range_window", "q45_streamjoin_outer", "q46_hll_merge",
     "q47_listagg", "q48_grouping_sets", "q49_stats_agg", "q50_gapfill",
-    "q51_recursive")
+    "q51_recursive", "q52_variant")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above

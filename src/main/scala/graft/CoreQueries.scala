@@ -576,6 +576,26 @@ object CoreQueries {
             StructField("c", LongType)))).getField("c").as("c"))
         .orderBy(col("o_orderkey"))),
 
+    // ---- VARIANT semi-structured type (Spark 4.x) --------------------------
+    // parse_json -> open VARIANT -> typed path extraction with
+    // variant_get ('$.k', '$.a[1]', '$.o.t') — the schema-on-read path
+    // for semi-structured ingest, complementing q38's schema-on-write
+    // from_json/get_json_object. The binary variant encoding replaces
+    // per-row JSON re-parsing at every extraction site, which is the
+    // 100 TB difference between parsing once and parsing per column.
+    "q52_variant" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          concat(lit("{\"k\":"), get_json_object(col("props"), "$.k"),
+            lit(",\"a\":["), col("event_id"), lit(","), col("user_id"),
+            lit("],\"o\":{\"t\":\""), col("event_type"), lit("\"}}"))
+            .as("js"))
+        .select(col("event_id"),
+          expr("variant_get(parse_json(js), '$.k', 'bigint')").as("k"),
+          expr("variant_get(parse_json(js), '$.a[1]', 'bigint')").as("a1"),
+          expr("variant_get(parse_json(js), '$.o.t', 'string')").as("t"))
+        .orderBy(col("event_id"))),
+
     // ---- higher-order array functions --------------------------------------
     // transform/filter/aggregate/zip_with/exists over the embedding
     // arrays; double accumulation is left-to-right in both engines, and
@@ -887,6 +907,19 @@ object CoreQueries {
         | FROM walk w JOIN nation n ON n.n_nationkey = w.nkey
         | WHERE w.step < 40)
         |SELECT step, nkey, acc FROM walk ORDER BY step""".stripMargin,
+
+    "q52_variant" ->
+      """WITH j AS (
+        | SELECT event_id,
+        |  '{"k":' || json_extract_string(props, '$.k') ||
+        |  ',"a":[' || event_id || ',' || user_id ||
+        |  '],"o":{"t":"' || event_type || '"}}' AS js
+        | FROM events WHERE event_id < 2000)
+        |SELECT event_id,
+        | CAST(json_extract(js, '$.k') AS BIGINT) AS k,
+        | CAST(json_extract(js, '$.a[1]') AS BIGINT) AS a1,
+        | json_extract_string(js, '$.o.t') AS t
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q47_listagg" ->
       """SELECT r_name,

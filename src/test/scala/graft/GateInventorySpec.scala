@@ -15,9 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateInventorySpec extends AnyFunSuite {
 
-  // Bump this floor when ADDING gates; it must never go down. 137 =
-  // the round-7 inventory (51 q + 19 r + 56 p + 11 m).
-  private val floor = 137
+  // Bump this floor when ADDING gates; it must never go down. 138 =
+  // the round-7 inventory (52 q + 19 r + 56 p + 11 m).
+  private val floor = 138
 
   test(s"gate inventory never shrinks below $floor") {
     val n = SparkEntry.queries.size
