@@ -525,6 +525,31 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    // DSIR-style importance weighting (p57): per-token smoothed
+    // likelihood ratios of a small in-domain target corpus vs the raw
+    // pool (log-free rational form — bit-reproducible on any engine),
+    // folded into the once-hashed broadcast score table; per doc, the
+    // mean ratio and the target-leaning token fraction drive selection.
+    // Plan: two counting groupBys build the K-row table, then the
+    // corpus is scored per-row, shuffle-free.
+    "p57_dsir_importance" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val inTarget = col("source").isin("src1", "src2")
+      val ratios = LmOps.importanceRatios(
+        d.filter(inTarget), d.filter(!inTarget), "text", topK = 64)
+      val votes = ratios.map { case (t, r) =>
+        t -> (if (r > 1.0) 1.0 else 0.0) }
+      val nTok = TextOps.tokenCount(col("text")).cast(DoubleType)
+      d.select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tok"),
+          (graft.functions.native.token_score_sum(
+            TextOps.tokens(col("text")), ratios, 0.0) / nTok).as("imp"),
+          (graft.functions.native.token_score_sum(
+            TextOps.tokens(col("text")), votes, 0.0) / nTok).as("tgt_frac"))
+        .withColumn("selected", col("tgt_frac") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style bigram-LM quality bucketing: corpus bigram model
     // (capped vocabulary, broadcast once per executor), per-doc mean
     // bigram probability, fixed head/middle/tail cutoffs. Same scale
@@ -1331,6 +1356,43 @@ object PipelineQueries {
         |      ELSE 'es' END AS lang_pred,
         | dup_of
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // same rational-form ratio table rebuilt in SQL (exact integer
+    // products cast to DOUBLE, one division) — log-free on both sides
+    "p57_dsir_importance" ->
+      """WITH tok AS (
+        | SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        | FROM documents),
+        |tc AS (SELECT t, count(*) AS c FROM tok
+        |       WHERE source IN ('src1','src2') GROUP BY t),
+        |kept AS (SELECT t, c FROM tc ORDER BY c DESC, t LIMIT 64),
+        |rc AS (SELECT t, count(*) AS c FROM tok
+        |       WHERE source NOT IN ('src1','src2') GROUP BY t),
+        |nt AS (SELECT count(*) AS n FROM tok WHERE source IN ('src1','src2')),
+        |nr AS (SELECT count(*) AS n FROM tok
+        |       WHERE source NOT IN ('src1','src2')),
+        |tbl AS (SELECT kept.t,
+        |  (CAST(kept.c + 1 AS DOUBLE) * CAST((SELECT n FROM nr) + 64 AS DOUBLE))
+        |  / (CAST(coalesce(rc.c, 0) + 1 AS DOUBLE)
+        |     * CAST((SELECT n FROM nt) + 64 AS DOUBLE)) AS ratio
+        | FROM kept LEFT JOIN rc ON kept.t = rc.t),
+        |pm AS (SELECT
+        |  map(list(t), list(ratio)) AS m,
+        |  map(list(t), list(CASE WHEN ratio > 1.0 THEN CAST(1.0 AS DOUBLE)
+        |                         ELSE CAST(0.0 AS DOUBLE) END)) AS v
+        | FROM tbl)
+        |SELECT doc_id, source,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        | list_sum(list_transform(string_split(text, ' '),
+        |   t -> coalesce(element_at(m, t)[1], CAST(0.0 AS DOUBLE))))
+        |  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS imp,
+        | list_sum(list_transform(string_split(text, ' '),
+        |   t -> coalesce(element_at(v, t)[1], CAST(0.0 AS DOUBLE))))
+        |  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS tgt_frac,
+        | (list_sum(list_transform(string_split(text, ' '),
+        |   t -> coalesce(element_at(v, t)[1], CAST(0.0 AS DOUBLE))))
+        |  / CAST(len(string_split(text, ' ')) AS DOUBLE)) >= 0.5 AS selected
+        |FROM documents, pm ORDER BY doc_id""".stripMargin,
 
     // max-over-evals cosine, identical arithmetic to the p08 oracle
     // (index-order double accumulation); ties toward the smallest

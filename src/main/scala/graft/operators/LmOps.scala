@@ -175,6 +175,43 @@ object LmOps {
     graft.functions.native.token_score_sum(TextOps.tokens(text), idf, default) /
       TextOps.tokenCount(text).cast("double")
 
+  /** DSIR-style importance table (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): per-token smoothed likelihood RATIO of a
+    * small in-domain TARGET corpus against the RAW pool,
+    *   ratio(t) = ((c_tgt(t)+1) · (N_raw+K)) / ((c_raw(t)+1) · (N_tgt+K)),
+    * over the target's top-`topK` tokens (add-one smoothing keeps raw
+    * zero-counts finite). Deliberately log-free: the ratio is one
+    * division of products of exact integers (< 2⁵³), so ANY engine
+    * reproduces it bit-for-bit — `ln` is where libm implementations
+    * diverge by ulps, which an Exact hash-compared gate cannot absorb;
+    * ranking by Σ ratio is order-equivalent to DSIR's Σ log-ratio
+    * voting for the selection decision this feeds. Scale shape: two
+    * counting groupBys (map-side combined), raw counts joined to the
+    * broadcast kept-vocab, only the K-row table reaches the driver
+    * (the [[unigramProbs]] bound contract). */
+  def importanceRatios(target: DataFrame, raw: DataFrame, textCol: String,
+      topK: Int = 65536): Seq[(String, Double)] = {
+    require(topK > 0, "importanceRatios needs a capped vocabulary")
+    val k = topK
+    def counts(df: DataFrame) = df
+      .select(explode(TextOps.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val kept = counts(target).orderBy(col("c").desc, col("t")).limit(k)
+    def total(df: DataFrame): Long =
+      df.select(sum(size(TextOps.tokens(col(textCol))))).collect()
+        .head.getLong(0)
+    val (nt, nr) = (total(target), total(raw))
+    val rawKept = counts(raw)
+      .join(broadcast(kept.select(col("t"))), Seq("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.collect().map { r =>
+      val t = r.getString(0)
+      val ratio = ((r.getLong(1) + 1).toDouble * (nr + k).toDouble) /
+        ((rawKept.getOrElse(t, 0L) + 1).toDouble * (nt + k).toDouble)
+      t -> ratio
+    }.toSeq.sortBy(_._1)
+  }
+
   /** Bigram probabilities (adjacent-pair context — the CCNet-class
     * quality model one order up from [[unigramProbs]]): "w1 w2" →
     * count/total over the corpus's bigram occurrences. Same capped-
