@@ -34,7 +34,7 @@ object Bench {
     "r01_remote_filter", "r04_remote_partitioned_agg",
     "r06_remote_join_pushdown", "r09_remote_groupby", "r15_remote_distinct",
     "r16_remote_upsert", "r17_remote_delete", "r18_remote_sample",
-    "r19_remote_fn_filter",
+    "r19_remote_fn_filter", "r20_schema_evolution",
     "p01_text_stats", "p02_exact_dedup", "p05_minhash_lsh",
     "p07_simhash", "p31_simhash_wide", "p08_knn", "p10_embed_lsh",
     "p24_embed_lsh_adaptive",

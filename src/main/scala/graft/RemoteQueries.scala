@@ -51,7 +51,13 @@ object RemoteQueries {
     // ships the compiled predicate as one remote DELETE). The r17 gate
     // reads the survivors: a no-op delete breaks the row count, a
     // mis-compiled predicate deletes the wrong rows and breaks the hash
-    "DEL" -> "CREATE TABLE DEL (D_KEY INT, D_NAME VARCHAR(64), D_VAL DOUBLE)")
+    "DEL" -> "CREATE TABLE DEL (D_KEY INT, D_NAME VARCHAR(64), D_VAL DOUBLE)",
+    // schema-evolution fixture: created WITHOUT E_VAL; the delta append
+    // carries the extra column with evolveschema=true, so the sink
+    // issues ALTER TABLE ADD COLUMN and the r20 gate reads base rows
+    // as NULL + delta rows with values — a missed ALTER breaks the
+    // schema, a mis-mapped added column breaks the values
+    "EVO" -> "CREATE TABLE EVO (E_KEY INT, E_NAME VARCHAR(64))")
 
   /** Fixture DataFrame per remote table (GEO derives from nation: the
     * struct payload is assembled with to_json at write time, then must
@@ -91,8 +97,24 @@ object RemoteQueries {
           .select(col("n_nationkey").cast(IntegerType).as("D_KEY"),
             col("n_name").as("D_NAME"),
             (col("n_regionkey") * 3.0).as("D_VAL"))
+      case "EVO" => // BASE rows, written against the 2-column table
+        Tables.table(spark, dir, "nation").filter(col("n_nationkey") < 15)
+          .select(col("n_nationkey").cast(IntegerType).as("E_KEY"),
+            col("n_name").as("E_NAME"))
       case t => Tables.table(spark, dir, t.toLowerCase)
     }
+
+  /** The delta append that TRIGGERS the r20 evolution: carries E_VAL,
+    * which does not exist remotely until the sink ALTERs it in. */
+  private def evoDeltaDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "nation").filter(col("n_nationkey") >= 15)
+      .select(col("n_nationkey").cast(IntegerType).as("E_KEY"),
+        col("n_name").as("E_NAME"),
+        (col("n_regionkey") * 2.0).as("E_VAL"))
+
+  /** Steady-state EVO contents (base rows with NULL E_VAL + delta). */
+  private def evoFinalCount(spark: SparkSession, dir: String): Long =
+    Tables.table(spark, dir, "nation").count()
 
   /** The rows r14 expects to find in OVW after the overwrite. */
   private def ovwFinalDf(spark: SparkSession, dir: String): DataFrame =
@@ -164,6 +186,7 @@ object RemoteQueries {
       t -> (if (t == "OVW") ovwFinalDf(spark, dir).count()
             else if (t == "UPS") upsFinalDf(spark, dir).count()
             else if (t == "DEL") delFinalDf(spark, dir).count()
+            else if (t == "EVO") evoFinalCount(spark, dir)
             else fixtureDf(spark, dir, t).count())).toMap
     val c = DriverManager.getConnection(url)
     val st = c.createStatement()
@@ -208,6 +231,13 @@ object RemoteQueries {
       spark.conf.set("spark.sql.catalog.graftdel.url", url)
       spark.conf.set("spark.sql.catalog.graftdel.allowdelete", "true")
       spark.sql(s"DELETE FROM graftdel.APP.DEL WHERE $delWhereSql")
+      // land the wider delta on EVO: evolveschema ALTERs E_VAL in,
+      // then appends — base rows read NULL for the added column
+      evoDeltaDf(spark, dir)
+        .write.format("graft-remote")
+        .option("url", url).option("dbtable", "EVO")
+        .option("evolveschema", "true")
+        .mode("append").save()
     }
     prepared += url
     url
@@ -473,6 +503,19 @@ object RemoteQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Write-side schema evolution (r20): the EVO fixture was created
+    // WITHOUT E_VAL; the delta append carried it with evolveschema=true
+    // (sink issues ALTER TABLE ADD COLUMN, remote schema re-inferred).
+    // Base rows must read NULL for the added column, delta rows their
+    // written values — both through the ordinary scan path.
+    "r20_schema_evolution" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "EVO")
+        .select(col("E_KEY").as("e_key"), col("E_NAME").as("e_name"),
+          col("E_VAL").as("e_val"))
+        .orderBy(col("e_key"))
+    }),
+
     // Nested-struct decode end-to-end: the remote scalar JSON column is
     // declared a typed struct via structcol.<name>; the reader decodes
     // it to InternalRow (reference SdeGeometry assembly,
@@ -554,6 +597,11 @@ object RemoteQueries {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE lower(c_mktsegment) = 'building' OR length(c_mktsegment) = 9
         |ORDER BY c_custkey""".stripMargin,
+    "r20_schema_evolution" ->
+      """SELECT n_nationkey AS e_key, n_name AS e_name,
+        | CASE WHEN n_nationkey >= 15 THEN n_regionkey * 2.0
+        |      ELSE NULL END AS e_val
+        |FROM nation ORDER BY e_key""".stripMargin,
     "r08_remote_runtime_filter" ->
       """SELECT n_name, count(*) AS n_cust,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal

@@ -82,6 +82,13 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
     * row removal must be asked for explicitly (same posture as
     * `allowoverwrite`). */
   def allowDelete: Boolean = map.getOrElse("allowdelete", "false").toBoolean
+  /** Opt-in write-side schema evolution: columns present in the write
+    * batch but absent remotely are added via `ALTER TABLE ADD COLUMN`
+    * (nullable — existing rows read NULL) before the append, and the
+    * remote schema is re-inferred so the remote stays the source of
+    * truth for types. Default false: an unknown write column is a loud
+    * error (reference parity — insert.rs:157-205 maps by name). */
+  def evolveSchema: Boolean = map.getOrElse("evolveschema", "false").toBoolean
   /** Keyed upsert (MERGE) append: comma-separated remote key columns.
     * When set, an append lands as `MERGE INTO target USING staging ON
     * keys` — matched rows update in place, unmatched rows insert — so

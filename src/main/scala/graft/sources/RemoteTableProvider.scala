@@ -126,7 +126,43 @@ class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType],
     new RemoteScanBuilder(this)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new RemoteWriteBuilder(opts, remoteSchema, info.schema())
+    new RemoteWriteBuilder(opts,
+      if (opts.evolveSchema) evolveForWrite(info.schema()) else remoteSchema,
+      info.schema())
+
+  /** `evolveschema=true` (r20): write-batch columns absent remotely are
+    * added with `ALTER TABLE ADD COLUMN` (nullable — existing rows
+    * read NULL), then the remote schema is re-inferred so subsequent
+    * type mapping comes from the REMOTE's declared types, not a local
+    * guess. The daily-ingest shape: a producer adds a field and the
+    * sink follows, instead of the whole pipeline failing on the name
+    * mismatch. Table sources only — a query source has nothing to
+    * ALTER. Single-statement DDL per column; Derby/ANSI auto-commit
+    * DDL means a later write failure cannot roll the ADDs back, which
+    * is safe: a nullable added column is purely additive. */
+  private def evolveForWrite(writeSchema: StructType): RemoteSchema = {
+    val missing = writeSchema.fields.filterNot(f =>
+      remoteSchema.fields.exists(_.name.equalsIgnoreCase(f.name)))
+    if (missing.isEmpty) return remoteSchema
+    val parts = opts.source match {
+      case RemoteSource.TableRef(p) => p
+      case RemoteSource.Query(_) => throw new UnsupportedOperationException(
+        "evolveschema needs a table source (cannot ALTER a query)")
+    }
+    require(!isCommand, "evolveschema does not apply to commands")
+    require(opts.transformClass.isEmpty,
+      "evolveschema composes ambiguously with transformclass (which " +
+        "columns are the transform's vs the table's?) — drop one")
+    GraftConnections.withConnection(opts) { conn =>
+      val st = conn.createStatement()
+      try missing.foreach { f =>
+        st.executeUpdate(
+          s"ALTER TABLE ${opts.dialect.tableName(parts)} ADD COLUMN " +
+            s"${opts.dialect.quote(f.name)} ${opts.dialect.ddlType(f.dataType)}")
+      } finally st.close()
+    }
+    Jdbc.inferSchema(opts)
+  }
 
   // ---- DELETE FROM (SupportsDeleteV2) ------------------------------------
   // `DELETE FROM t WHERE ...` ships as ONE remote DELETE statement with
