@@ -52,7 +52,7 @@ object Bench {
     "p49_domain_block", "p50_url_dedup", "p51_bm25_topk",
     "p52_rank_fusion", "p53_unicode_dedup", "p54_heavy_hitters",
     "p55_incremental_reingest", "p56_semantic_decontam",
-    "p57_dsir_importance",
+    "p57_dsir_importance", "p58_curation_pipeline",
     "m01_multimodal", "m02_frame_sample", "m03_resize", "m04_audio",
     "m05_image_phash", "m06_audio_phash", "m07_scene_detect",
     "m08_video_neardup", "m09_audio_quality", "m10_image_quality",

@@ -525,6 +525,40 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    // End-to-end curation pipeline (p58): the full FineWeb-style job as
+    // ONE query — language filter + quality gates + token bounds (p16
+    // signals), exact dedup keeper, n-gram eval decontamination (p20
+    // screen, zero-shared only), per-source quota balancing (p29
+    // bounded heaps), deterministic train/val/test split (p15 hash
+    // arithmetic). Shuffle inventory of the whole composition: ONE
+    // window shuffle on the fingerprint + the quota operator's
+    // pre-reduced exchange; every other stage is per-row codegen. The
+    // "a user could run their whole pipeline" gate.
+    "p58_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = DedupOps.benchmarkShingles(
+        d.filter(col("doc_id") % 97 === 0), "text", n = 3)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val cleaned = d.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("source"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          graft.functions.native.in_set_count(
+            DedupOps.shingles(col("text"), 3), sh).as("n_shared"))
+        .withColumn("keeper", min("doc_id").over(w))
+        .filter(col("doc_id") === col("keeper") &&
+          col("lang_pred") === "en" && col("quality") >= 0.5 &&
+          col("n_tokens").between(20, 500) && col("n_shared") === 0)
+      SampleOps.quotaPerKey(cleaned, key = col("source"),
+          idCol = "doc_id", quota = 15, salt = 13)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"),
+          SampleOps.split(col("doc_id"), valFraction = 0.1,
+            testFraction = 0.1, salt = 7).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR-style importance weighting (p57): per-token smoothed
     // likelihood ratios of a small in-domain target corpus vs the raw
     // pool (log-free rational form — bit-reproducible on any engine),
@@ -1356,6 +1390,68 @@ object PipelineQueries {
         |      ELSE 'es' END AS lang_pred,
         | dup_of
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // p16's signal CTEs + p20's shingle screen + p29's rank + p15's
+    // split arithmetic, composed; keeper windows over the SAME
+    // pre-filter population as the Spark side
+    "p58_curation_pipeline" -> {
+      val b13 = SampleOps.hashBucketSql("doc_id", 13)
+      val b7 = SampleOps.hashBucketSql("doc_id", 7)
+      s"""WITH t AS (
+         | SELECT doc_id, source, string_split(text, ' ') AS toks,
+         |  len(string_split(text, ' ')) AS n_tok,
+         |  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         | FROM documents WHERE doc_id % 97 <> 0),
+         |bench AS (
+         | SELECT DISTINCT unnest(list_distinct(
+         |   [s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+         |    for i in range(1, len(s) - 1)])) AS gg
+         | FROM (SELECT string_split(text, ' ') AS s FROM documents
+         |       WHERE doc_id % 97 = 0)),
+         |contaminated AS (
+         | SELECT DISTINCT x.doc_id
+         | FROM (SELECT doc_id, unnest(list_distinct(
+         |         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |          for i in range(1, len(toks) - 1)])) AS gg FROM t) x
+         | JOIN bench USING (gg)),
+         |sc AS (
+         | SELECT doc_id, source, toks, n_tok, fp,
+         |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+         |  len(list_filter(toks, x -> x IN ('der','die','und','nicht','das'))) AS s_de,
+         |  len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+         |  len(list_filter(toks, x -> x IN ('el','los','que','una','por'))) AS s_es,
+         |  len(list_filter(toks, x -> x IN
+         |    ('the','a','and','of','to','in','is'))) AS n_stop
+         | FROM t),
+         |q AS (
+         | SELECT doc_id, source, fp, n_tok,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |       ELSE 'es' END AS lang_pred,
+         |  ((CASE WHEN n_tok BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+         |   + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tok
+         |        BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+         |   + CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok) / 3.0
+         |    AS quality
+         | FROM sc),
+         |k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM q),
+         |cleaned AS (
+         | SELECT doc_id, source, n_tok, quality FROM k
+         | WHERE doc_id = keeper AND lang_pred = 'en' AND quality >= 0.5
+         |  AND n_tok BETWEEN 20 AND 500
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |ranked AS (
+         | SELECT *, row_number() OVER (PARTITION BY source
+         |   ORDER BY $b13, doc_id) AS rn
+         | FROM cleaned)
+         |SELECT doc_id, source, n_tok AS n_tokens, quality,
+         | CASE WHEN $b7 < ${SampleOps.threshold(0.1)} THEN 'test'
+         |      WHEN $b7 < ${SampleOps.threshold(0.2)} THEN 'val'
+         |      ELSE 'train' END AS split
+         |FROM ranked WHERE rn <= 15 ORDER BY doc_id""".stripMargin
+    },
 
     // same rational-form ratio table rebuilt in SQL (exact integer
     // products cast to DOUBLE, one division) — log-free on both sides
