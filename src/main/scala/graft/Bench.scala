@@ -56,7 +56,7 @@ object Bench {
     "m01_multimodal", "m02_frame_sample", "m03_resize", "m04_audio",
     "m05_image_phash", "m06_audio_phash", "m07_scene_detect",
     "m08_video_neardup", "m09_audio_quality", "m10_image_quality",
-    "m11_asset_integrity",
+    "m11_asset_integrity", "m12_pair_audit",
     "q44_range_window", "q45_streamjoin_outer", "q46_hll_merge",
     "q47_listagg", "q48_grouping_sets", "q49_stats_agg", "q50_gapfill",
     "q51_recursive", "q52_variant")

@@ -1066,6 +1066,25 @@ object PipelineQueries {
         .orderBy(col("asset_id"))
     }),
 
+    // Caption-image pairing audit (m12): every doc_id % 13 == 0 caption
+    // CLAIMS the next doc's image (the off-by-one shard misalignment
+    // bug); the audit really decodes each image and compares its pixel
+    // digest against the digest the CAPTION predicts — mismatches are
+    // caught from the pixels alone, no metadata trusted. Captions whose
+    // claimed image does not exist (only the max id) drop at the join
+    // in both engines.
+    "m12_pair_audit" -> ((s, dir) => {
+      val caps = docs(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("img_id",
+          when(col("doc_id") % 13 === 0, col("doc_id") + 1)
+            .otherwise(col("doc_id")))
+      MultimodalOps.pairingAudit(caps, MultimodalOps.imageAssets(s, dir))
+        .toDF()
+        .select(col("doc_id"), col("img_id"), col("width"), col("height"),
+          col("expected_tag"), col("actual_tag"), col("matched"))
+        .orderBy(col("doc_id"))
+    }),
+
     // image QUALITY screen over real-decoded pixels: bright/dark pixel
     // counts, exact gray sum, min/max gray, and the blank/black/flat
     // drop flag — the image analogue of m09/p03. Thresholds sit inside
@@ -2673,6 +2692,37 @@ object PipelineQueries {
         |  END AS INT) AS n_bytes,
         | (doc_id % 13 != 0) AS decode_ok
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // both digests rebuilt from text with m01's pixel-stream
+    // reconstruction: expected from the CAPTION, actual from the
+    // claimed IMAGE's source text, at the image's own dims
+    "m12_pair_audit" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |cap AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN doc_id + 1 ELSE doc_id END AS img_id,
+        |  text AS cap_text
+        | FROM d),
+        |img AS (
+        | SELECT doc_id AS img_id, text AS img_text,
+        |  13 + doc_id % 4 AS w, 6 + doc_id % 3 AS h
+        | FROM d),
+        |j AS (
+        | SELECT c.doc_id, c.img_id, c.cap_text, i.img_text, i.w, i.h
+        | FROM cap c JOIN img i USING (img_id)),
+        |s AS (
+        | SELECT doc_id, img_id, w, h,
+        |  md5(substring(repeat(cap_text,
+        |    CAST(ceil(384.0 / length(cap_text)) AS INT) + 1),
+        |    1, CAST(w * h * 3 AS INT))) AS expected_tag,
+        |  md5(substring(repeat(img_text,
+        |    CAST(ceil(384.0 / length(img_text)) AS INT) + 1),
+        |    1, CAST(w * h * 3 AS INT))) AS actual_tag
+        | FROM j)
+        |SELECT doc_id, img_id, CAST(w AS INT) AS width,
+        | CAST(h AS INT) AS height, expected_tag, actual_tag,
+        | expected_tag = actual_tag AS matched
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // same pixel reconstruction as m01; per-pixel gray = R+G+B over
     // the cyclic ASCII stream

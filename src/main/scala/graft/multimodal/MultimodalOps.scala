@@ -233,6 +233,53 @@ object MultimodalOps {
     }
   }
 
+  /** Cross-modal pairing audit row: the image a caption CLAIMS vs what
+    * its pixels actually encode. */
+  final case class PairAudit(
+      doc_id: Long, img_id: Long, width: Int, height: Int,
+      expected_tag: String, actual_tag: String, matched: Boolean)
+
+  /** Caption↔image pairing audit (m12) — the misaligned-shard check a
+    * multimodal dataset build needs: every (caption, claimed-image)
+    * pair REALLY decodes the image (`javax.imageio`), recomputes the
+    * expected pixel stream from the CAPTION text at the decoded
+    * dimensions, and compares digests. A shifted pairing (the classic
+    * off-by-one WebDataset shard bug) surfaces as `matched = false`
+    * without any metadata help — the evidence is the pixels. Per-row
+    * decode inside mapPartitions after one broadcast-joinable pairing
+    * join; no shuffle beyond the join itself.
+    *
+    * `captions` needs (doc_id, text, img_id) — img_id names the image
+    * each caption claims. ASCII captions only (byte == char is what
+    * lets a no-image-stack oracle reproduce the expected digest). */
+  def pairingAudit(
+      captions: org.apache.spark.sql.DataFrame,
+      images: Dataset[MediaAsset]): Dataset[PairAudit] = {
+    import images.sparkSession.implicits._
+    val paired = captions
+      .join(images.toDF().select(col("asset_id").as("img_id"),
+        col("payload")), Seq("img_id"))
+      .select(col("doc_id"), col("img_id"), col("text"), col("payload"))
+    paired.as[(Long, Long, String, Array[Byte])].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val md = MessageDigest.getInstance("MD5")
+      it.map { case (docId, imgId, text, payload) =>
+        val (w, h, rgb) = decodeRgb(payload)
+        md.reset()
+        val actual = md.digest(rgb).map("%02x".format(_)).mkString
+        val textBytes = text.getBytes("UTF-8")
+        val expectedStream = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < expectedStream.length) {
+          expectedStream(i) = textBytes(i % textBytes.length); i += 1
+        }
+        md.reset()
+        val expected = md.digest(expectedStream).map("%02x".format(_)).mkString
+        PairAudit(docId, imgId, w, h, expected, actual, expected == actual)
+      }
+    }
+  }
+
   /** One decoded video frame (already-decoded RGB digest + dims). */
   final case class DecodedFrame(
       asset_id: Long, frame_idx: Int, width: Int, height: Int, frame_tag: String)
