@@ -294,7 +294,11 @@ object CoreQueries {
     // at plan time and the engine must iterate to the fixpoint. The
     // relational surface DuckDB/Postgres users expect for hierarchy /
     // graph-reachability queries; bounded depth keeps each iteration a
-    // 1-row broadcast join against the dimension.
+    // 1-row broadcast join against the dimension. Depth 12: each
+    // UnionLoop iteration costs a fixed ~120 ms of job scheduling
+    // regardless of data size (measured: 41 steps = 5.0 s at BOTH
+    // sf0.1 and sf1) — the recursion mechanics are fully exercised by
+    // 12 steps at a quarter of the wall-clock.
     "q51_recursive" -> ((s, dir) => {
       t(s, dir, "nation").createOrReplaceTempView("nation_v")
       s.sql(
@@ -305,7 +309,7 @@ object CoreQueries {
           |  CAST((w.nkey * 7 + n.n_regionkey + 3) % 25 AS INT),
           |  w.acc + n.n_regionkey
           | FROM walk w JOIN nation_v n ON n.n_nationkey = w.nkey
-          | WHERE w.step < 40)
+          | WHERE w.step < 12)
           |SELECT step, nkey, acc FROM walk ORDER BY step""".stripMargin)
     }),
 
@@ -905,7 +909,7 @@ object CoreQueries {
         |  CAST((w.nkey * 7 + n.n_regionkey + 3) % 25 AS INT),
         |  w.acc + n.n_regionkey
         | FROM walk w JOIN nation n ON n.n_nationkey = w.nkey
-        | WHERE w.step < 40)
+        | WHERE w.step < 12)
         |SELECT step, nkey, acc FROM walk ORDER BY step""".stripMargin,
 
     "q52_variant" ->
