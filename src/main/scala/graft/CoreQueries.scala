@@ -287,6 +287,67 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- sliding ROWS frames + frame-sensitive window functions ---------
+    // the window surface q04/q40/q44 leave uncovered: a bounded moving
+    // frame (ROWS 2 PRECEDING), percent_rank, and nth_value evaluated
+    // WITHIN a growing frame. The moving sum quantizes to decimal
+    // first (dsum discipline): engines are free to fold a sliding
+    // frame in any order (DuckDB segment-trees it), and only exact
+    // decimal addition is order-free. max is order-insensitive as-is.
+    "q53_sliding_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val sliding = w.rowsBetween(-2, Window.currentRow)
+      val growing = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem").filter(col("l_suppkey") < 20)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(25, 6))).over(sliding)
+            .cast(DoubleType).as("mov_qty"),
+          max(col("l_quantity")).over(sliding).as("mov_max"),
+          percent_rank().over(w).as("pr"),
+          nth_value(col("l_orderkey"), 2).over(growing).as("second_ok"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- array function suite (construction/dedup/sort/set algebra) -----
+    // per-row array algebra over the tokenized documents — all
+    // functions with exact DuckDB list twins; order-unspecified results
+    // (distinct, intersect) are sorted before comparison so only the
+    // SET semantics are gated, not an engine's internal ordering.
+    // Everything is a scan-level projection: zero shuffles before the
+    // output sort at any corpus size.
+    "q54_array_fns" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val vocab = array_sort(array_distinct(toks))
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(toks).as("n_toks"),
+          size(vocab).as("n_vocab"),
+          slice(vocab, 1, 5).as("first5"),
+          array_contains(toks, "spark").as("has_spark"),
+          array_position(vocab, "spark").as("spark_pos"),
+          array_sort(array_intersect(vocab,
+            lit(Array("spark", "join", "table", "scan")))).as("kw_hits"),
+          element_at(vocab, -1).as("last_word"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- bitwise + boolean aggregates -----------------------------------
+    // bit_and/bit_or/bit_xor fold per-group integer masks (flag
+    // compaction, permission-mask analytics) and bool_and/bool_or are
+    // the ANSI every/any. All four are commutative+associative, so
+    // partial/final merge order cannot change the result — no decimal
+    // discipline needed, unlike float sums.
+    "q55_bitwise" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(bit_and(col("l_linenumber")).as("ba"),
+          bit_or(col("l_linenumber")).as("bo"),
+          bit_xor(col("l_linenumber")).as("bx"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > lit(0.05)).as("any_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     // ---- recursive CTE (iterative self-referencing query) ---------------
     // WITH RECURSIVE (Spark 4.x UnionLoop execution): a data-dependent
     // walk over nation — each step joins the frontier row back to the
@@ -942,6 +1003,61 @@ object CoreQueries {
          | (l_linestatus), ())
          |ORDER BY g1, g2, l_returnflag NULLS FIRST,
          | l_linestatus NULLS FIRST""".stripMargin,
+
+    // sliding-frame decimal sum spelled identically; DuckDB may fold
+    // the frame via a segment tree, which is why only the exact
+    // decimal image is comparable
+    "q53_sliding_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) OVER
+        |   (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS mov_qty,
+        | max(l_quantity) OVER
+        |   (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_max,
+        | percent_rank() OVER
+        |   (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS pr,
+        | nth_value(l_orderkey, 2) OVER
+        |   (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_ok
+        |FROM lineitem WHERE l_suppkey < 20
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    // list twins: order-unspecified results sorted on both sides;
+    // Spark's array_position returns 0 for a miss where DuckDB's
+    // list_position returns NULL — coalesce pins the same convention
+    "q54_array_fns" ->
+      """WITH base AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks,
+        |  list_sort(list_distinct(string_split(text, ' '))) AS vocab
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        | CAST(len(toks) AS INT) AS n_toks,
+        | CAST(len(vocab) AS INT) AS n_vocab,
+        | vocab[1:5] AS first5,
+        | list_contains(toks, 'spark') AS has_spark,
+        | CAST(coalesce(list_position(vocab, 'spark'), 0) AS BIGINT)
+        |  AS spark_pos,
+        | list_sort(list_intersect(vocab,
+        |   ['spark', 'join', 'table', 'scan'])) AS kw_hits,
+        | vocab[-1] AS last_word
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q55_bitwise" ->
+      """SELECT l_returnflag,
+        | bit_and(l_linenumber) AS ba,
+        | bit_or(l_linenumber) AS bo,
+        | bit_xor(l_linenumber) AS bx,
+        | bool_and(l_quantity > 0) AS all_pos,
+        | bool_or(l_discount > 0.05) AS any_disc,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q27_percentile" ->
       """SELECT l_returnflag,

@@ -30,6 +30,15 @@ object PipelineQueries {
   private val blocklist49Sql =
     blocklist49.map(r => s"'$r'").mkString("[", ", ", "]")
 
+  /** p61's planted boilerplate header — EXACTLY 24 tokens (one full
+    * chunk at the gate's chunk size) so the duplicated region aligns
+    * on a chunk boundary in every host document. Shared by the gate
+    * and its oracle so the two can never drift. */
+  private val Boiler61: String =
+    "subscribe to our newsletter for updates click here to accept " +
+      "cookies and continue reading this site uses tracking please " +
+      "disable your ad blocker now"
+
   /** p51/p52 query batch (all terms exist in the fixture vocabulary). */
   private val queries51: Seq[(Int, String)] = Seq(
     1 -> "spark join table", 2 -> "hash agg filter",
@@ -556,6 +565,48 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"),
           SampleOps.split(col("doc_id"), valFraction = 0.1,
             testFraction = 0.1, salt = 7).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hashed linear classifier inference (p59): the fastText-shaped
+    // quality/topic scorer — token → hash bucket → weight → summed
+    // score, per-row and shuffle-free; the weight table is an implicit
+    // function of the bucket so the DuckDB oracle replays hash,
+    // bucket, weight, and the left-to-right fold bit-for-bit.
+    "p59_hash_classifier" -> ((s, dir) => {
+      val score = LmOps.hashedLinearScore(col("text"))
+      val nTok = TextOps.tokenCount(col("text"))
+      docs(s, dir).select(col("doc_id"), nTok.as("n_toks"),
+          score.as("score"),
+          (score / nTok.cast(DoubleType)).as("mean_w"))
+        .withColumn("label",
+          when(col("mean_w") > 0.0, "keep").otherwise("drop"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-source n-gram overlap matrix (p60): pre-mixing corpus
+    // composition audit. One corpus-sized distinct, then everything is
+    // bounded by |sources| (the shingle pair join fans out to at most
+    // C(|sources|,2) rows per shingle — dup-pressure-proof).
+    "p60_source_overlap" -> ((s, dir) =>
+      DedupOps.sourceOverlap(docs(s, dir), "source", "text", n = 3)
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("n_a"), col("n_b"), col("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))),
+
+    // Cross-document chunk dedup (p61): CCNet's paragraph-level dedup
+    // at fixed 24-token chunk granularity. The fixture has no repeated
+    // chunks, so a 24-token boilerplate header (cookie-banner text) is
+    // planted in-plan on every doc_id % 7 == 0 document — chunk 0 of
+    // those documents is then byte-identical corpus-wide and must be
+    // the exact chunk set the operator drops (the m12 derive-in-plan
+    // pattern, so both engines see the same corpus).
+    "p61_chunk_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(lit(Boiler61 + " "), col("text")))
+          .otherwise(col("text")))
+      DedupOps.chunkDedupStats(d, "doc_id", "text2", chunkSize = 24)
         .orderBy(col("doc_id"))
     }),
 
@@ -1471,6 +1522,85 @@ object PipelineQueries {
          |      ELSE 'train' END AS split
          |FROM ranked WHERE rn <= 15 ORDER BY doc_id""".stripMargin
     },
+
+    // token poly-hash (the p12 fold) → bucket → affine-mod weight →
+    // left fold, all replayed in exact int64 + IEEE double arithmetic
+    "p59_hash_classifier" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |w AS (
+        | SELECT doc_id, toks,
+        |  list_transform(toks, tok ->
+        |    CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(tok, ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) % 4096)
+        |      * 1103515245 + 12345) % 8191 AS DOUBLE) / 8191.0 - 0.5)
+        |   AS ws
+        | FROM t),
+        |s AS (
+        | SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ws),
+        |    (a, x) -> a + x) AS score
+        | FROM w)
+        |SELECT doc_id, n_toks, score,
+        | score / CAST(n_toks AS DOUBLE) AS mean_w,
+        | CASE WHEN score / CAST(n_toks AS DOUBLE) > 0.0
+        |      THEN 'keep' ELSE 'drop' END AS label
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the shingle set per source via the list-comprehension 3-gram
+    // (p06's spelling), distinct'd at (source, shingle); pair join +
+    // per-source sizes replayed relationally
+    "p60_source_overlap" ->
+      """WITH sh AS (
+        | SELECT DISTINCT source,
+        |  unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |    for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT source, string_split(text, ' ') AS s
+        |       FROM documents)),
+        |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | count(*) AS n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        | CAST(count(*) AS DOUBLE) / (sa.n_sh + sb.n_sh - count(*))
+        |  AS jaccard
+        |FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |JOIN sizes sa ON sa.source = a.source
+        |JOIN sizes sb ON sb.source = b.source
+        |GROUP BY a.source, b.source, sa.n_sh, sb.n_sh
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // p25's chunk arithmetic at size 24 / stride 24, the planted
+    // boilerplate spelled identically, md5 chunk fingerprints, and the
+    // distinct-document count per fingerprint
+    "p61_chunk_dedup" ->
+      s"""WITH d AS (
+         | SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN '$Boiler61 ' || text
+         |       ELSE text END AS text
+         | FROM documents),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |       len(string_split(text, ' ')) AS n FROM d),
+         |c AS (SELECT doc_id, toks,
+         |       CASE WHEN n <= 24 THEN 1
+         |            ELSE (n - 24 + 23) // 24 + 1 END AS nchunks
+         |      FROM t),
+         |i AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS ci FROM c),
+         |f AS (SELECT doc_id,
+         |       md5(array_to_string(toks[ci*24 + 1 : ci*24 + 24], ' ')) AS fp,
+         |       len(toks[ci*24 + 1 : ci*24 + 24]) AS n_tok
+         |      FROM i),
+         |cnt AS (SELECT fp, count(DISTINCT doc_id) AS n_docs
+         |        FROM f GROUP BY fp)
+         |SELECT f.doc_id, count(*) AS n_chunks,
+         | CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_dropped,
+         | CAST(sum(CASE WHEN n_docs = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         |  AS kept_tokens,
+         | CAST(sum(CASE WHEN n_docs = 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+         |  / sum(n_tok) AS kept_frac
+         |FROM f JOIN cnt ON f.fp = cnt.fp
+         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     // same rational-form ratio table rebuilt in SQL (exact integer
     // products cast to DOUBLE, one division) — log-free on both sides

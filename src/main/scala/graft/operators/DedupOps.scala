@@ -503,4 +503,69 @@ object DedupOps {
     (bit_count(a.getField("sig1").bitwiseXOR(b.getField("sig1"))) +
       bit_count(a.getField("sig2").bitwiseXOR(b.getField("sig2"))))
       .cast("int")
+
+  /** Cross-source n-gram overlap matrix: for every source pair, the
+    * count of shared distinct word n-grams and the Jaccard similarity
+    * of the two sources' n-gram sets — the corpus-composition audit
+    * run before mixing (how much of source B is already in source A;
+    * C4-vs-CommonCrawl-style overlap studies).
+    *
+    * Scale shape: the corpus-sized work is ONE distinct over
+    * (source, shingle) — a single shuffle on the shingle — after which
+    * every row set is bounded by |sources|: the pair join explodes a
+    * shingle into at most C(|sources|, 2) rows regardless of how many
+    * documents contain it (dup-pressure-proof, unlike a doc-level
+    * pair join), and the matrix itself is |sources|² rows. The
+    * per-source size table is broadcast back onto the matrix. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = df.select(col(srcCol).as("source"),
+        explode(shingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("source").as("src_a"), col("sh"))
+    val b = sh.select(col("source").as("src_b"), col("sh"))
+    a.join(b, "sh").filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n_sh").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n_sh").as("n_b"))), "src_b")
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")))
+  }
+
+  /** CCNet-style cross-document CHUNK dedup: split every document into
+    * fixed-size non-overlapping token chunks, fingerprint each chunk,
+    * count how many DOCUMENTS each fingerprint appears in corpus-wide,
+    * and report per document how much survives dropping every chunk
+    * seen elsewhere — the sub-document dedup that removes boilerplate
+    * (cookie banners, navigation, license headers) exact doc-level
+    * dedup structurally misses, because the surrounding document is
+    * unique even when the paragraph is not.
+    *
+    * Returns (doc_id, n_chunks, n_dropped, kept_tokens, kept_frac).
+    *
+    * Scale shape: two shuffles, both on the chunk fingerprint — the
+    * document-count groupBy and the join back — each ∝ corpus chunks,
+    * the same budget as exact dedup one granularity down. The join is
+    * an equi-join on fp; a viral chunk fans out to its occurrence list
+    * but carries only a counter, never a pair explosion. */
+  def chunkDedupStats(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int): DataFrame = {
+    val chunks = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.chunkTokens(col(textCol), chunkSize, 0)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("fp"),
+        size(split(col("chunk"), " ")).as("n_tok"))
+    val counts = chunks.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(counts, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("n_docs") === 1, col("n_tok")).otherwise(0))
+          .cast("long").as("kept_tokens"),
+        (sum(when(col("n_docs") === 1, col("n_tok")).otherwise(0))
+          .cast("double") / sum(col("n_tok"))).as("kept_frac"))
+  }
 }

@@ -257,4 +257,35 @@ object LmOps {
     when(score >= lit(headMin), lit("head"))
       .when(score >= lit(middleMin), lit("middle"))
       .otherwise(lit("tail"))
+
+  /** FastText-style hashed-bag-of-words linear classifier INFERENCE:
+    * each token hashes into one of `buckets` feature slots (the
+    * hashing trick — no vocabulary table at all), the slot's weight is
+    * looked up, and the document score is the left-to-right sum of its
+    * tokens' weights. This is the inference shape of the quality /
+    * topicality classifiers real curation pipelines run over every
+    * document (fastText, DSIR's discriminator, FineWeb-Edu's scorer):
+    * per-row, model-free of corpus state, zero shuffles at any scale.
+    *
+    * The weight table here is IMPLICIT — weight(b) = an affine-mod mix
+    * of the bucket index mapped into [-0.5, 0.5) — so the operator is
+    * engine-reproducible end to end (the gate's DuckDB oracle replays
+    * token hash, bucket, weight, and fold bit-for-bit). A trained
+    * model swaps `weightOf` for an `Array[Double]` lookup riding the
+    * closure (the NearestCentroids broadcast-tiny-model idiom); the
+    * plan shape is identical.
+    *
+    * Token hash = the engine-independent [[graft.functions.PolyFingerprint]]
+    * (base 31 mod 2³¹−1, always non-negative), so bucket and weight
+    * arithmetic stay inside exact int64 range in any engine. */
+  def hashedLinearScore(text: Column, buckets: Int = 4096,
+      a: Long = 1103515245L, b: Long = 12345L, m: Long = 8191L): Column = {
+    require(buckets > 0 && m > 1 &&
+      (buckets.toLong - 1) * a + b > 0, "weight mix must stay positive")
+    def weightOf(tok: Column): Column =
+      ((graft.functions.native.poly_fingerprint(tok) % buckets) * a + b) % m
+    val ws = transform(TextOps.tokens(text),
+      t => weightOf(t).cast("double") / m.toDouble - 0.5)
+    aggregate(ws, lit(0.0), (acc, x) => acc + x)
+  }
 }
