@@ -197,6 +197,9 @@ object RemoteQueries {
       } catch { case _: Exception => false }
     }
     if (!upToDate) {
+      // the r21 view depends on NATION — Derby refuses to drop a table
+      // with dependent views, so the view goes first on a rebuild
+      try st.executeUpdate("DROP VIEW NATVIEW") catch { case _: Exception => () }
       ddl.foreach { case (table, create) =>
         try st.executeUpdate(s"DROP TABLE $table") catch { case _: Exception => () }
         st.executeUpdate(create)
@@ -239,6 +242,17 @@ object RemoteQueries {
         .option("evolveschema", "true")
         .mode("append").save()
     }
+    // r21 fixture: a remote VIEW over NATION. Created outside the
+    // rebuild branch so databases written by older code pick it up;
+    // idempotent (Derby has no CREATE OR REPLACE — the duplicate-name
+    // error is the "already there" signal).
+    val cv = DriverManager.getConnection(url)
+    val stv = cv.createStatement()
+    try stv.executeUpdate(
+      "CREATE VIEW NATVIEW AS SELECT N_NATIONKEY, N_NAME, N_REGIONKEY " +
+        "FROM NATION WHERE N_REGIONKEY < 4")
+    catch { case _: Exception => () }
+    stv.close(); cv.close()
     prepared += url
     url
   }
@@ -516,6 +530,24 @@ object RemoteQueries {
         .orderBy(col("e_key"))
     }),
 
+    // Scan THROUGH a remote VIEW (r21): the connector treats the view
+    // as any relation — schema inference via metadata, aggregate
+    // pushdown, and decode all run against it, and the view's own
+    // predicate (N_REGIONKEY < 4) composes with the pushed GROUP BY
+    // remotely, so only |regions| aggregated rows cross the wire. The
+    // production pattern this models: DBAs expose curated/authorized
+    // views, not base tables.
+    "r21_remote_view" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "NATVIEW")
+        .groupBy(col("N_REGIONKEY"))
+        .agg(count(lit(1)).as("n_nations"),
+          min(col("N_NAME")).as("first_name"))
+        .select(col("N_REGIONKEY").as("n_regionkey"), col("n_nations"),
+          col("first_name"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // Nested-struct decode end-to-end: the remote scalar JSON column is
     // declared a typed struct via structcol.<name>; the reader decodes
     // it to InternalRow (reference SdeGeometry assembly,
@@ -602,6 +634,11 @@ object RemoteQueries {
         | CASE WHEN n_nationkey >= 15 THEN n_regionkey * 2.0
         |      ELSE NULL END AS e_val
         |FROM nation ORDER BY e_key""".stripMargin,
+    "r21_remote_view" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+        | min(n_name) AS first_name
+        |FROM nation WHERE n_regionkey < 4
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "r08_remote_runtime_filter" ->
       """SELECT n_name, count(*) AS n_cust,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal

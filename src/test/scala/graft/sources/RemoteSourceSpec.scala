@@ -87,6 +87,12 @@ object DerbyFixture {
     // all-NULL row (reference fixture always has one)
     (1 to 14).foreach(i => pi.setObject(i, null))
     pi.executeUpdate()
+    // r21 surface: a view over nation — the connector must treat it
+    // as any relation (schema inference + pushdowns compose with the
+    // view's own predicate remotely)
+    st.executeUpdate(
+      "CREATE VIEW nation_view AS SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM nation WHERE n_regionkey < 3")
     st.close(); c.close()
   }
 }
@@ -112,6 +118,19 @@ class RemoteSourceSpec extends AnyFunSuite {
       "SELECT n_name, n_regionkey FROM nation WHERE n_regionkey < 3")
     assert(df.schema.fieldNames.toSeq == Seq("N_NAME", "N_REGIONKEY"))
     assert(df.count() == 6)
+  }
+
+  test("remote VIEW scans like a table; aggregate pushes through it") {
+    val df = remote("dbtable" -> "NATION_VIEW")
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("N_NATIONKEY", "N_NAME", "N_REGIONKEY"))
+    // the view's own WHERE (n_regionkey < 3) applies remotely
+    assert(df.count() == 6)
+    val agg = df.groupBy(col("N_REGIONKEY")).agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: true"), s"plan: $plan")
+    assert(agg.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+      Map(0 -> 2, 1 -> 2, 2 -> 2))
   }
 
   test("filter pushdown is exact: compiled into remote SQL, visible in plan") {
