@@ -610,6 +610,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-label embedding CENTROID card (p62): mean component and RMS
+    // per (label, dimension) in long form — the cluster-geometry
+    // summary an embedding pipeline publishes (centroid drift between
+    // snapshots is the embedding-space health check). Cross-row double
+    // sums are partial-merge-order-dependent, so both sums ride the
+    // q49 decimal discipline: raw components quantized to DECIMAL(20,9)
+    // (no products), squares as DECIMAL(12,6)×DECIMAL(12,6) exact
+    // products — every unscaled sum stays < 2^53 where decimal→double
+    // is a single correctly-rounded op in any engine. Plan: explode to
+    // (label, dim, v), ONE groupBy — map-side combine collapses each
+    // task to |labels|·dim rows before the shuffle.
+    "p62_centroid_card" -> ((s, dir) => {
+      val vd = col("v").cast(DoubleType)
+      embs(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(vd.cast(org.apache.spark.sql.types.DecimalType(20, 9)))
+            .cast(DoubleType).as("sum_v"),
+          sum(vd.cast(org.apache.spark.sql.types.DecimalType(12, 6)) *
+              vd.cast(org.apache.spark.sql.types.DecimalType(12, 6)))
+            .cast(DoubleType).as("sum_sq"))
+        .withColumn("centroid", col("sum_v") / col("n"))
+        .withColumn("rms", sqrt(col("sum_sq") / col("n")))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // DSIR-style importance weighting (p57): per-token smoothed
     // likelihood ratios of a small in-domain target corpus vs the raw
     // pool (log-free rational form — bit-reproducible on any engine),
@@ -1601,6 +1628,25 @@ object PipelineQueries {
          |  / sum(n_tok) AS kept_frac
          |FROM f JOIN cnt ON f.fp = cnt.fp
          |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+
+    // identical decimal images (raw at scale 9, squares as exact
+    // (12,6)×(12,6) products) — partial-merge order cannot move either
+    // engine's sums
+    "p62_centroid_card" ->
+      """WITH x AS (
+        | SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+        |  embedding AS emb
+        | FROM embeddings),
+        |e AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |       CAST(emb[i] AS DOUBLE) AS v FROM x),
+        |a AS (SELECT label, dim, count(*) AS n,
+        |       CAST(sum(CAST(v AS DECIMAL(20,9))) AS DOUBLE) AS sum_v,
+        |       CAST(sum(CAST(v AS DECIMAL(12,6)) * CAST(v AS DECIMAL(12,6)))
+        |            AS DOUBLE) AS sum_sq
+        |      FROM e GROUP BY label, dim)
+        |SELECT label, dim, n, sum_v, sum_sq,
+        | sum_v / n AS centroid, sqrt(sum_sq / n) AS rms
+        |FROM a ORDER BY label, dim""".stripMargin,
 
     // same rational-form ratio table rebuilt in SQL (exact integer
     // products cast to DOUBLE, one division) — log-free on both sides

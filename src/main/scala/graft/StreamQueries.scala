@@ -97,6 +97,36 @@ object StreamQueries {
           ev.filter(col("event_type") === "click"),
           windowMin = 30, joinType = "left_outer")
         .orderBy(col("user_id"), col("view_id"), col("click_id"))
+    }),
+
+    // ordered FUNNEL analysis: per user, the earliest view, the
+    // earliest click STRICTLY AFTER that view, and the earliest
+    // purchase strictly after that click — the product-analytics
+    // staple where event ORDER matters, not mere presence (a purchase
+    // before the first view must not count). Three successive
+    // per-user min-aggregates, each joined back to the (type-filtered)
+    // event stream on user_id: every shuffle carries per-user
+    // aggregate rows, and each stage's event scan is pruned to its one
+    // event type. Left joins preserve users who fall out mid-funnel;
+    // stage = how far they got.
+    "q56_funnel" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("view_us"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("view_us"))
+        .groupBy("user_id").agg(min(col("us")).as("click_us"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") > col("click_us"))
+        .groupBy("user_id").agg(min(col("us")).as("purchase_us"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("purchase_us").isNotNull, 3)
+            .when(col("click_us").isNotNull, 2).otherwise(1))
+        .orderBy(col("user_id"))
     }))
 
   /** As-of oracle shared by q21 (single-window asof) and q32 (bucketed
@@ -169,5 +199,25 @@ object StreamQueries {
         | ON v.user_id = c.user_id
         | AND c.ts >= v.ts
         | AND c.ts <= v.ts + INTERVAL 30 MINUTE
-        |ORDER BY user_id, view_id, click_id""".stripMargin)
+        |ORDER BY user_id, view_id, click_id""".stripMargin,
+
+    "q56_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS click_us
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND us > view_us
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS purchase_us
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND us > click_us
+        |      GROUP BY e.user_id)
+        |SELECT v.user_id, view_us, click_us, purchase_us,
+        | CASE WHEN purchase_us IS NOT NULL THEN 3
+        |      WHEN click_us IS NOT NULL THEN 2 ELSE 1 END AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin)
 }
