@@ -59,7 +59,10 @@ object Bench {
     "m11_asset_integrity", "m12_pair_audit",
     "q44_range_window", "q45_streamjoin_outer", "q46_hll_merge",
     "q47_listagg", "q48_grouping_sets", "q49_stats_agg", "q50_gapfill",
-    "q51_recursive", "q52_variant")
+    "q51_recursive", "q52_variant",
+    "q53_sliding_window", "q54_array_fns", "q55_bitwise", "q56_funnel",
+    "r21_remote_view", "p59_hash_classifier", "p60_source_overlap",
+    "p61_chunk_dedup", "p62_centroid_card", "m13_image_dedup_cluster")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above

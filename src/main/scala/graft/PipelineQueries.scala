@@ -1204,6 +1204,39 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Image near-dup CLUSTERING (m13): the full image-dedup story in
+    // one gate — uniform-resolution decode → dHash over real pixels →
+    // 4-chunk banded candidate pairs (hamming ≤ 3, recall-guaranteed)
+    // → connected components → canonical keeper per cluster. Re-crawl
+    // duplicates are planted in-plan: every doc_id % 11 == 0 image
+    // carries the NEXT doc's pixels (the m12 remap; uniform 24×16 dims
+    // so identical text ⇒ identical pixels ⇒ hamming 0), so each
+    // planted pair must land in one 2-cluster with the smaller id
+    // kept. Pixels never shuffle — only (id, chunk) band rows and the
+    // component map do.
+    "m13_image_dedup_cluster" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val remapped = d.select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, col("doc_id") + 1)
+            .otherwise(col("doc_id")).as("src_id"), col("source"))
+        .join(d.select(col("doc_id").as("src_id"), col("text")), "src_id")
+      val assets = remapped
+        .select(col("doc_id").as("asset_id"), lit("image").as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"), col("source"))
+        .as[graft.multimodal.MediaAsset]
+        .mapPartitions(_.map(a =>
+          a.copy(payload = MultimodalOps.syntheticBmp(a.payload, 24, 16))))
+      val pairs = MultimodalOps.imageNearDupPairs(
+        MultimodalOps.imageDHash(assets).toDF(), maxDist = 3)
+      ClusterOps.dedupClusters(
+          assets.toDF().select(col("asset_id")), "asset_id",
+          pairs, "id_a", "id_b")
+        .select(col("doc_id").as("asset_id"), col("comp"),
+          col("cluster_size"), col("keep"))
+        .orderBy(col("asset_id"))
+    }),
+
     // scene-change detection over REAL decoded adjacent frames: per
     // consecutive-frame SAD (sum of absolute RGB differences) + a cut
     // flag at mean-per-byte threshold tau — the keyframe-selection
@@ -2791,6 +2824,56 @@ object PipelineQueries {
         | FROM s)
         |SELECT doc_id AS asset_id, CAST(dhash AS BIGINT) AS dhash
         |FROM b ORDER BY asset_id""".stripMargin,
+
+    // m05's dHash model at uniform 24×16 dims over the remapped text
+    // (px = 24·16·3 = 1152 cyclic bytes), brute-force hamming ≤ 3
+    // pairs (the banding is recall-complete there), then p14's
+    // min-label recursive closure with singleton fill-in
+    "m13_image_dedup_cluster" ->
+      """WITH RECURSIVE remap AS MATERIALIZED (
+        | SELECT d.doc_id, d2.text AS text
+        | FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 11 = 0 THEN doc_id + 1
+        |             ELSE doc_id END AS src_id FROM documents) d
+        | JOIN documents d2 ON d2.doc_id = d.src_id),
+        |s AS (
+        | SELECT doc_id, 24 AS w, 16 AS h,
+        |  substring(repeat(text, CAST(ceil(1152.0 / length(text)) AS INT) + 1),
+        |    1, 1152) AS px
+        | FROM remap),
+        |b AS MATERIALIZED (
+        | SELECT doc_id,
+        |  list_sum(flatten(list_transform(range(0, 8), gy ->
+        |   list_transform(range(0, 7), gx ->
+        |    CASE WHEN
+        |      (unicode(substring(px, CAST(1 + ((gy*h//8)*w + (gx*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(2 + ((gy*h//8)*w + (gx*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(3 + ((gy*h//8)*w + (gx*w//8))*3 AS INT), 1)))
+        |      >
+        |      (unicode(substring(px, CAST(1 + ((gy*h//8)*w + ((gx+1)*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(2 + ((gy*h//8)*w + ((gx+1)*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(3 + ((gy*h//8)*w + ((gx+1)*w//8))*3 AS INT), 1)))
+        |    THEN CAST(1 AS BIGINT) << (gy*7 + gx) ELSE CAST(0 AS BIGINT) END))))
+        |  AS dhash
+        | FROM s),
+        |pairs AS MATERIALIZED (
+        | SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+        | FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+        | WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3),
+        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, comp) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |labeled AS (
+        | SELECT r.doc_id, coalesce(c.comp, r.doc_id) AS comp
+        | FROM remap r LEFT JOIN comps c ON c.node = r.doc_id)
+        |SELECT doc_id AS asset_id, comp,
+        | count(*) OVER (PARTITION BY comp) AS cluster_size,
+        | (doc_id = comp) AS keep
+        |FROM labeled ORDER BY asset_id""".stripMargin,
 
     // audio-hash oracle: reconstruct the signed samples (m04's
     // formula), segment at the same integer boundaries, compare
