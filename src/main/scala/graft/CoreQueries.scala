@@ -348,6 +348,24 @@ object CoreQueries {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- Z-ORDER clustering key (data-layout primitive) -----------------
+    // bit-interleaved (customer-bucket, order-day-bucket) Morton code —
+    // the OPTIMIZE ZORDER BY layout key: sorting by z makes per-file
+    // min/max stats selective for predicates on EITHER column. The
+    // gate pins the interleave arithmetic + the induced total order;
+    // at scale the same key drives the writer's repartitionByRange +
+    // sortWithinPartitions (the one exchange belongs to the write).
+    "q57_zorder" -> ((s, dir) => {
+      val bx = col("o_custkey") % 256
+      val by = datediff(to_date(col("o_orderdate")),
+        to_date(lit("1970-01-01"))) % 256
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), bx.as("bx"), by.cast(LongType).as("by"))
+        .withColumn("z", graft.operators.LayoutOps.zorderKey(
+          col("bx"), col("by"), bits = 8))
+        .orderBy(col("z"), col("o_orderkey"))
+    }),
+
     // ---- recursive CTE (iterative self-referencing query) ---------------
     // WITH RECURSIVE (Spark 4.x UnionLoop execution): a data-dependent
     // walk over nation — each step joins the frontier row back to the
@@ -1047,6 +1065,21 @@ object CoreQueries {
         |   ['spark', 'join', 'table', 'scan'])) AS kw_hits,
         | vocab[-1] AS last_word
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    // same interleave spelled with >>/&/<< over the identical buckets
+    "q57_zorder" ->
+      """WITH b AS (
+        | SELECT o_orderkey,
+        |  o_custkey % 256 AS bx,
+        |  CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 256
+        |       AS BIGINT) AS by
+        | FROM orders)
+        |SELECT o_orderkey, bx, by,
+        | list_sum(list_transform(range(0, 8), i ->
+        |   ((bx >> CAST(i AS INT)) & 1) * (CAST(1 AS BIGINT) << (2 * CAST(i AS INT)))
+        |   + ((by >> CAST(i AS INT)) & 1) * (CAST(1 AS BIGINT) << (2 * CAST(i AS INT) + 1))))
+        |  AS z
+        |FROM b ORDER BY z, o_orderkey""".stripMargin,
 
     "q55_bitwise" ->
       """SELECT l_returnflag,

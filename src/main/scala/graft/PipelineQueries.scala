@@ -621,20 +621,42 @@ object PipelineQueries {
     // is a single correctly-rounded op in any engine. Plan: explode to
     // (label, dim, v), ONE groupBy — map-side combine collapses each
     // task to |labels|·dim rows before the shuffle.
-    "p62_centroid_card" -> ((s, dir) => {
-      val vd = col("v").cast(DoubleType)
-      embs(s, dir)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("label"), col("dim"))
-        .agg(count(lit(1)).as("n"),
-          sum(vd.cast(org.apache.spark.sql.types.DecimalType(20, 9)))
-            .cast(DoubleType).as("sum_v"),
-          sum(vd.cast(org.apache.spark.sql.types.DecimalType(12, 6)) *
-              vd.cast(org.apache.spark.sql.types.DecimalType(12, 6)))
-            .cast(DoubleType).as("sum_sq"))
-        .withColumn("centroid", col("sum_v") / col("n"))
-        .withColumn("rms", sqrt(col("sum_sq") / col("n")))
-        .orderBy(col("label"), col("dim"))
+    "p62_centroid_card" -> ((s, dir) =>
+      VectorOps.labelCentroids(embs(s, dir), "label", "embedding")
+        .orderBy(col("label"), col("dim"))),
+
+    // Cross-snapshot CENTROID DRIFT (p63): re-embed/delete part of the
+    // corpus in-plan (every vec_id % 17 row deleted; every % 13 row
+    // sign-flipped — float negation is exact) and measure per-label
+    // L2 centroid movement between the two snapshots — the
+    // embedding-space health check run after every encoder change or
+    // re-embedding batch. The per-dim centroid diffs are differences
+    // of engine-identical doubles; their squares quantize to
+    // DECIMAL(20,14) (64 terms < 1 each → unscaled < 2^53) so the
+    // final per-label sum is partial-merge-order-free like every other
+    // cross-row sum here.
+    "p63_centroid_drift" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val snapB = e.filter(col("vec_id") % 17 =!= 0)
+        .withColumn("embedding",
+          when(col("vec_id") % 13 === 0,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")))
+      val a = VectorOps.labelCentroids(e, "label", "embedding")
+        .select(col("label"), col("dim"), col("n").as("n_a"),
+          col("centroid").as("c_a"))
+      val b = VectorOps.labelCentroids(snapB, "label", "embedding")
+        .select(col("label"), col("dim"), col("n").as("n_b"),
+          col("centroid").as("c_b"))
+      a.join(b, Seq("label", "dim"))
+        .withColumn("dsq", ((col("c_a") - col("c_b")) *
+          (col("c_a") - col("c_b")))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 14)))
+        .groupBy("label")
+        .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+          sum(col("dsq")).cast(DoubleType).as("drift_sq"))
+        .withColumn("drift_l2", sqrt(col("drift_sq")))
+        .orderBy(col("label"))
     }),
 
     // DSIR-style importance weighting (p57): per-token smoothed
@@ -1680,6 +1702,44 @@ object PipelineQueries {
         |SELECT label, dim, n, sum_v, sum_sq,
         | sum_v / n AS centroid, sqrt(sum_sq / n) AS rms
         |FROM a ORDER BY label, dim""".stripMargin,
+
+    // both snapshots' centroids rebuilt with the p62 arithmetic, the
+    // in-plan delete/sign-flip delta spelled identically, squared
+    // diffs quantized to the same DECIMAL(20,14) image
+    "p63_centroid_drift" ->
+      """WITH xa AS (
+        | SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+        |  embedding AS emb
+        | FROM embeddings),
+        |ea AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |        CAST(emb[i] AS DOUBLE) AS v FROM xa),
+        |aa AS (SELECT label, dim, count(*) AS n_a,
+        |        CAST(sum(CAST(v AS DECIMAL(20,9))) AS DOUBLE) / count(*)
+        |         AS c_a
+        |       FROM ea GROUP BY label, dim),
+        |sb AS (
+        | SELECT label,
+        |  CASE WHEN vec_id % 13 = 0
+        |       THEN list_transform(embedding, x -> -x)
+        |       ELSE embedding END AS embedding
+        | FROM embeddings WHERE vec_id % 17 <> 0),
+        |xb AS (
+        | SELECT label, unnest(range(1, len(embedding) + 1)) AS i,
+        |  embedding AS emb
+        | FROM sb),
+        |eb AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |        CAST(emb[i] AS DOUBLE) AS v FROM xb),
+        |ab AS (SELECT label, dim, count(*) AS n_b,
+        |        CAST(sum(CAST(v AS DECIMAL(20,9))) AS DOUBLE) / count(*)
+        |         AS c_b
+        |       FROM eb GROUP BY label, dim),
+        |j AS (SELECT aa.label, aa.dim, n_a, n_b, (c_a - c_b) AS d
+        |      FROM aa JOIN ab ON aa.label = ab.label AND aa.dim = ab.dim)
+        |SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+        | CAST(sum(CAST(d * d AS DECIMAL(20,14))) AS DOUBLE) AS drift_sq,
+        | sqrt(CAST(sum(CAST(d * d AS DECIMAL(20,14))) AS DOUBLE))
+        |  AS drift_l2
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
 
     // same rational-form ratio table rebuilt in SQL (exact integer
     // products cast to DOUBLE, one division) — log-free on both sides

@@ -397,4 +397,29 @@ object VectorOps {
     SampleOps.quotaPerKey(seedAssign(vecs, nSeeds), col("cluster"), "id",
         quota, salt)
       .select(col("id"), col("cluster"))
+
+  /** Per-(label, dim) centroid card: n, decimal-disciplined component
+    * sums, centroid (mean) and RMS. Cross-row float sums are
+    * partial-merge-order-dependent, so both sums ride the q49 decimal
+    * discipline — raw components quantized at scale 9 (no products),
+    * squares as exact (12,6)×(12,6) decimal products; every unscaled
+    * sum stays < 2^53, where decimal→double is one correctly-rounded
+    * op in any engine. Plan: posexplode to (label, dim, v), ONE
+    * groupBy — map-side combine collapses each task to |labels|·dim
+    * rows before the shuffle. Shared by p62 (the card) and p63
+    * (cross-snapshot drift). */
+  def labelCentroids(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val vd = col("v").cast(DoubleType)
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(vd.cast(DecimalType(20, 9))).cast(DoubleType).as("sum_v"),
+        sum(vd.cast(DecimalType(12, 6)) * vd.cast(DecimalType(12, 6)))
+          .cast(DoubleType).as("sum_sq"))
+      .withColumn("centroid", col("sum_v") / col("n"))
+      .withColumn("rms", sqrt(col("sum_sq") / col("n")))
+  }
 }

@@ -118,6 +118,30 @@ class Round7bOpsSpec extends AnyFunSuite {
       r.getAs[Double]("kept_frac") == 1.0)
   }
 
+  // ---- labelCentroids (p62/p63) ---------------------------------------
+
+  test("label centroids: exact means and RMS on a hand-built frame") {
+    val df = Seq(
+      (0, Array(1.0f, -2.0f)), (0, Array(3.0f, 0.0f)),
+      (1, Array(0.5f, 0.5f))
+    ).toDF("label", "embedding")
+    val got = VectorOps.labelCentroids(df, "label", "embedding")
+      .orderBy("label", "dim").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getAs[Double]("centroid"), r.getAs[Double]("rms")))
+    assert(got(0) == ((0, 0, 2L, 2.0, math.sqrt(5.0))))   // (1+3)/2, √((1+9)/2)
+    assert(got(1) == ((0, 1, 2L, -1.0, math.sqrt(2.0))))  // (-2+0)/2, √(4/2)
+    assert(got(2) == ((1, 0, 1L, 0.5, 0.5)))
+    assert(got(3) == ((1, 1, 1L, 0.5, 0.5)))
+  }
+
+  test("label centroids: one partial+final aggregate pair, no extra shuffle") {
+    val df = Seq((0, Array(1.0f))).toDF("label", "embedding")
+    val plan = VectorOps.labelCentroids(df, "label", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, s"plan: $plan")
+  }
+
   test("short documents form a single (possibly partial) chunk") {
     val df = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
     val got = DedupOps.chunkDedupStats(df, "doc_id", "text", chunkSize = 4)
