@@ -63,7 +63,8 @@ object Bench {
     "q53_sliding_window", "q54_array_fns", "q55_bitwise", "q56_funnel",
     "r21_remote_view", "p59_hash_classifier", "p60_source_overlap",
     "p61_chunk_dedup", "p62_centroid_card", "p63_centroid_drift",
-    "m13_image_dedup_cluster", "q57_zorder")
+    "p64_classifier_calibration", "m13_image_dedup_cluster",
+    "q57_zorder", "q58_session_window")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above

@@ -625,6 +625,32 @@ object PipelineQueries {
       VectorOps.labelCentroids(embs(s, dir), "label", "embedding")
         .orderBy(col("label"), col("dim"))),
 
+    // Classifier CALIBRATION table (p64): fixed-width bins of the p59
+    // classifier's mean weight against the p03 heuristic quality
+    // score — the agreement audit run before trusting a cheap model to
+    // gate an expensive pipeline (does high classifier score actually
+    // mean high quality?). Fixed bins, not quantiles, on purpose: the
+    // binning is per-row (floor of an engine-identical double), so the
+    // whole table is one groupBy with map-side combine — a
+    // quantile-based curve would need a global rank. Decimal image for
+    // the per-bin quality mean.
+    "p64_classifier_calibration" -> ((s, dir) => {
+      val score = LmOps.hashedLinearScore(col("text"))
+      val meanW = score / TextOps.tokenCount(col("text")).cast(DoubleType)
+      docs(s, dir)
+        .select(floor(meanW * 20).cast("int").as("bin"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(col("quality")
+              .cast(org.apache.spark.sql.types.DecimalType(25, 9)))
+            .cast(DoubleType).as("sum_q"),
+          sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_good"))
+        .withColumn("mean_quality", col("sum_q") / col("n"))
+        .withColumn("good_frac", col("n_good").cast(DoubleType) / col("n"))
+        .orderBy(col("bin"))
+    }),
+
     // Cross-snapshot CENTROID DRIFT (p63): re-embed/delete part of the
     // corpus in-plan (every vec_id % 17 row deleted; every % 13 row
     // sign-flipped — float negation is exact) and measure per-label
@@ -1702,6 +1728,47 @@ object PipelineQueries {
         |SELECT label, dim, n, sum_v, sum_sq,
         | sum_v / n AS centroid, sqrt(sum_sq / n) AS rms
         |FROM a ORDER BY label, dim""".stripMargin,
+
+    // the p59 score fold and p03 quality expression composed verbatim;
+    // binning is floor of the identical double product
+    "p64_classifier_calibration" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS n_tok
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, toks, n_tok,
+        |  list_transform(toks, tok ->
+        |    CAST(((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split(tok, ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) % 4096)
+        |      * 1103515245 + 12345) % 8191 AS DOUBLE) / 8191.0 - 0.5)
+        |   AS ws
+        | FROM t),
+        |s AS (
+        | SELECT doc_id, toks, n_tok,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ws),
+        |    (a, x) -> a + x) / CAST(n_tok AS DOUBLE) AS mean_w
+        | FROM w),
+        |q AS (
+        | SELECT doc_id, CAST(floor(mean_w * 20) AS INT) AS bin,
+        |  ((CASE WHEN n_tok BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN CAST(len(list_filter(toks, x -> x IN
+        |        ('the','a','and','of','to','in','is'))) AS DOUBLE) / n_tok
+        |        BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+        |   + CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok) / 3.0
+        |    AS quality
+        | FROM s)
+        |SELECT bin, count(*) AS n,
+        | CAST(sum(CAST(quality AS DECIMAL(25,9))) AS DOUBLE) AS sum_q,
+        | CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_good,
+        | CAST(sum(CAST(quality AS DECIMAL(25,9))) AS DOUBLE) / count(*)
+        |  AS mean_quality,
+        | CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*) AS good_frac
+        |FROM q GROUP BY bin ORDER BY bin""".stripMargin,
 
     // both snapshots' centroids rebuilt with the p62 arithmetic, the
     // in-plan delete/sign-flip delta spelled identically, squared

@@ -99,6 +99,26 @@ object StreamQueries {
         .orderBy(col("user_id"), col("view_id"), col("click_id"))
     }),
 
+    // BUILT-IN session_window aggregation (q58): the declarative twin
+    // of q20's stateful sessionization — `groupBy(session_window(ts,
+    // gap), user)` merges events whose time is strictly inside the
+    // previous session's [start, last + gap) range; an event landing
+    // EXACTLY at last + gap opens a new session (end-exclusive, per
+    // the engine's session-merge rule — the oracle's break condition
+    // mirrors that with >=). Same state-store shape under readStream;
+    // in batch it plans as a window-free aggregate.
+    "q58_session_window" -> ((s, dir) =>
+      Tables.table(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType)
+            .as("total"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("total"))
+        .orderBy(col("user_id"), col("session_start_us"))),
+
     // ordered FUNNEL analysis: per user, the earliest view, the
     // earliest click STRICTLY AFTER that view, and the earliest
     // purchase strictly after that click — the product-analytics
@@ -200,6 +220,26 @@ object StreamQueries {
         | AND c.ts >= v.ts
         | AND c.ts <= v.ts + INTERVAL 30 MINUTE
         |ORDER BY user_id, view_id, click_id""".stripMargin,
+
+    "q58_session_window" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |f AS (
+        | SELECT user_id, us, value,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |       >= 1800000000 THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |g AS (
+        | SELECT user_id, us, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM f)
+        |SELECT user_id, min(us) AS session_start_us,
+        | max(us) + 1800000000 AS session_end_us,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "q56_funnel" ->
       """WITH e AS (

@@ -15,9 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateInventorySpec extends AnyFunSuite {
 
-  // Bump this floor when ADDING gates; it must never go down. 154 =
-  // the round-7 inventory (57 q + 21 r + 63 p + 13 m).
-  private val floor = 154
+  // Bump this floor when ADDING gates; it must never go down. 156 =
+  // the round-7 inventory (58 q + 21 r + 64 p + 13 m).
+  private val floor = 156
 
   test(s"gate inventory never shrinks below $floor") {
     val n = SparkEntry.queries.size
