@@ -387,20 +387,40 @@ object MultimodalOps {
   def imageNearDupPairs(hashes: org.apache.spark.sql.DataFrame,
       maxDist: Int = 3, maxBucket: Int = 10000,
       skewObs: Option[org.apache.spark.sql.Observation] = None)
+      : org.apache.spark.sql.DataFrame =
+    bandedHammingPairs(hashes, "dhash", maxDist, maxBucket, skewObs)
+
+  /** Audio near-duplicate candidate pairs over the 56-bit energy hash —
+    * the same pigeonhole banding as [[imageNearDupPairs]] (both hashes
+    * are 56-bit perceptual signatures; a re-encoded/re-crawled clip
+    * lands within a few bits of the original). */
+  def audioNearDupPairs(hashes: org.apache.spark.sql.DataFrame,
+      maxDist: Int = 3, maxBucket: Int = 10000,
+      skewObs: Option[org.apache.spark.sql.Observation] = None)
+      : org.apache.spark.sql.DataFrame =
+    bandedHammingPairs(hashes, "ahash", maxDist, maxBucket, skewObs)
+
+  /** Shared 56-bit hamming candidate join: 4 chunks of 14 bits — ≤ 3
+    * differing bits leave one chunk identical, so recall is guaranteed
+    * at maxDist ≤ 3; (id, chunk) rows ride the shuffle, never payloads. */
+  private def bandedHammingPairs(hashes: org.apache.spark.sql.DataFrame,
+      hashCol: String, maxDist: Int, maxBucket: Int,
+      skewObs: Option[org.apache.spark.sql.Observation])
       : org.apache.spark.sql.DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for maxDist <= 3")
     val banded = hashes.select(col("asset_id").as("id"),
         explode(org.apache.spark.sql.functions.expr(
-          """transform(sequence(0, 3), c ->
-            |  struct(c AS chunk, shiftright(dhash, c * 14) & 16383 AS ck))"""
+          s"""transform(sequence(0, 3), c ->
+            |  struct(c AS chunk, shiftright($hashCol, c * 14) & 16383 AS ck))"""
             .stripMargin)).as("b"))
       .select(col("id"), col("b.chunk"), col("b.ck"))
     val cands = graft.operators.LshJoin.candidates(
       banded, Seq("chunk", "ck"), maxBucket, skewObs)
     graft.operators.LshJoin.attach(cands,
-        hashes.select(col("asset_id").as("id"), col("dhash")), "dhash")
+        hashes.select(col("asset_id").as("id"), col(hashCol)), hashCol)
       .select(col("id_a"), col("id_b"),
-        bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).as("hamming"))
+        bit_count(col(s"${hashCol}_a").bitwiseXOR(col(s"${hashCol}_b")))
+          .as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

@@ -142,4 +142,64 @@ object ClusterOps {
           org.apache.spark.sql.expressions.Window.partitionBy("comp")))
       .withColumn("keep", col("doc_id") === col("comp"))
   }
+
+  /** INCREMENTAL connected components: fold a Δ batch's near-dup
+    * edges into yesterday's component map without re-running the
+    * closure over the whole corpus — the graph analogue of the
+    * p30/p35 Δ-vs-index screens. The iteration touches only the
+    * components the Δ actually reaches:
+    *
+    *   1. components touched = prior components owning an endpoint of
+    *      some new edge (one semi-join of the |prior| map against the
+    *      Δ endpoint set — Δ-proportional output),
+    *   2. those components are re-expressed as STAR edges
+    *      (member → canonical id): connectivity-equivalent to the
+    *      original intra-component edge set but |members| edges, not
+    *      |original pairs| — the prior closure is reused, never
+    *      re-derived,
+    *   3. connected components runs over (star ∪ Δ) — a subgraph
+    *      proportional to the Δ and the clusters it touches, never
+    *      the corpus,
+    *   4. untouched prior rows pass through with one anti-join.
+    *
+    * At 100 TB the prior map is id-bucketed storage; steps 1/4 are
+    * bucket-local joins and step 3's input is tiny. Requires prior
+    * labels in canonical min-id form (what [[dedupClusters]] and
+    * [[connectedComponents]] produce) — min-label propagation then
+    * yields exactly the labels a full recompute over
+    * (prior edges ∪ Δ edges) would, because a star preserves its
+    * component's connectivity and contributes the same member-id set
+    * to the min.
+    *
+    * @param prior   (node, comp) map — comp = smallest member id
+    * @param newEdges Δ near-dup pairs (endpoints may be new nodes,
+    *                 prior nodes, or both)
+    * @return (node, comp) covering every prior node and every Δ
+    *         endpoint; Δ nodes in no surviving component label
+    *         themselves (singleton semantics, as in dedupClusters)
+    */
+  def incrementalComponents(
+      prior: DataFrame, newEdges: DataFrame,
+      srcCol: String, dstCol: String, maxIter: Int = 20): DataFrame = {
+    val p = prior.select(col("node").cast("long").as("node"),
+      col("comp").cast("long").as("comp"))
+    val delta = newEdges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deltaNodes = delta.select(col("src").as("node"))
+      .union(delta.select(col("dst").as("node"))).distinct()
+    val touched = p.join(deltaNodes, Seq("node"), "left_semi")
+      .select(col("comp")).distinct()
+    // star edges: member -> canonical for touched components only
+    // (self-edges are redundant — the canonical node reaches itself)
+    val star = p.join(touched, Seq("comp"), "left_semi")
+      .filter(col("node") =!= col("comp"))
+      .select(col("node").as("src"), col("comp").as("dst"))
+    val rec = connectedComponents(star.unionAll(delta), "src", "dst",
+      maxIter)
+    // Δ endpoints with no edge into anything (possible when the caller
+    // passes a pre-filtered pair set) are covered: every Δ endpoint is
+    // in `delta`, hence in `rec`. Untouched prior rows pass through.
+    val untouched = p.join(touched, Seq("comp"), "left_anti")
+    untouched.select(col("node"), col("comp")).unionAll(rec)
+  }
 }
