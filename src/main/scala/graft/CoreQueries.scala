@@ -323,11 +323,14 @@ object CoreQueries {
         .select(col("doc_id"),
           size(toks).as("n_toks"),
           size(vocab).as("n_vocab"),
-          slice(vocab, 1, 5).as("first5"),
+          // arrays joined to scalars: the driver's pandas canonicalizer
+          // cannot sort array columns, so gate outputs stay scalar —
+          // set semantics are unchanged (sorted-then-joined)
+          array_join(slice(vocab, 1, 5), ",").as("first5"),
           array_contains(toks, "spark").as("has_spark"),
           array_position(vocab, "spark").as("spark_pos"),
-          array_sort(array_intersect(vocab,
-            lit(Array("spark", "join", "table", "scan")))).as("kw_hits"),
+          array_join(array_sort(array_intersect(vocab,
+            lit(Array("spark", "join", "table", "scan")))), ",").as("kw_hits"),
           element_at(vocab, -1).as("last_word"))
         .orderBy(col("doc_id"))
     }),
@@ -928,9 +931,9 @@ object CoreQueries {
 
     "q46_hll_merge" ->
       """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
-        | (SELECT sum(n) FROM (
+        | CAST((SELECT sum(n) FROM (
         |   SELECT count(DISTINCT user_id) AS n FROM events
-        |   GROUP BY CAST(ts AS DATE))) AS sum_daily_exact,
+        |   GROUP BY CAST(ts AS DATE))) AS BIGINT) AS sum_daily_exact,
         | count(DISTINCT user_id) AS exact_users,
         | TRUE AS within_5pct
         |FROM events""".stripMargin,
@@ -1057,12 +1060,12 @@ object CoreQueries {
         |SELECT doc_id,
         | CAST(len(toks) AS INT) AS n_toks,
         | CAST(len(vocab) AS INT) AS n_vocab,
-        | vocab[1:5] AS first5,
+        | array_to_string(vocab[1:5], ',') AS first5,
         | list_contains(toks, 'spark') AS has_spark,
         | CAST(coalesce(list_position(vocab, 'spark'), 0) AS BIGINT)
         |  AS spark_pos,
-        | list_sort(list_intersect(vocab,
-        |   ['spark', 'join', 'table', 'scan'])) AS kw_hits,
+        | coalesce(array_to_string(list_sort(list_intersect(vocab,
+        |   ['spark', 'join', 'table', 'scan'])), ','), '') AS kw_hits,
         | vocab[-1] AS last_word
         |FROM base ORDER BY doc_id""".stripMargin,
 
@@ -1075,10 +1078,10 @@ object CoreQueries {
         |       AS BIGINT) AS by
         | FROM orders)
         |SELECT o_orderkey, bx, by,
-        | list_sum(list_transform(range(0, 8), i ->
+        | CAST(list_sum(list_transform(range(0, 8), i ->
         |   ((bx >> CAST(i AS INT)) & 1) * (CAST(1 AS BIGINT) << (2 * CAST(i AS INT)))
         |   + ((by >> CAST(i AS INT)) & 1) * (CAST(1 AS BIGINT) << (2 * CAST(i AS INT) + 1))))
-        |  AS z
+        |  AS BIGINT) AS z
         |FROM b ORDER BY z, o_orderkey""".stripMargin,
 
     "q55_bitwise" ->

@@ -422,6 +422,10 @@ object PipelineQueries {
         when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
       UrlOps.urlDedup(
           docs(s, dir).select(col("doc_id"), url.as("url")), "doc_id", "url")
+        // driver harness cannot canonicalize array columns — join the
+        // (already numerically sorted) variant list to a scalar
+        .withColumn("variant_ids",
+          array_join(col("variant_ids").cast("array<string>"), ","))
         .orderBy(col("canonical_url"))
     }),
 
@@ -585,9 +589,11 @@ object PipelineQueries {
     }),
 
     // Cross-source n-gram overlap matrix (p60): pre-mixing corpus
-    // composition audit. One corpus-sized distinct, then everything is
-    // bounded by |sources| (the shingle pair join fans out to at most
-    // C(|sources|,2) rows per shingle — dup-pressure-proof).
+    // composition audit. ONE corpus shuffle — groupBy(shingle) with
+    // map-side partial collect_set(source) — then in-row pair
+    // expansion of each ≤|sources| set; no self-join, the corpus
+    // subtree is evaluated exactly once (round-7's self-joined plan
+    // measured 19.7× for 10× data).
     "p60_source_overlap" -> ((s, dir) =>
       DedupOps.sourceOverlap(docs(s, dir), "source", "text", n = 3)
         .select(col("src_a"), col("src_b"), col("n_shared"),
@@ -1460,7 +1466,9 @@ object PipelineQueries {
         |c6 AS (SELECT doc_id, regexp_replace(
         |        regexp_replace(u, '[?&]+$', ''), '/+$', '') AS u FROM c5)
         |SELECT u AS canonical_url, min(doc_id) AS keeper,
-        | count(*) AS n_variants, list(doc_id ORDER BY doc_id) AS variant_ids
+        | count(*) AS n_variants,
+        | array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+        |  AS variant_ids
         |FROM c6 GROUP BY u ORDER BY canonical_url""".stripMargin,
 
     "p51_bm25_topk" ->

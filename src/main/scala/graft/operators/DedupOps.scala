@@ -510,27 +510,44 @@ object DedupOps {
     * run before mixing (how much of source B is already in source A;
     * C4-vs-CommonCrawl-style overlap studies).
     *
-    * Scale shape: the corpus-sized work is ONE distinct over
-    * (source, shingle) — a single shuffle on the shingle — after which
-    * every row set is bounded by |sources|: the pair join explodes a
-    * shingle into at most C(|sources|, 2) rows regardless of how many
-    * documents contain it (dup-pressure-proof, unlike a doc-level
-    * pair join), and the matrix itself is |sources|² rows. The
-    * per-source size table is broadcast back onto the matrix. */
+    * Scale shape: the corpus-sized work is ONE aggregation —
+    * `groupBy(shingle).agg(collect_set(source))`, a single shuffle on
+    * the shingle with map-side partial sets, each set bounded by
+    * |sources| — after which everything is in-row: each shingle's
+    * sorted source set expands inside the row into its ≤C(|sources|,2)
+    * ordered pairs plus |srcs| diagonal markers, and the second
+    * groupBy's map-side partial agg collapses those to ≤|sources|²
+    * rows per partition before any further shuffle. Per-source sizes
+    * are read off the matrix DIAGONAL via two windows over the
+    * |sources|²-row result, so the corpus subtree is evaluated exactly
+    * once (the round-7 version self-joined the corpus-sized distinct —
+    * two corpus shuffles and a double-evaluated subtree; measured
+    * 19.7× for 10× data at sf1). */
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = df.select(col(srcCol).as("source"),
+    import org.apache.spark.sql.expressions.Window
+    val bySh = df.select(col(srcCol).as("source"),
         explode(shingles(col(textCol), n)).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("source").as("src_a"), col("sh"))
-    val b = sh.select(col("source").as("src_b"), col("sh"))
-    a.join(b, "sh").filter(col("src_a") < col("src_b"))
-      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(sizes.select(col("source").as("src_a"),
-        col("n_sh").as("n_a"))), "src_a")
-      .join(broadcast(sizes.select(col("source").as("src_b"),
-        col("n_sh").as("n_b"))), "src_b")
+      .groupBy(col("sh"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+    // in-row expansion: diagonal (x,x) rows carry per-source shingle
+    // counts; ordered (x,y) x<y rows carry the shared counts
+    val counts = bySh.select(explode(expr(
+        """flatten(transform(srcs, (x, i) -> concat(
+          |  array(struct(x AS src_a, x AS src_b)),
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    y -> struct(x AS src_a, y AS src_b)))))""".stripMargin))
+        .as("e"))
+      .groupBy(col("e.src_a").as("src_a"), col("e.src_b").as("src_b"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("n_a", max(when(col("src_a") === col("src_b"),
+        col("cnt"))).over(Window.partitionBy("src_a")))
+      .withColumn("n_b", max(when(col("src_a") === col("src_b"),
+        col("cnt"))).over(Window.partitionBy("src_b")))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("cnt").as("n_shared"),
+        col("n_a"), col("n_b"))
       .withColumn("jaccard", col("n_shared").cast("double") /
         (col("n_a") + col("n_b") - col("n_shared")))
   }

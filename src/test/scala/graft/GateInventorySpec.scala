@@ -43,4 +43,23 @@ class GateInventorySpec extends AnyFunSuite {
     val unknown = Bench.headline.toSet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"Bench.headline references unknown queries: $unknown")
   }
+
+  // Round-7 lesson (q54/p50): the driver's pandas canonicalizer throws
+  // "unhashable type: numpy.ndarray" when it sorts an array-typed
+  // output column, erroring the gate even when the values are
+  // oracle-exact. Gate outputs must therefore be scalar — arrays are
+  // array_join'ed before the gate boundary.
+  test("no gate output column is array-typed (driver harness limit)") {
+    import org.apache.spark.sql.types.ArrayType
+    val spark = SparkTestSession.spark
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sf).schema.fields
+          .filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+    }
+    assert(offenders.isEmpty,
+      s"array-typed gate outputs (driver cannot canonicalize): $offenders")
+  }
 }
