@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.operators.{ClusterOps, DedupOps, DiffOps, LmOps, PackingOps, RetrievalOps, SampleOps, TextOps, UrlOps, VectorOps}
+import graft.operators.{ClusterOps, DedupOps, DiffOps, GraphOps, LmOps, PackingOps, RetrievalOps, SampleOps, TextOps, UrlOps, VectorOps}
 import graft.multimodal.MultimodalOps
 
 /** LLM-training-data pipeline operators over the `documents` and
@@ -655,6 +655,77 @@ object PipelineQueries {
         .withColumn("mean_quality", col("sum_q") / col("n"))
         .withColumn("good_frac", col("n_good").cast(DoubleType) / col("n"))
         .orderBy(col("bin"))
+    }),
+
+    // Link-graph PageRank (p65): host/document centrality as a
+    // curation prior. The graph is derived in-plan (three deterministic
+    // out-edges per doc — two mixing permutation-ish maps plus a
+    // hub-forming mod-97 edge, so some nodes see heavy in-degree);
+    // ranks are INTEGER-EXACT fixed-point (GraphOps.pageRank carries
+    // Long units end to end), so the DuckDB oracle replays the same
+    // Long arithmetic iteration for iteration and the result is
+    // bit-identical — no float tolerance anywhere.
+    "p65_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val e = d.crossJoin(broadcast(
+          d.agg((max(col("doc_id")) + 1).as("nn"))))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 7 + 1) % col("nn"),
+          (col("doc_id") * 13 + 5) % col("nn"),
+          col("doc_id") % 97)).as("dst"))
+      GraphOps.pageRank(e, "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    // Incremental connected components (p66): fold a Δ batch of
+    // near-dup edges into yesterday's component map — the graph
+    // analogue of the p30/p35 Δ-vs-index screens. Prior = short chains
+    // (doc_id→doc_id+1 for doc_id%10<3, components of ≤4 nodes), Δ =
+    // chain-merging edges (%50) plus edges to entirely NEW nodes
+    // (doc_id+1000000 for %40) — so the fold exercises touched-
+    // component rewrite, new-node admission, and untouched passthrough
+    // at once. Oracle = full recompute over (prior ∪ Δ), which the
+    // incremental fold must equal exactly (star edges preserve
+    // component connectivity and the min-id canonical form).
+    "p66_incremental_components" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val priorEdges = d.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val prior = ClusterOps.connectedComponents(priorEdges, "src", "dst")
+      val delta = d.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("src"), (col("doc_id") + 5).as("dst"))
+        .unionAll(d.filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") + 1000000L).as("dst")))
+      ClusterOps.incrementalComponents(prior, delta, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
+    // Audio near-dup banding (m14): the audio analogue of m13's image
+    // path — re-crawled clips (every doc_id%11 doc carries the NEXT
+    // doc's audio, uniform 185-sample clips so identical text means
+    // identical PCM) land within hamming 0 of the original's 56-bit
+    // energy hash; the 4-chunk pigeonhole banding finds every pair at
+    // hamming ≤ 3 with (id, chunk) rows riding the shuffle, never
+    // samples. Oracle replays hash + full pair join from the cyclic-
+    // ASCII PCM model (recall at ≤3 is guaranteed, so banding output
+    // == the exact pair set).
+    "m14_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val remapped = d.select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, col("doc_id") + 1)
+            .otherwise(col("doc_id")).as("src_id"), col("source"))
+        .join(d.select(col("doc_id").as("src_id"), col("text")), "src_id")
+      val assets = remapped
+        .select(col("doc_id").as("asset_id"), lit("audio").as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"), col("source"))
+        .as[graft.multimodal.MediaAsset]
+        .mapPartitions(_.map(a =>
+          a.copy(payload = MultimodalOps.syntheticWav(a.payload, 185, 8000))))
+      MultimodalOps.audioNearDupPairs(
+          MultimodalOps.audioEnergyHash(assets).toDF(), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Cross-snapshot CENTROID DRIFT (p63): re-embed/delete part of the
@@ -1777,6 +1848,108 @@ object PipelineQueries {
         | CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
         |  / count(*) AS good_frac
         |FROM q GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // the same graph (three deterministic out-edges per doc), the same
+    // Long fixed-point arithmetic, three iterations UNROLLED as chained
+    // CTEs (standard SQL forbids aggregation in a recursive term);
+    // every sum CAST to BIGINT before the damping division so DuckDB's
+    // HUGEINT never leaks into the dtype-sensitive hash
+    "p65_pagerank" ->
+      """WITH p AS (SELECT (SELECT max(doc_id) + 1 FROM documents) AS nn),
+        |raw AS MATERIALIZED (
+        | SELECT doc_id AS src, unnest([(doc_id * 7 + 1) % nn,
+        |   (doc_id * 13 + 5) % nn, doc_id % 97]) AS dst
+        | FROM documents, p),
+        |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+        |        FROM e GROUP BY src),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |k AS (SELECT CAST(150000000 // n AS BIGINT) AS base,
+        |             CAST(1000000000 // n AS BIGINT) AS init FROM c),
+        |r0 AS (SELECT node, (SELECT init FROM k) AS rank FROM nodes),
+        |i1 AS (SELECT e.dst, CAST(sum(r.rank // d.out_deg) AS BIGINT)
+        |         AS insum
+        |       FROM e JOIN r0 r ON r.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node, CAST((SELECT base FROM k)
+        |        + (coalesce(s.insum, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN i1 s ON s.dst = n.node),
+        |i2 AS (SELECT e.dst, CAST(sum(r.rank // d.out_deg) AS BIGINT)
+        |         AS insum
+        |       FROM e JOIN r1 r ON r.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node, CAST((SELECT base FROM k)
+        |        + (coalesce(s.insum, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN i2 s ON s.dst = n.node),
+        |i3 AS (SELECT e.dst, CAST(sum(r.rank // d.out_deg) AS BIGINT)
+        |         AS insum
+        |       FROM e JOIN r2 r ON r.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node, CAST((SELECT base FROM k)
+        |        + (coalesce(s.insum, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN i3 s ON s.dst = n.node)
+        |SELECT node, rank AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+    // full recompute over (prior ∪ Δ) edges — the incremental fold
+    // must equal it exactly; reachability min-label via the p14
+    // recursive pattern, restricted (by construction of `edges`) to
+    // exactly the prior-node ∪ Δ-endpoint scope the operator returns
+    "p66_incremental_components" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+        |pe AS (SELECT doc_id AS src, doc_id + 1 AS dst FROM d
+        |       WHERE doc_id % 10 < 3),
+        |de AS (SELECT doc_id AS src, doc_id + 5 AS dst FROM d
+        |       WHERE doc_id % 50 = 0
+        |       UNION ALL
+        |       SELECT doc_id, doc_id + 1000000 FROM d WHERE doc_id % 40 = 0),
+        |alle AS (SELECT src, dst FROM pe UNION ALL SELECT src, dst FROM de),
+        |edges AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM alle UNION ALL SELECT dst, src FROM alle)),
+        |reach(node, comp) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node, min(comp) AS comp FROM reach GROUP BY node
+        |ORDER BY node""".stripMargin,
+
+    // m06's hash replay at UNIFORM 185 samples (370 PCM bytes) over the
+    // %11-remapped texts, then the exact pair join — banding recall at
+    // hamming ≤ 3 is pigeonhole-guaranteed, so the banded operator's
+    // output must equal the brute-force pair set
+    "m14_audio_neardup" ->
+      """WITH remap AS (
+        | SELECT a.doc_id, b.text
+        | FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 11 = 0 THEN doc_id + 1 ELSE doc_id END
+        |         AS src_id
+        |       FROM documents) a
+        | JOIN documents b ON b.doc_id = a.src_id),
+        |s AS (SELECT doc_id,
+        |       substring(repeat(text,
+        |         CAST(ceil(370.0 / length(text)) AS INT) + 1), 1, 370)
+        |        AS pcm FROM remap),
+        |v AS (SELECT doc_id,
+        |       list_transform(range(0, 185), i ->
+        |        abs(((unicode(substring(pcm, CAST(1 + 2 * i AS INT), 1))
+        |          + 256 * unicode(substring(pcm, CAST(2 + 2 * i AS INT), 1))
+        |          + 32768) % 65536) - 32768)) AS mags FROM s),
+        |e AS (SELECT doc_id,
+        |       list_transform(range(0, 57), k ->
+        |        list_sum(list_slice(mags, CAST(k * 185 // 57 + 1 AS INT),
+        |          CAST((k + 1) * 185 // 57 AS INT)))) AS eng FROM v),
+        |h AS (SELECT doc_id,
+        |       CAST(list_sum(list_transform(range(0, 56), k ->
+        |        CASE WHEN eng[CAST(k + 1 AS INT)] > eng[CAST(k + 2 AS INT)]
+        |             THEN CAST(1 AS BIGINT) << k
+        |             ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+        |      FROM e)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // both snapshots' centroids rebuilt with the p62 arithmetic, the
     // in-plan delete/sign-flip delta spelled identically, squared

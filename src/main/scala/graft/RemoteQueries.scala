@@ -548,6 +548,31 @@ object RemoteQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // UNION ALL pushdown (r22): two query-sourced shards of CUSTOMER
+    // (the monthly-partition federation pattern) merge into ONE remote
+    // SQL via RemoteUnion.unionAll; the filter and the complete
+    // aggregate then push INTO the merged query through the normal
+    // subquery wrapping (reference connection/mod.rs:336-380), so the
+    // remote executes the whole thing in one round trip.
+    // RemoteUnionSpec pins the single-scan plan; this gate the values.
+    "r22_remote_union" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      val shard = (pred: String) => remote(s, url, "query" ->
+        ("SELECT C_CUSTKEY, C_MKTSEGMENT, C_ACCTBAL FROM CUSTOMER " +
+          s"WHERE $pred"))
+      graft.sources.RemoteUnion.unionAll(
+          shard("MOD(C_CUSTKEY, 2) = 0"), shard("MOD(C_CUSTKEY, 2) = 1"))
+        .filter(col("C_ACCTBAL") > 1000.0)
+        .groupBy(col("C_MKTSEGMENT"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("C_CUSTKEY")).as("sum_key"),
+          min(col("C_CUSTKEY")).as("min_key"),
+          max(col("C_CUSTKEY")).as("max_key"))
+        .select(col("C_MKTSEGMENT").as("c_mktsegment"), col("n"),
+          col("sum_key"), col("min_key"), col("max_key"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Nested-struct decode end-to-end: the remote scalar JSON column is
     // declared a typed struct via structcol.<name>; the reader decodes
     // it to InternalRow (reference SdeGeometry assembly,
@@ -639,6 +664,14 @@ object RemoteQueries {
         | min(n_name) AS first_name
         |FROM nation WHERE n_regionkey < 4
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // the two parity shards union back to the whole table, so the
+    // oracle is a plain filtered aggregate over customer
+    "r22_remote_union" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        | min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM customer WHERE c_acctbal > 1000.0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "r08_remote_runtime_filter" ->
       """SELECT n_name, count(*) AS n_cust,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal

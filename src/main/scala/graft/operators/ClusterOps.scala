@@ -85,7 +85,17 @@ object ClusterOps {
     var (labels, labelBlocks) = checkpointTracked(
       sym.select(col("src").as("node")).distinct()
         .withColumn("comp", col("node")))
-    var lastSum = labels.agg(sum("comp")).head.getLong(0)
+    // sum over ZERO rows is SQL NULL — an empty edge set (a normal
+    // input for incremental pipelines on a quiet day) means the empty
+    // label frame is already the fixpoint
+    def labelSum(df: DataFrame): Option[Long] =
+      Option(df.agg(sum("comp")).head.getAs[java.lang.Long](0)).map(_.toLong)
+    val firstSum = labelSum(labels)
+    if (firstSum.isEmpty) {
+      symBlocks.foreach(_.unpersist(blocking = false))
+      return labels
+    }
+    var lastSum = firstSum.get
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -96,7 +106,7 @@ object ClusterOps {
       val (next, nextBlocks) = checkpointTracked(
         labels.union(viaEdges)
           .groupBy("node").agg(min("comp").as("comp")))
-      val s = next.agg(sum("comp")).head.getLong(0)
+      val s = labelSum(next).get // non-empty from here (guarded above)
       converged = s == lastSum // labels are monotone non-increasing
       lastSum = s
       // `next` is materialized (eager checkpoint), so the previous

@@ -61,6 +61,9 @@ object GraphOps {
       unit: Long = 1000000000L, dampNum: Long = 85, dampDen: Long = 100,
       checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 1, "pageRank: need at least one iteration")
+    require(checkpointEvery >= 1,
+      "pageRank: checkpointEvery must be >= 1 (0 divides by zero; " +
+        "negatives silently disable lineage cutting)")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()

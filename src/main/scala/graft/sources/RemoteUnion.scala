@@ -52,9 +52,27 @@ object RemoteUnion {
     val (tb, colsB) = bareTable(b.queryExecution.analyzed).getOrElse(
       throw new IllegalArgumentException(
         "RemoteUnion.unionAll: right input is not a bare graft-remote scan"))
+    // redacted URLs in the error: JDBC urls routinely carry
+    // credentials in query params (user=…&password=…) and require
+    // messages land in logs
+    def redact(u: String): String = u.takeWhile(c => c != '?' && c != ';')
     require(ta.opts.url == tb.opts.url,
-      s"RemoteUnion.unionAll: different databases (${ta.opts.url} vs " +
-        s"${tb.opts.url}) — a cross-database union stays Spark-side")
+      s"RemoteUnion.unionAll: different databases (${redact(ta.opts.url)} " +
+        s"vs ${redact(tb.opts.url)}) — a cross-database union stays " +
+        "Spark-side")
+    // schema-shaping options must AGREE: behavior options ride from the
+    // left side only, so a right-side transform/structcol would be
+    // silently dropped (or the left's applied to the right's rows)
+    def shaping(m: Map[String, String]): Map[String, String] =
+      m.filter { case (k, _) =>
+        val lk = k.toLowerCase
+        lk == "transformclass" || lk.startsWith("structcol.")
+      }
+    require(shaping(ta.opts.map) == shaping(tb.opts.map),
+      "RemoteUnion.unionAll: transformclass/structcol.* options differ " +
+        s"between sides (${shaping(ta.opts.map)} vs ${shaping(tb.opts.map)}) " +
+        "— shaping rides from the left side only and would silently " +
+        "misapply; align the options or union Spark-side")
     require(!ta.isCommand && !tb.isCommand,
       "RemoteUnion.unionAll: command sources have no SQL form")
     val dialect = ta.opts.dialect
