@@ -675,6 +675,28 @@ class RemoteScan(
       s"PushedGroupBy: [${agg.toSeq.flatMap(_.groupBy).mkString(", ")}]"
   }
 
+  /** Everything [[ScanCodec]] needs to reproduce this scan in another
+    * process (options, source, pruned schema, every pushdown). */
+  private[sources] def codecState: ScanState = {
+    val (kind, src) = opts.source match {
+      case RemoteSource.TableRef(parts) => ("table", parts.mkString("."))
+      case RemoteSource.Query(sql) => ("query", sql)
+    }
+    ScanState(
+      version = ScanCodec.Version,
+      options = opts.map,
+      sourceKind = kind,
+      source = src,
+      readSchemaDdl = required.toDDL,
+      pushedFilters = pushedSql,
+      limit = limit,
+      offset = offset,
+      sortOrder = sortSql,
+      aggSelect = agg.toSeq.flatMap(_.select),
+      aggGroupBy = agg.toSeq.flatMap(_.groupBy),
+      aggSchemaDdl = agg.map(_.schema.toDDL))
+  }
+
   /** Remote MIN/MAX of the partition column, probed ONCE per scan at
     * planning time when `partitioncolumn` + `numpartitions` are set
     * WITHOUT explicit bounds — one cheap (typically index-only) remote
