@@ -798,6 +798,41 @@ object CoreQueries {
       val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
       cu.unionAll(su).groupBy(col("nk")).agg(count(lit(1)).as("n"))
         .orderBy(col("nk"))
+    }),
+
+    // ---- typed UDAF (Aggregator) surface --------------------------------
+    // SURVEY §2.2's UDF/UDAF row, gated explicitly: a custom
+    // Aggregator[Long,Long,Long] registered via functions.udaf plans as
+    // a regular partial+final aggregate pair (map-side combine intact).
+    // GCD is commutative+associative over exact integers, so the fold
+    // is partitioning/retry/AQE-invariant — the determinism bar custom
+    // aggregates must clear; DuckDB replays it as list_reduce(gcd).
+    "q59_udaf_gcd" -> ((s, dir) => {
+      val g = udaf(graft.functions.GcdAggregator)
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(g((col("l_orderkey") + 3L) * 12L).as("g"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- typed flatMap (the Scala UDTF analogue) ------------------------
+    // SURVEY §2.2's UDTF row: one input row → N typed output rows via
+    // Dataset.flatMap with a product encoder — the Spark-native
+    // generator surface (a Hive-style GenericUDTF would deopt codegen;
+    // for SQL-expressible expansion, explode remains the built-in path
+    // the other gates use). Output is deterministic positional
+    // tokenization, so DuckDB replays it from string_split alone.
+    "q60_typed_flatmap" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.split(" ").iterator.zipWithIndex.map {
+            case (w, i) => (id, i, w)
+          }
+        }
+        .toDF("doc_id", "pos", "word")
+        .orderBy(col("doc_id"), col("pos"))
     }))
 
   /** Range-join oracle shared by q24 (hand-built operator) and q28
@@ -1311,5 +1346,28 @@ object CoreQueries {
         | SELECT c_nationkey AS nk FROM customer
         | UNION ALL
         | SELECT s_nationkey AS nk FROM supplier) u
-        |GROUP BY nk ORDER BY nk""".stripMargin)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+
+    // gcd is order-free, so folding DuckDB's group list replays the
+    // distributed partial/merge fold exactly; CAST dodges HUGEINT-free
+    // but keeps the q46 dtype lesson explicit
+    "q59_udaf_gcd" ->
+      """SELECT l_returnflag,
+        | CAST(list_reduce(list((l_orderkey + 3) * 12), (a, b) -> gcd(a, b))
+        |  AS BIGINT) AS g,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // positional tokenization replayed from string_split (struct-list
+    // unnest carries (pos, word) pairs)
+    "q60_typed_flatmap" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS s FROM documents
+        | WHERE doc_id < 100)
+        |SELECT doc_id, CAST(u.pos AS INT) AS pos, u.word
+        |FROM (
+        | SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
+        |   i -> {'pos': i - 1, 'word': s[i]})) AS u
+        | FROM t)
+        |ORDER BY doc_id, pos""".stripMargin)
 }
