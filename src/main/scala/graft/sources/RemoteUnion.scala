@@ -44,52 +44,67 @@ object RemoteUnion {
       case _ => None
     }
 
-  def unionAll(a: DataFrame, b: DataFrame): DataFrame = {
-    val spark = a.sparkSession
-    val (ta, colsA) = bareTable(a.queryExecution.analyzed).getOrElse(
-      throw new IllegalArgumentException(
-        "RemoteUnion.unionAll: left input is not a bare graft-remote scan"))
-    val (tb, colsB) = bareTable(b.queryExecution.analyzed).getOrElse(
-      throw new IllegalArgumentException(
-        "RemoteUnion.unionAll: right input is not a bare graft-remote scan"))
+  def unionAll(a: DataFrame, b: DataFrame): DataFrame = unionAll(Seq(a, b))
+
+  /** N-way form (the 12-monthly-shards case): all inputs merge into
+    * ONE FLAT `SELECT … UNION ALL SELECT … UNION ALL …` remote query —
+    * not a left-fold of pairwise merges, which would nest each step's
+    * result as an ever-deeper subquery.
+    *
+    * Note: user-specified read schemas (`.schema(...)` on a side's
+    * reader) are NOT carried into the merged scan — the merged query's
+    * schema is re-inferred remotely; declare shaping via
+    * `structcol.*` options (checked for parity across sides) instead. */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "RemoteUnion.unionAll: no inputs")
+    if (dfs.length == 1) return dfs.head
+    val spark = dfs.head.sparkSession
+    val sides = dfs.zipWithIndex.map { case (df, i) =>
+      bareTable(df.queryExecution.analyzed).getOrElse(
+        throw new IllegalArgumentException(
+          s"RemoteUnion.unionAll: input $i is not a bare graft-remote scan"))
+    }
+    val (ta, _) = sides.head
     // redacted URLs in the error: JDBC urls routinely carry
     // credentials in query params (user=…&password=…) and require
     // messages land in logs
     def redact(u: String): String = u.takeWhile(c => c != '?' && c != ';')
-    require(ta.opts.url == tb.opts.url,
-      s"RemoteUnion.unionAll: different databases (${redact(ta.opts.url)} " +
-        s"vs ${redact(tb.opts.url)}) — a cross-database union stays " +
-        "Spark-side")
     // schema-shaping options must AGREE: behavior options ride from the
-    // left side only, so a right-side transform/structcol would be
-    // silently dropped (or the left's applied to the right's rows)
+    // first side only, so another side's transform/structcol would be
+    // silently dropped (or the first's applied to that side's rows)
     def shaping(m: Map[String, String]): Map[String, String] =
       m.filter { case (k, _) =>
         val lk = k.toLowerCase
         lk == "transformclass" || lk.startsWith("structcol.")
       }
-    require(shaping(ta.opts.map) == shaping(tb.opts.map),
-      "RemoteUnion.unionAll: transformclass/structcol.* options differ " +
-        s"between sides (${shaping(ta.opts.map)} vs ${shaping(tb.opts.map)}) " +
-        "— shaping rides from the left side only and would silently " +
-        "misapply; align the options or union Spark-side")
-    require(!ta.isCommand && !tb.isCommand,
-      "RemoteUnion.unionAll: command sources have no SQL form")
     val dialect = ta.opts.dialect
-    require(dialect.isRewritable(ta.opts.source) &&
-      dialect.isRewritable(tb.opts.source),
-      "RemoteUnion.unionAll: non-SELECT query source cannot be merged")
-    val typesA = a.schema.fields.map(_.dataType).toSeq
-    val typesB = b.schema.fields.map(_.dataType).toSeq
-    require(typesA == typesB,
-      s"RemoteUnion.unionAll: positional column types differ " +
-        s"($typesA vs $typesB)")
+    val typesA = dfs.head.schema.fields.map(_.dataType).toSeq
+    sides.zip(dfs).zipWithIndex.foreach { case (((tb, _), df), i) =>
+      require(ta.opts.url == tb.opts.url,
+        s"RemoteUnion.unionAll: different databases (${redact(ta.opts.url)} " +
+          s"vs input $i ${redact(tb.opts.url)}) — a cross-database union " +
+          "stays Spark-side")
+      require(shaping(ta.opts.map) == shaping(tb.opts.map),
+        "RemoteUnion.unionAll: transformclass/structcol.* options differ " +
+          s"between sides (${shaping(ta.opts.map)} vs input $i " +
+          s"${shaping(tb.opts.map)}) — shaping rides from the first side " +
+          "only and would silently misapply; align the options or union " +
+          "Spark-side")
+      require(!tb.isCommand,
+        "RemoteUnion.unionAll: command sources have no SQL form")
+      require(dialect.isRewritable(tb.opts.source),
+        "RemoteUnion.unionAll: non-SELECT query source cannot be merged")
+      val typesB = df.schema.fields.map(_.dataType).toSeq
+      require(typesA == typesB,
+        s"RemoteUnion.unionAll: positional column types differ " +
+          s"($typesA vs input $i $typesB)")
+    }
     // explicit per-side SELECT lists pin positional alignment — a `*`
     // would silently re-pair columns if one table's DDL order drifts
-    val sqlA = dialect.rewriteQuery(ta.opts.source, columns = Some(colsA))
-    val sqlB = dialect.rewriteQuery(tb.opts.source, columns = Some(colsB))
-    val merged = s"$sqlA UNION ALL $sqlB"
-    // connection/behavior options ride from the LEFT side; the source
+    val merged = sides.map { case (tb, cols) =>
+      dialect.rewriteQuery(tb.opts.source, columns = Some(cols))
+    }.mkString(" UNION ALL ")
+    // connection/behavior options ride from the FIRST side; the source
     // options are replaced by the merged query
     val base = ta.opts.map - "dbtable" - "query"
     var r = spark.read.format("graft-remote")

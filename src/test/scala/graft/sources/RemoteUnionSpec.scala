@@ -85,6 +85,27 @@ class RemoteUnionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("column types"))
   }
 
+  test("n-way union is ONE flat remote query, values equal Spark union") {
+    val shard = (pred: String) => remote("query" ->
+      s"SELECT n_nationkey, n_name FROM nation WHERE $pred")
+    val parts = Seq("MOD(n_nationkey, 3) = 0", "MOD(n_nationkey, 3) = 1",
+      "MOD(n_nationkey, 3) = 2").map(shard)
+    val merged = RemoteUnion.unionAll(parts)
+    assert(countScans(merged.queryExecution.analyzed) == 1)
+    // flat merge, not a nested fold: exactly two UNION ALLs and one
+    // subquery wrap PER SHARD (a pairwise fold would re-wrap each
+    // step's merged query, compounding the nesting)
+    val inner = ScanCodec.describe(merged)
+    assert(inner.sourceKind == "query" &&
+      "UNION ALL".r.findAllIn(inner.source).size == 2 &&
+      "\\(SELECT".r.findAllIn(inner.source).size == 3,
+      s"merged SQL not flat: ${inner.source}")
+    val got = merged.collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    val want = parts.reduce(_ unionAll _).collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("one-sided schema-shaping options throw (no silent drop)") {
     val a = remote("dbtable" -> "NATION")
     val b = remote("dbtable" -> "NATION",
