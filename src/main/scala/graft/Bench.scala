@@ -66,7 +66,8 @@ object Bench {
     "p64_classifier_calibration", "m13_image_dedup_cluster",
     "q57_zorder", "q58_session_window",
     "p65_pagerank", "p66_incremental_components", "m14_audio_neardup",
-    "r22_remote_union", "q59_udaf_gcd", "q60_typed_flatmap")
+    "r22_remote_union", "q59_udaf_gcd", "q60_typed_flatmap",
+    "p67_personalized_pagerank", "p68_matryoshka_recall")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above
@@ -104,7 +105,8 @@ object Bench {
     "q17_join6", "p02_exact_dedup", "p23_quantize",
     // round-8 additions, no scale history yet
     "p65_pagerank", "p66_incremental_components", "m14_audio_neardup",
-    "r22_remote_union", "q59_udaf_gcd", "q60_typed_flatmap")
+    "r22_remote_union", "q59_udaf_gcd", "q60_typed_flatmap",
+    "p67_personalized_pagerank", "p68_matryoshka_recall")
 
   private def fmtJsonNum(v: Double): String = {
     // fixed decimal, no scientific notation (driver-side json parsers)

@@ -677,6 +677,55 @@ object PipelineQueries {
         .orderBy(col("node"))
     }),
 
+    // Personalized PageRank (p67): teleport mass concentrated on a
+    // SEED whitelist (every doc_id % 100 == 0) over p65's graph — the
+    // TrustRank-style curation prior ("rank relative to vetted
+    // hosts"). Same integer-exact fixed-point arithmetic; non-seed
+    // nodes start at 0 and hold only inherited mass, so the oracle
+    // replays the identical Long fold with a CASE on the seed test.
+    "p67_personalized_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val e = d.crossJoin(broadcast(
+          d.agg((max(col("doc_id")) + 1).as("nn"))))
+        .select(col("doc_id").as("src"), explode(array(
+          (col("doc_id") * 7 + 1) % col("nn"),
+          (col("doc_id") * 13 + 5) % col("nn"),
+          col("doc_id") % 97)).as("dst"))
+      val seeds = d.filter(col("doc_id") % 100 === 0)
+      GraphOps.personalizedPageRank(e, "src", "dst", seeds, "doc_id",
+          iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    // Matryoshka truncation recall audit (p68): how much ANN quality
+    // survives truncating the embedding to its first 16 of 64 dims —
+    // the dimension-reduction sanity check run before committing a
+    // cheaper index. Exact top-k (p08's broadcast brute force, the
+    // oracle-strength config) computed at BOTH widths, then per query
+    // the overlap |top10_full ∩ top10_trunc| and recall@10. Both
+    // rankings use the deterministic left-to-right double dot product
+    // with the neighbor-id tie-break, so the whole audit is
+    // hash-exact — no float tolerance.
+    "p68_matryoshka_recall" -> ((s, dir) => {
+      val all = embs(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("vec"))
+      val queries = all.filter(col("id") < 10)
+      val k = 10
+      val full = VectorOps.bruteForceTopK(queries, all, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val tAll = all.select(col("id"), slice(col("vec"), 1, 16).as("vec"))
+      val trunc = VectorOps.bruteForceTopK(
+          tAll.filter(col("id") < 10), tAll, k)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit"))
+      full.join(trunc, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .withColumn("recall_at_k",
+          col("n_overlap").cast(DoubleType) / k)
+        .orderBy(col("query_id"))
+    }),
+
     // Incremental connected components (p66): fold a Δ batch of
     // near-dup edges into yesterday's component map — the graph
     // analogue of the p30/p35 Δ-vs-index screens. Prior = short chains
@@ -1891,6 +1940,101 @@ object PipelineQueries {
         |        + (coalesce(s.insum, 0) * 85) // 100 AS BIGINT) AS rank
         |       FROM nodes n LEFT JOIN i3 s ON s.dst = n.node)
         |SELECT node, rank AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+    // p65's unrolled Long fold with the teleport constants CASE'd on
+    // the seed test (node % 100 = 0 — every doc is a node, so the
+    // in-graph seed count is the plain filtered count)
+    "p67_personalized_pagerank" ->
+      """WITH p AS (SELECT (SELECT max(doc_id) + 1 FROM documents) AS nn),
+        |raw AS MATERIALIZED (
+        | SELECT doc_id AS src, unnest([(doc_id * 7 + 1) % nn,
+        |   (doc_id * 13 + 5) % nn, doc_id % 97]) AS dst
+        | FROM documents, p),
+        |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+        |        FROM e GROUP BY src),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+        |      WHERE node % 100 = 0),
+        |k AS (SELECT CAST(150000000 // n AS BIGINT) AS base,
+        |             CAST(1000000000 // n AS BIGINT) AS init FROM c),
+        |r0 AS (SELECT node, CASE WHEN node % 100 = 0
+        |        THEN (SELECT init FROM k) ELSE 0 END AS rank FROM nodes),
+        |i1 AS (SELECT e.dst, CAST(sum(r.rank // d.out_deg) AS BIGINT)
+        |         AS insum
+        |       FROM e JOIN r0 r ON r.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node, CAST(
+        |        (CASE WHEN n.node % 100 = 0 THEN (SELECT base FROM k)
+        |              ELSE 0 END)
+        |        + (coalesce(s.insum, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN i1 s ON s.dst = n.node),
+        |i2 AS (SELECT e.dst, CAST(sum(r.rank // d.out_deg) AS BIGINT)
+        |         AS insum
+        |       FROM e JOIN r1 r ON r.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node, CAST(
+        |        (CASE WHEN n.node % 100 = 0 THEN (SELECT base FROM k)
+        |              ELSE 0 END)
+        |        + (coalesce(s.insum, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN i2 s ON s.dst = n.node),
+        |i3 AS (SELECT e.dst, CAST(sum(r.rank // d.out_deg) AS BIGINT)
+        |         AS insum
+        |       FROM e JOIN r2 r ON r.node = e.src
+        |       JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node, CAST(
+        |        (CASE WHEN n.node % 100 = 0 THEN (SELECT base FROM k)
+        |              ELSE 0 END)
+        |        + (coalesce(s.insum, 0) * 85) // 100 AS BIGINT) AS rank
+        |       FROM nodes n LEFT JOIN i3 s ON s.dst = n.node)
+        |SELECT node, rank AS rank_units FROM r3 ORDER BY node""".stripMargin,
+
+    // p08's exact ranking replayed at BOTH widths (full list, [1:16]
+    // slice), then the per-query overlap of the two top-10 sets
+    "p68_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |sf AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |    i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * c.embedding[i]))))
+        |   AS cosine
+        | FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+        |rf AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |                      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM sf) WHERE rank <= 10),
+        |et AS (SELECT vec_id, embedding[1:16] AS embedding FROM e),
+        |st AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |    i -> CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]))
+        |   / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |        i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * c.embedding[i]))))
+        |   AS cosine
+        | FROM et q JOIN et c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+        |rt AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id
+        |                      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM st) WHERE rank <= 10)
+        |SELECT rf.query_id,
+        | CAST(sum(CASE WHEN rt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_overlap,
+        | CAST(sum(CASE WHEN rt.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS DOUBLE) / 10 AS recall_at_k
+        |FROM rf LEFT JOIN rt ON rt.query_id = rf.query_id
+        | AND rt.neighbor_id = rf.neighbor_id
+        |GROUP BY rf.query_id ORDER BY rf.query_id""".stripMargin,
 
     // full recompute over (prior ∪ Δ) edges — the incremental fold
     // must equal it exactly; reachability min-label via the p14

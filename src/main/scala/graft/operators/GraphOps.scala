@@ -59,7 +59,35 @@ object GraphOps {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String, iters: Int = 3,
       unit: Long = 1000000000L, dampNum: Long = 85, dampDen: Long = 100,
-      checkpointEvery: Int = 8): DataFrame = {
+      checkpointEvery: Int = 8): DataFrame =
+    run(edges, srcCol, dstCol, None, iters, unit, dampNum, dampDen,
+      checkpointEvery)
+
+  /** PERSONALIZED PageRank: the teleport distribution concentrates on
+    * a SEED set instead of all nodes — "rank relative to these trusted
+    * hosts", the crawl-curation prior that upranks pages reachable
+    * from a vetted whitelist (TrustRank-style) rather than globally
+    * popular ones. Same integer-exact arithmetic: seeds carry
+    * base = ((unit·(den−num)) div den) div |seeds∩nodes| and
+    * init = unit div |seeds∩nodes|; non-seeds carry 0 of both, so
+    * their steady-state rank is purely inherited mass. Seeds outside
+    * the graph's node set are ignored (they have no edges to receive
+    * or spread mass through).
+    *
+    * @param seeds one column (`seedCol`) of node ids */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 3,
+      unit: Long = 1000000000L, dampNum: Long = 85, dampDen: Long = 100,
+      checkpointEvery: Int = 8): DataFrame =
+    run(edges, srcCol, dstCol,
+      Some(seeds.select(col(seedCol).as("node")).distinct()),
+      iters, unit, dampNum, dampDen, checkpointEvery)
+
+  private def run(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: Option[DataFrame], iters: Int, unit: Long,
+      dampNum: Long, dampDen: Long, checkpointEvery: Int): DataFrame = {
     require(iters >= 1, "pageRank: need at least one iteration")
     require(checkpointEvery >= 1,
       "pageRank: checkpointEvery must be >= 1 (0 divides by zero; " +
@@ -70,17 +98,28 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-    // |nodes| is the one driver-side scalar (the same O(1) any
-    // aggregate action costs); base and init are floored exactly like
-    // the oracle: ((unit * (den-num)) div den) div n, (unit div n)
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
+    // teleport scope: all nodes (classic) or the in-graph seed set
+    // (personalized). |scope| is the one driver-side scalar (the same
+    // O(1) any aggregate action costs); base and init are floored
+    // exactly like the oracle: ((unit * (den-num)) div den) div n,
+    // (unit div n)
+    val teleport = seeds.fold(nodes)(sd =>
+      nodes.join(sd, Seq("node"), "left_semi"))
+    val n = teleport.count()
+    require(n > 0, seeds.fold("pageRank: empty graph")(_ =>
+      "personalizedPageRank: no seed is a node of the graph"))
     val base = unit * (dampDen - dampNum) / dampDen / n
     val init = unit / n
+    // (node, base, init) — constants on the teleport scope, zero off it
+    val prior = nodes.join(
+        teleport.withColumn("in_scope", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("in_scope"), lit(base)).otherwise(lit(0L)).as("base"),
+        when(col("in_scope"), lit(init)).otherwise(lit(0L)).as("init"))
 
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
 
-    var ranks = nodes.select(col("node"), lit(init).as("rank_units"))
+    var ranks = prior.select(col("node"), col("init").as("rank_units"))
     var pinned: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
     for (i <- 1 to iters) {
       // each source's per-out-edge share: rank div out_deg (exact
@@ -91,9 +130,9 @@ object GraphOps {
           expr("rank_units div out_deg").as("share"))
       val inbound = e.join(share, col("src") === col("sh_node"))
         .groupBy(col("dst")).agg(sum(col("share")).as("insum"))
-      var next = nodes.join(inbound, col("node") === col("dst"), "left")
+      var next = prior.join(inbound, col("node") === col("dst"), "left")
         .select(col("node"),
-          (lit(base) +
+          (col("base") +
             expr(s"coalesce(insum, 0L) * ${dampNum}L div ${dampDen}L"))
             .as("rank_units"))
       if (i % checkpointEvery == 0 && i < iters) {

@@ -15,9 +15,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateInventorySpec extends AnyFunSuite {
 
-  // Bump this floor when ADDING gates; it must never go down. 162 =
-  // the round-8 inventory (60 q + 22 r + 66 p + 14 m).
-  private val floor = 162
+  // Bump this floor when ADDING gates; it must never go down. 164 =
+  // the round-8 inventory (60 q + 22 r + 68 p + 14 m).
+  private val floor = 164
 
   test(s"gate inventory never shrinks below $floor") {
     val n = SparkEntry.queries.size

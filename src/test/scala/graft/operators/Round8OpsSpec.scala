@@ -78,6 +78,53 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(a == b, "lineage cutting must not change any rank")
   }
 
+  test("personalizedPageRank: mass flows only from the seed set") {
+    // chain 1 -> 2 -> 3, seed {1}: node 1 holds base (nothing inbound),
+    // 2 inherits from 1, 3 from 2; replay the exact Long arithmetic
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = GraphOps.personalizedPageRank(e, "s", "d", seeds, "node",
+      iters = 3).as[(Long, Long)].collect().toMap
+    val unit = 1000000000L
+    val base = unit * 15 / 100 / 1 // |seeds| = 1
+    var r1 = unit / 1
+    var r2 = 0L
+    var r3 = 0L
+    for (_ <- 1 to 3) {
+      val n1 = base
+      val n2 = (r1 / 1) * 85 / 100 // inbound share from 1
+      val n3 = (r2 / 1) * 85 / 100
+      r1 = n1; r2 = n2; r3 = n3
+    }
+    assert(got == Map(1L -> r1, 2L -> r2, 3L -> r3))
+  }
+
+  test("personalizedPageRank: seeds outside the graph are ignored; " +
+      "all-foreign seed set throws") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val mixed = Seq(1L, 99L).map(Tuple1(_)).toDF("node")
+    val onlySeed1 = Seq(Tuple1(1L)).toDF("node")
+    val a = GraphOps.personalizedPageRank(e, "s", "d", mixed, "node")
+      .as[(Long, Long)].collect().toMap
+    val b = GraphOps.personalizedPageRank(e, "s", "d", onlySeed1, "node")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "a foreign seed must not change the teleport scope")
+    val foreign = Seq(Tuple1(99L)).toDF("node")
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(e, "s", "d", foreign, "node")
+    }
+  }
+
+  test("personalizedPageRank with all nodes as seeds equals pageRank") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val allNodes = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("node")
+    val a = GraphOps.personalizedPageRank(e, "s", "d", allNodes, "node",
+      iters = 4).as[(Long, Long)].collect().toMap
+    val b = GraphOps.pageRank(e, "s", "d", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   // ---- ClusterOps.incrementalComponents ---------------------------------
 
   private def fullCc(edges: Seq[(Long, Long)]): Map[Long, Long] =
