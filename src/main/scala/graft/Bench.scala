@@ -103,10 +103,18 @@ object Bench {
     "p64_classifier_calibration", "p18_repetition", "p16_quality_pipeline",
     "p55_incremental_reingest", "r18_remote_sample", "p38_mixture_sample",
     "q17_join6", "p02_exact_dedup", "p23_quantize",
-    // round-8 additions, no scale history yet
-    "p65_pagerank", "p66_incremental_components", "m14_audio_neardup",
-    "r22_remote_union", "q59_udaf_gcd", "q60_typed_flatmap",
-    "p67_personalized_pagerank", "p68_matryoshka_recall")
+    // permanent citizens (round-9, VERDICT r8 item 4): everything that
+    // shuffles candidate pairs or iterates stays in the sf1 pass FOREVER
+    // regardless of its last linear-looking ratio — m13 shared m14's
+    // quadratic machinery and dropped out of the one pass that would
+    // have caught it; the "looked linear once, prune" protocol was the
+    // blind spot, not the fix
+    "m13_image_dedup_cluster", "m08_video_neardup", "p61_chunk_dedup",
+    "p14_dedup_cluster", "p65_pagerank", "p66_incremental_components",
+    "p67_personalized_pagerank", "m14_audio_neardup",
+    // round-8 ratios that earned a keep (q59 2.6×); q60 (0.88×) and
+    // p68 (1.5×) pruned per the heavy-set's own protocol
+    "r22_remote_union", "q59_udaf_gcd")
 
   private def fmtJsonNum(v: Double): String = {
     // fixed decimal, no scientific notation (driver-side json parsers)
@@ -138,6 +146,11 @@ object Bench {
       : Seq[(String, Seq[Double])] =
     names.map { name =>
       val fn = SparkEntry.queries(name)
+      // residue recorded PER REP (round-9, VERDICT r8 item 3): a
+      // monotonically-rising rep sequence (p55's sf1 [1.16/1.81/2.18])
+      // is only attributable if the residue is sampled between reps,
+      // not once after the last one
+      val perRep = collection.mutable.ListBuffer.empty[String]
       val times = (1 to reps).flatMap { _ =>
         // q28/r06 legitimately set session confs their own execution
         // needs (optimizer rewrites fire at execution, not build);
@@ -151,22 +164,63 @@ object Bench {
         System.gc()
         val t0 = System.nanoTime()
         // a failed query must be VISIBLE, not a fast fake timing
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            errors += s"$tag$name: ${e.getClass.getSimpleName}"
-            System.err.println(s"[bench] $tag$name FAILED: $e")
-            None
+        val r =
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              errors += s"$tag$name: ${e.getClass.getSimpleName}"
+              System.err.println(s"[bench] $tag$name FAILED: $e")
+              None
+          }
+        perRep += storageResidue(spark)
+        // skew-guard / operator observations registered by this query
+        // (m14's bucket evidence): print with the rep they belong to
+        ObsRegistry.drain().foreach { case (on, m) =>
+          val kv = m.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(", ")
+          System.err.println(s"[bench] $tag$name obs($on): $kv")
         }
+        r
       }
       val shown = times.map(t => f"$t%.2f").mkString("/")
       System.err.println(
-        s"[bench] $tag$name: [$shown]s (${times.size}/$reps reps, " +
-          s"residue ${storageResidue(spark)})")
+        s"[bench] $tag$name: [$shown]s (${times.size}/$reps reps)")
+      perRep.zipWithIndex.foreach { case (rz, i) =>
+        System.err.println(s"[bench] $tag$name residue rep${i + 1}: $rz") }
       name -> (times: Seq[Double])
     }
 
   private def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+
+  /** The previous round's sf0.1 medians, parsed from the newest driver
+    * artifact (`BENCH_r*.json`). The driver wraps the bench line in an
+    * escaped `"tail"` capture, so unescape before extracting the LAST
+    * `"queries"` map (field order puts the sf0.1 medians last exactly
+    * so tail-capture keeps them). Used for the `common_vs_prev` key
+    * (round-9, VERDICT r8 item 9): the suite total grows by gate
+    * addition every round, so the artifact itself must carry the
+    * like-for-like regression signal. */
+  private def prevRoundMedians(): Option[(String, Map[String, Double])] = {
+    val files = Option(new java.io.File("/root/repo").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.getName)
+    files.lastOption.flatMap { f =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).replace("\\\"", "\"")
+        val i = txt.lastIndexOf("\"queries\":{")
+        if (i < 0) None
+        else {
+          val end = txt.indexOf('}', i)
+          val m = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+            .findAllMatchIn(txt.substring(i + 10, end + 1))
+            .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
+          if (m.isEmpty) None else Some((f.getName, m))
+        }
+      } catch { case _: Throwable => None }
+    }
+  }
 
   private def queriesJson(rs: Seq[(String, Seq[Double])]): String =
     rs.collect { case (k, ts) if ts.nonEmpty =>
@@ -294,6 +348,18 @@ object Bench {
         s""","sf1":{"dir":"$sf1Dir","total":${fmtJsonNum(total1)},"reps":$reps1,"queries":${queriesJson(rs1)},"times":${timesJson(rs1)},"excluded":$excl},"scale":$scale"""
       }
 
+    // like-for-like vs the previous round's driver artifact: totals over
+    // the common query subset only, so gate additions don't read as
+    // regressions and removals don't read as wins
+    val commonJson = prevRoundMedians().map { case (fname, prev) =>
+      val cur = ok.map { case (k, ts) => k -> median(ts) }.toMap
+      val common = cur.keySet.intersect(prev.keySet).toSeq.sorted
+      val curT = common.map(cur).sum
+      val prevT = common.map(prev).sum
+      System.err.println(f"[bench] common vs $fname: ${common.size} queries, " +
+        f"$curT%.1f s now vs $prevT%.1f s then (${curT / math.max(prevT, 1e-9)}%.2fx)")
+      s""","common_vs_prev":{"prev":"$fname","common_n":${common.size},"prev_total":${fmtJsonNum(prevT)},"cur_total":${fmtJsonNum(curT)},"ratio":${fmtJsonNum(curT / math.max(prevT, 1e-9))}}"""
+    }.getOrElse("")
     val errJson = errors
       .map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -302,7 +368,7 @@ object Bench {
     // from the head. Big diagnostic payloads ("times", "sf1") go FIRST;
     // the headline summary ("queries" medians, "value" total) goes LAST,
     // so tail-capture of any length keeps the most important fields.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"times":${timesJson(results)}$sf1Json,"failed":$failedJson,"errors":$errJson,"queries":${queriesJson(ok)},"value":${fmtJsonNum(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"times":${timesJson(results)}$sf1Json$commonJson,"failed":$failedJson,"errors":$errJson,"queries":${queriesJson(ok)},"value":${fmtJsonNum(total)}}"""
     // ... and the whole artifact also lands in a file the driver (or a
     // human) can pick up intact regardless of stdout capture limits.
     try {

@@ -772,8 +772,15 @@ object PipelineQueries {
         .as[graft.multimodal.MediaAsset]
         .mapPartitions(_.map(a =>
           a.copy(payload = MultimodalOps.syntheticWav(a.payload, 185, 8000))))
+      // fresh Observation per call (single-use per execution); the
+      // bench harness drains it after the action so the skew guard's
+      // bucket evidence (max_bucket_size / bucket_cap / dropped_*)
+      // lands in the round artifact's stderr
+      val obs = org.apache.spark.sql.Observation()
+      graft.ObsRegistry.register("m14_audio_neardup", obs)
       MultimodalOps.audioNearDupPairs(
-          MultimodalOps.audioEnergyHash(assets).toDF(), maxDist = 3)
+          MultimodalOps.audioEnergyHash(assets).toDF(), maxDist = 3,
+          skewObs = Some(obs))
         .orderBy(col("id_a"), col("id_b"))
     }),
 

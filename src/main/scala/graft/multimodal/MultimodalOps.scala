@@ -402,26 +402,64 @@ object MultimodalOps {
 
   /** Shared 56-bit hamming candidate join: 4 chunks of 14 bits — ≤ 3
     * differing bits leave one chunk identical, so recall is guaranteed
-    * at maxDist ≤ 3; (id, chunk) rows ride the shuffle, never payloads. */
+    * at maxDist ≤ 3; (id, chunk) rows ride the shuffle, never payloads.
+    *
+    * Round-9 rework (VERDICT r8 item 1): hamming-0 groups are collapsed
+    * BEFORE banding. Banding assets directly was quadratic on
+    * low-entropy hashes — the audio energy hash concentrates many
+    * assets on few 14-bit chunk values, so `groupBy(chunk, ck)` buckets
+    * grew ∝ corpus and in-bucket pair expansion cost O(Σ bucket²)
+    * (measured 51× for 10× data at sf1, every bucket under the absolute
+    * cap). Identical-payload re-crawls — the common case — are exactly
+    * what inflated those buckets, and their pairs are derivable without
+    * banding at all. So:
+    *   1. one shuffle on the hash → (hash, members) groups;
+    *   2. hamming-0 pairs expand per group — OUTPUT-proportional
+    *      (every emitted pair is a result row, not a candidate);
+    *   3. only DISTINCT hashes are banded — bucket sizes now track hash
+    *      ENTROPY, not corpus size — under a relative candidate budget
+    *      ([[graft.operators.LshJoin.candidatesBudgeted]]);
+    *   4. qualifying hash pairs (1 ≤ hamming ≤ maxDist) re-expand to
+    *      member cross products — again output-proportional.
+    * Each asset carries exactly one hash, so the three categories are
+    * disjoint and no pair dedup across them is needed. */
   private def bandedHammingPairs(hashes: org.apache.spark.sql.DataFrame,
       hashCol: String, maxDist: Int, maxBucket: Int,
       skewObs: Option[org.apache.spark.sql.Observation])
       : org.apache.spark.sql.DataFrame = {
     require(maxDist <= 3, "4-chunk banding guarantees recall only for maxDist <= 3")
-    val banded = hashes.select(col("asset_id").as("id"),
-        explode(org.apache.spark.sql.functions.expr(
-          s"""transform(sequence(0, 3), c ->
-            |  struct(c AS chunk, shiftright($hashCol, c * 14) & 16383 AS ck))"""
-            .stripMargin)).as("b"))
+    import graft.functions.native.sorted_pairs
+    // the hash groups feed four plan branches (zero-pairs, banding, two
+    // member re-expansions); persist so decode + the hash shuffle run
+    // once — at 100 TB this is the dedup state you'd materialize anyway
+    val grouped = hashes.groupBy(col(hashCol))
+      .agg(collect_list(col("asset_id")).as("members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zero = grouped.filter(size(col("members")) >= 2)
+      .select(explode(sorted_pairs(col("members"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), lit(0).as("hamming"))
+    val banded = grouped.select(col(hashCol).as("id"))
+      .select(col("id"), explode(org.apache.spark.sql.functions.expr(
+        """transform(sequence(0, 3), c ->
+          |  struct(c AS chunk, shiftright(id, c * 14) & 16383 AS ck))"""
+          .stripMargin)).as("b"))
       .select(col("id"), col("b.chunk"), col("b.ck"))
-    val cands = graft.operators.LshJoin.candidates(
-      banded, Seq("chunk", "ck"), maxBucket, skewObs)
-    graft.operators.LshJoin.attach(cands,
-        hashes.select(col("asset_id").as("id"), col(hashCol)), hashCol)
-      .select(col("id_a"), col("id_b"),
-        bit_count(col(s"${hashCol}_a").bitwiseXOR(col(s"${hashCol}_b")))
-          .as("hamming"))
-      .filter(col("hamming") <= maxDist)
+    val hashPairs = graft.operators.LshJoin.candidatesBudgeted(
+        banded, Seq("chunk", "ck"), maxBucket,
+        candidateBudget = 4L * 1000 * 1000, skewObs)
+      .select(col("id_a").as("h_a"), col("id_b").as("h_b"),
+        bit_count(col("id_a").bitwiseXOR(col("id_b"))).as("hamming"))
+      .filter(col("hamming").between(1, maxDist))
+    val cross = hashPairs
+      .join(grouped.select(col(hashCol).as("h_a"), col("members").as("ms_a")),
+        "h_a")
+      .join(grouped.select(col(hashCol).as("h_b"), col("members").as("ms_b")),
+        "h_b")
+      .select(explode(col("ms_a")).as("ma"), col("ms_b"), col("hamming"))
+      .select(col("ma"), explode(col("ms_b")).as("mb"), col("hamming"))
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col("hamming"))
+    zero.unionAll(cross)
   }
 
   /** "Video" assets at ONE resolution for every asset — perceptual

