@@ -3,6 +3,17 @@ ThisBuild / version := "0.1.0"
 name := "datafusionremotetablespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// Optional second embedded JDBC backend for end-to-end connector gates:
+// the PUBLIC Maven artifact org.duckdb:duckdb_jdbc:1.0.0, vendored into
+// lib/ from the image's pre-warmed coursier cache (sqlite-jdbc is not in
+// the cache; DuckDB is the same file-based no-server shape). Nothing
+// references it at compile time (DriverManager discovers the driver via
+// ServiceLoader), and every DuckDB-backed gate self-disables when the
+// jar is absent — a clean checkout still builds and runs.
+Compile / unmanagedJars ++= {
+  val f = baseDirectory.value / "lib" / "duckdb_jdbc-1.0.0.jar"
+  if (f.exists) Seq(Attributed.blank(f)) else Seq.empty
+}
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

@@ -1,0 +1,245 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second-backend connector gates (round-9, VERDICT r8 item 6): the
+  * r01–r05 gate shapes + the keyed upsert, replayed END-TO-END against
+  * embedded DuckDB — the one other file-based, no-server JDBC engine
+  * available offline (the PUBLIC Maven artifact
+  * org.duckdb:duckdb_jdbc:1.0.0, vendored into lib/ from the image's
+  * pre-warmed cache; sqlite-jdbc is absent from it). This is the
+  * analogue of the reference's SQLite integration suite
+  * (`integration-tests/tests/sqlite.rs:48-289`): every dialect rule
+  * that was previously exercised only as fuzz-tested strings — quoting,
+  * LIMIT/OFFSET, scalar-fn spellings, ON CONFLICT upsert — runs against
+  * a real second engine with its own type system and decode path.
+  *
+  * Every gate self-disables when the driver jar is absent (clean
+  * checkouts without lib/ still build and verify green on the
+  * remaining gates).
+  */
+object DuckQueries {
+
+  /** Driver availability — the jar is vendored, not a compile-time
+    * dependency; DriverManager discovers it via ServiceLoader. */
+  lazy val available: Boolean =
+    try { Class.forName("org.duckdb.DuckDBDriver"); true }
+    catch { case _: Throwable => false }
+
+  private val prepared = scala.collection.mutable.Set[String]()
+
+  private val ddl = Map(
+    "NATION" -> ("CREATE TABLE NATION (N_NATIONKEY INT, N_NAME VARCHAR, " +
+      "N_REGIONKEY INT)"),
+    "REGION" -> "CREATE TABLE REGION (R_REGIONKEY INT, R_NAME VARCHAR)",
+    "SUPPLIER" -> ("CREATE TABLE SUPPLIER (S_SUPPKEY BIGINT, S_NAME VARCHAR, " +
+      "S_NATIONKEY INT, S_ACCTBAL DOUBLE)"),
+    "CUSTOMER" -> ("CREATE TABLE CUSTOMER (C_CUSTKEY BIGINT, C_NAME VARCHAR, " +
+      "C_NATIONKEY INT, C_ACCTBAL DOUBLE, C_MKTSEGMENT VARCHAR)"),
+    // keyed-upsert fixture: DuckDB's ON CONFLICT form requires the merge
+    // key to be a PRIMARY KEY / UNIQUE constraint (its upsert contract)
+    "UPS" -> ("CREATE TABLE UPS (U_KEY INT PRIMARY KEY, U_NAME VARCHAR, " +
+      "U_VAL DOUBLE)"))
+
+  private def fixtureDf(spark: SparkSession, dir: String,
+      table: String): DataFrame = table match {
+    case "UPS" =>
+      Tables.table(spark, dir, "nation")
+        .select(col("n_nationkey").cast(IntegerType).as("U_KEY"),
+          col("n_name").as("U_NAME"), (col("n_regionkey") * 1.0).as("U_VAL"))
+    case t => Tables.table(spark, dir, t.toLowerCase)
+  }
+
+  /** Same delta/steady-state shapes as the Derby r16 gate. */
+  private def upsDeltaDf(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.table(spark, dir, "nation")
+    nation.filter(col("n_nationkey") % 3 === 0)
+      .select(col("n_nationkey").cast(IntegerType).as("U_KEY"),
+        concat(col("n_name"), lit("_v2")).as("U_NAME"),
+        (col("n_regionkey") + 100.5).as("U_VAL"))
+      .unionAll(nation.filter(col("n_nationkey") % 5 === 0)
+        .select((col("n_nationkey") + 1000).cast(IntegerType).as("U_KEY"),
+          concat(lit("new_"), col("n_name")).as("U_NAME"),
+          (lit(0.5) - col("n_regionkey")).as("U_VAL")))
+  }
+
+  private def upsFinalCount(spark: SparkSession, dir: String): Long = {
+    val nation = Tables.table(spark, dir, "nation")
+    nation.count() + nation.filter(col("n_nationkey") % 5 === 0).count()
+  }
+
+  /** Copy the fixtures into a DuckDB database file through the
+    * connector write path; idempotent per JVM, counts-checked reuse
+    * across JVMs (same protocol as RemoteQueries.ensure). */
+  def ensure(spark: SparkSession, dir: String): String = synchronized {
+    require(available, "duckdb_jdbc driver not on classpath")
+    val id = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val url = s"jdbc:duckdb:/tmp/graft_duck_$id.db"
+    if (prepared.contains(url)) return url
+    val counts = ddl.keys.map(t =>
+      t -> (if (t == "UPS") upsFinalCount(spark, dir)
+            else fixtureDf(spark, dir, t).count())).toMap
+    val c = DriverManager.getConnection(url)
+    // a fresh Statement per operation: DuckDB's JDBC driver CLOSES the
+    // statement when a query on it errors (e.g. the missing-table
+    // probe), unlike Derby which tolerates reuse after an error
+    def exec[A](sql: String)(f: java.sql.Statement => A): A = {
+      val st = c.createStatement()
+      try f(st) finally st.close()
+    }
+    val upToDate = ddl.keys.forall { t =>
+      try exec(s"SELECT COUNT(1) FROM $t") { st =>
+        val rs = st.executeQuery(s"SELECT COUNT(1) FROM $t")
+        rs.next(); rs.getLong(1) == counts(t)
+      } catch { case _: Exception => false }
+    }
+    if (!upToDate) {
+      ddl.foreach { case (table, create) =>
+        try exec("")(_.executeUpdate(s"DROP TABLE $table"))
+        catch { case _: Exception => () }
+        exec("")(_.executeUpdate(create))
+      }
+    }
+    c.close()
+    if (!upToDate) {
+      ddl.keys.foreach { table =>
+        fixtureDf(spark, dir, table)
+          .write.format("graft-remote")
+          .option("url", url).option("dbtable", table)
+          .mode("append").save()
+      }
+      // keyed upsert through the staged ON CONFLICT path: n%3 keys
+      // update in place, n%5 keys insert as new (r28 reads the result)
+      upsDeltaDf(spark, dir)
+        .write.format("graft-remote")
+        .option("url", url).option("dbtable", "UPS")
+        .option("mergekeys", "U_KEY").option("stagingwrite", "true")
+        .mode("append").save()
+    }
+    prepared += url
+    url
+  }
+
+  private val cachedMaxCust = scala.collection.mutable.Map[String, Long]()
+  private def maxCustKey(url: String): Long = synchronized {
+    cachedMaxCust.getOrElseUpdate(url, {
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery("SELECT MAX(C_CUSTKEY) FROM CUSTOMER")
+          rs.next(); rs.getLong(1)
+        } finally st.close()
+      } finally c.close()
+    })
+  }
+
+  private def remote(s: SparkSession, url: String,
+      opts: (String, String)*): DataFrame = {
+    var r = s.read.format("graft-remote").option("url", url)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  private val allQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // r01 shape: write round-trip + scan + exact filter pushdown
+    "r23_duckdb_filter" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "NATION")
+        .filter(col("N_REGIONKEY") < 3)
+        .select(col("N_NATIONKEY").as("n_nationkey"),
+          col("N_NAME").as("n_name"), col("N_REGIONKEY").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // r02 shape: complete COUNT(*) pushdown
+    "r24_duckdb_count" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "SUPPLIER")
+        .agg(count(lit(1)).as("n_sup"))
+    }),
+
+    // r03 shape: remote-side join via a Query source
+    "r25_duckdb_query_join" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "query" ->
+        ("SELECT n.N_NAME, r.R_NAME FROM NATION n " +
+          "JOIN REGION r ON n.N_REGIONKEY = r.R_REGIONKEY"))
+        .select(col("N_NAME").as("n_name"), col("R_NAME").as("r_name"))
+        .orderBy(col("n_name"), col("r_name"))
+    }),
+
+    // r04 shape: parallel range-partitioned scan + Spark agg on top
+    "r26_duckdb_partitioned_agg" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      val maxKey = maxCustKey(url)
+      remote(s, url, "dbtable" -> "CUSTOMER",
+        "partitioncolumn" -> "C_CUSTKEY", "lowerbound" -> "1",
+        "upperbound" -> (maxKey + 1).toString, "numpartitions" -> "4")
+        .groupBy(col("C_NATIONKEY"))
+        .agg(sum(col("C_ACCTBAL").cast(DecimalType(25, 6))).cast(DoubleType)
+          .as("bal"), count(lit(1)).as("n_cust"))
+        .select(col("C_NATIONKEY").as("c_nationkey"), col("bal"), col("n_cust"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // r05 shape: top-N pushdown (ORDER BY + LIMIT ship remotely)
+    "r27_duckdb_topk" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "SUPPLIER")
+        .orderBy(col("S_ACCTBAL").desc, col("S_SUPPKEY"))
+        .limit(25)
+        .select(col("S_SUPPKEY").as("s_suppkey"),
+          col("S_ACCTBAL").as("s_acctbal"))
+    }),
+
+    // r16 shape: keyed upsert through DuckDB's ON CONFLICT form
+    "r28_duckdb_upsert" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "UPS")
+        .select(col("U_KEY").as("u_key"), col("U_NAME").as("u_name"),
+          col("U_VAL").as("u_val"))
+        .orderBy(col("u_key"))
+    }))
+
+  private val allOracle: Map[String, String] = Map(
+    "r23_duckdb_filter" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey < 3 ORDER BY n_nationkey""".stripMargin,
+    "r24_duckdb_count" ->
+      "SELECT count(*) AS n_sup FROM supplier",
+    "r25_duckdb_query_join" ->
+      """SELECT n_name, r_name FROM nation
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_name, r_name""".stripMargin,
+    "r26_duckdb_partitioned_agg" ->
+      """SELECT c_nationkey,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal,
+        | count(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "r27_duckdb_topk" ->
+      """SELECT s_suppkey, s_acctbal FROM supplier
+        |ORDER BY s_acctbal DESC, s_suppkey LIMIT 25""".stripMargin,
+    "r28_duckdb_upsert" ->
+      """SELECT u_key, u_name, u_val FROM (
+        | SELECT n_nationkey AS u_key,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_v2' ELSE n_name END
+        |   AS u_name,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN n_regionkey + 100.5
+        |   ELSE n_regionkey * 1.0 END AS u_val
+        | FROM nation
+        | UNION ALL
+        | SELECT n_nationkey + 1000, 'new_' || n_name, 0.5 - n_regionkey
+        | FROM nation WHERE n_nationkey % 5 = 0
+        |) ORDER BY u_key""".stripMargin)
+
+  /** Gates registered only when the vendored driver is present. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    if (available) allQueries else Map.empty
+  def oracle: Map[String, String] =
+    if (available) allOracle else Map.empty
+}

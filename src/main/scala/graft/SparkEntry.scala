@@ -16,7 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RemoteQueries.queries ++ PipelineQueries.queries ++
-      StreamQueries.queries
+      StreamQueries.queries ++ DuckQueries.queries
 
   /** Session confs individual queries set for their own execution
     * (optimizer rewrites fire at execution time, so the query builders
@@ -61,5 +61,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ RemoteQueries.oracle ++ PipelineQueries.oracle ++
-      StreamQueries.oracle
+      StreamQueries.oracle ++ DuckQueries.oracle
 }

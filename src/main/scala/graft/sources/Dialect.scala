@@ -108,6 +108,14 @@ trait Dialect extends Serializable {
     * paren-free, so MDB declines. */
   def supportsRuntimeFilters: Boolean = true
 
+  /** Whether an integer column is SIGNED, given the driver's
+    * `ResultSetMetaData.isSigned` and the type name. The default trusts
+    * the driver flag (the §1.3 unsigned-widening rule keys off it);
+    * dialects whose drivers don't implement it override with name-based
+    * detection. */
+  def signedHint(typeName: String, driverSigned: Boolean): Boolean =
+    driverSigned
+
   /** System-catalog schema inference for TABLE sources — the
     * per-backend mechanism the reference uses for Postgres
     * (`information_schema.columns` incl. identity / `nextval` default
@@ -361,6 +369,7 @@ object Dialect {
     case "dm" => DmDialect
     case "mdb" => MdbDialect
     case "gaussdb" | "opengauss" => GaussDbDialect
+    case "duckdb" => DuckDbDialect
     case other => throw new IllegalArgumentException(s"unknown dialect: $other")
   }
 
@@ -376,6 +385,7 @@ object Dialect {
     else if (u.startsWith("jdbc:dm")) DmDialect
     else if (u.startsWith("jdbc:gaussdb") || u.startsWith("jdbc:opengauss"))
       GaussDbDialect
+    else if (u.startsWith("jdbc:duckdb")) DuckDbDialect
     else DerbyDialect
   }
 }
@@ -582,6 +592,59 @@ object SqliteDialect extends Dialect {
         .map(c => s"${quote(c)} = excluded.${quote(c)}").mkString(", ")
     s"INSERT INTO ${tableName(target)} ($ins) " +
       s"SELECT $sel FROM ${tableName(staging)} S WHERE true " +
+      s"ON CONFLICT($conflict) $action"
+  }
+}
+
+/** DuckDB rendering — the second EMBEDDED backend this image can run
+  * end-to-end (file-based like the reference's SQLite suite,
+  * `integration-tests/tests/sqlite.rs:48-289`; sqlite-jdbc itself is
+  * not in the offline cache). Postgres-flavored ANSI SQL: double-quote
+  * idents, LIMIT/OFFSET, TEXT. */
+object DuckDbDialect extends Dialect {
+  val name = "duckdb"
+  override def stringDdlType: String = "TEXT"
+
+  /** DuckDB rejects X'..' binary literals; its blob literal is an
+    * escaped-hex string cast to BLOB. */
+  override def binaryLiteral(b: Array[Byte]): String =
+    "'" + b.map("\\x%02X".format(_)).mkString + "'::BLOB"
+
+  /** DuckDB's JDBC driver returns `isSigned = false` for EVERY column
+    * (unimplemented); its unsigned types are distinguishable by NAME
+    * (UTINYINT/USMALLINT/UINTEGER/UBIGINT), so signedness comes from
+    * the name — otherwise every INT would widen per the §1.3 unsigned
+    * rule and round-trip as the wrong Spark type. */
+  override def signedHint(typeName: String, driverSigned: Boolean): Boolean =
+    !Set("UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+      .contains(typeName.toUpperCase)
+
+  /** LENGTH counts characters in DuckDB (CHAR_LENGTH does not exist);
+    * the rest of the whitelist matches ANSI spellings. */
+  override def scalarFn(fn: String, args: Seq[String]): Option[String] =
+    fn match {
+      case "CHAR_LENGTH" | "CHARACTER_LENGTH" =>
+        Some(s"LENGTH(${args.head})")
+      case _ => super.scalarFn(fn, args)
+    }
+
+  /** DuckDB has no ANSI MERGE (1.x): keyed upsert renders as Postgres-
+    * style `INSERT .. SELECT .. ON CONFLICT(keys) DO UPDATE`, whose
+    * conflict target requires a PRIMARY KEY/UNIQUE constraint on the
+    * merge keys (DuckDB's own upsert contract). All-keys batches render
+    * `DO NOTHING` (insert-if-absent, the ANSI form's no-update branch). */
+  override def mergeSql(target: Seq[String], staging: Seq[String],
+      keys: Seq[String], updateCols: Seq[String],
+      insertCols: Seq[String]): String = {
+    val ins = insertCols.map(quote).mkString(", ")
+    val sel = insertCols.map(c => s"S.${quote(c)}").mkString(", ")
+    val conflict = keys.map(quote).mkString(", ")
+    val action =
+      if (updateCols.isEmpty) "DO NOTHING"
+      else "DO UPDATE SET " + updateCols
+        .map(c => s"${quote(c)} = excluded.${quote(c)}").mkString(", ")
+    s"INSERT INTO ${tableName(target)} ($ins) " +
+      s"SELECT $sel FROM ${tableName(staging)} S " +
       s"ON CONFLICT($conflict) $action"
   }
 }

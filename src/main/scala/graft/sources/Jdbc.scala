@@ -399,7 +399,8 @@ object Jdbc {
         RemoteField(
           name = md.getColumnLabel(i),
           tpe = remoteType(md.getColumnType(i), md.getColumnTypeName(i),
-            md.getPrecision(i), md.getScale(i), md.isSigned(i)),
+            md.getPrecision(i), md.getScale(i),
+            opts.dialect.signedHint(md.getColumnTypeName(i), md.isSigned(i))),
           nullable = md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls,
           autoIncrement = md.isAutoIncrement(i))
       }

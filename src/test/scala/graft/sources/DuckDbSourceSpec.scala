@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** DuckDB end-to-end connector specs (round-9): the dialect rules that
+  * were fuzz-tested strings now run against a real second engine — the
+  * gates (r23–r28) assert values vs the DuckDB oracle; this spec pins
+  * the PLAN shapes (pushdown actually reaching the remote SQL) and the
+  * dialect-specific spellings. Self-cancels when the vendored driver
+  * jar is absent so clean checkouts stay green. */
+class DuckDbSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val dbPath = s"/tmp/graft_duck_spec_${sys.props("user.name")}.db"
+  private val url = s"jdbc:duckdb:$dbPath"
+
+  private lazy val fixture: Unit = {
+    new java.io.File(dbPath).delete()
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE T (ID INT, GRP INT, NAME VARCHAR, VAL DOUBLE)")
+      st.close()
+      val ins = c.prepareStatement("INSERT INTO T VALUES (?, ?, ?, ?)")
+      (1 to 40).foreach { i =>
+        ins.setInt(1, i); ins.setInt(2, i % 4)
+        ins.setString(3, s"name_$i"); ins.setDouble(4, i * 1.5)
+        ins.addBatch()
+      }
+      ins.executeBatch(); ins.close()
+    } finally c.close()
+  }
+
+  private def remote(extra: (String, String)*) = {
+    fixture
+    var r = spark.read.format("graft-remote").option("url", url)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  private def ifDriver(f: => Unit): Unit = {
+    assume(graft.DuckQueries.available, "duckdb_jdbc not vendored in lib/")
+    f
+  }
+
+  test("url dialect inference picks duckdb") {
+    assert(Dialect.forUrl("jdbc:duckdb:/tmp/x.db") == DuckDbDialect)
+    assert(Dialect.forName("duckdb") == DuckDbDialect)
+  }
+
+  test("filter + projection push into the remote SQL") {
+    ifDriver {
+      ScanSqlLog.clear()
+      val df = remote("dbtable" -> "T")
+        .filter(col("GRP") === 2).select("ID", "NAME")
+      val got = df.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(got == (1 to 40).filter(_ % 4 == 2)
+        .map(i => (i, s"name_$i")).toSet)
+      val sql = ScanSqlLog.recent.last
+      assert(sql.contains("WHERE") && sql.contains("\"GRP\" = 2"), sql)
+      assert(sql.contains("\"ID\"") && !sql.contains("\"VAL\""), sql)
+    }
+  }
+
+  test("top-N pushes as ORDER BY + LIMIT (DuckDB spelling)") {
+    ifDriver {
+      ScanSqlLog.clear()
+      val df = remote("dbtable" -> "T")
+        .orderBy(col("VAL").desc).limit(3).select("ID")
+      assert(df.collect().map(_.getInt(0)).toSeq == Seq(40, 39, 38))
+      val sql = ScanSqlLog.recent.last
+      assert(sql.contains("ORDER BY") && sql.contains("LIMIT 3"), sql)
+    }
+  }
+
+  test("complete GROUP BY aggregate pushes; one row per group returns") {
+    ifDriver {
+      val df = remote("dbtable" -> "T")
+        .groupBy(col("GRP")).agg(count(lit(1)).as("n"), sum(col("ID")).as("s"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregates: true"), plan)
+      val got = df.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(got == Map(0 -> 10L, 1 -> 10L, 2 -> 10L, 3 -> 10L))
+    }
+  }
+
+  test("scalar-fn filter pushes with the LENGTH spelling") {
+    ifDriver {
+      ScanSqlLog.clear()
+      val df = remote("dbtable" -> "T")
+        .filter(length(col("NAME")) === 6) // name_1 .. name_9
+        .select("ID")
+      assert(df.collect().map(_.getInt(0)).toSet == (1 to 9).toSet)
+      val sql = ScanSqlLog.recent.last
+      assert(sql.contains("LENGTH(") && !sql.contains("CHAR_LENGTH"), sql)
+    }
+  }
+
+  test("deterministic TABLESAMPLE pushes the hash-bucket WHERE") {
+    ifDriver {
+      ScanSqlLog.clear()
+      val df = remote("dbtable" -> "T", "samplecolumn" -> "ID")
+        .sample(withReplacement = false, fraction = 0.5, seed = 7L)
+        .select("ID")
+      val once = df.collect().map(_.getInt(0)).toSet
+      assert(ScanSqlLog.recent.last.contains("MOD("), ScanSqlLog.recent.last)
+      // reproducible: the same rows come back on a second run
+      assert(remote("dbtable" -> "T", "samplecolumn" -> "ID")
+        .sample(withReplacement = false, fraction = 0.5, seed = 7L)
+        .select("ID").collect().map(_.getInt(0)).toSet == once)
+    }
+  }
+
+  test("binary literal renders as the ::BLOB escape form") {
+    assert(DuckDbDialect.binaryLiteral(Array[Byte](0x0A, -1)) ==
+      "'\\x0A\\xFF'::BLOB")
+  }
+
+  test("mergeSql renders DuckDB's ON CONFLICT upsert; DO NOTHING " +
+      "when every column is a key") {
+    val m = DuckDbDialect.mergeSql(Seq("T"), Seq("S"), Seq("K"),
+      updateCols = Seq("V"), insertCols = Seq("K", "V"))
+    assert(m.contains("ON CONFLICT(\"K\") DO UPDATE SET \"V\" = excluded.\"V\""), m)
+    val n = DuckDbDialect.mergeSql(Seq("T"), Seq("S"), Seq("K"),
+      updateCols = Nil, insertCols = Seq("K"))
+    assert(n.contains("DO NOTHING"), n)
+  }
+}
