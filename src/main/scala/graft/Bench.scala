@@ -209,15 +209,24 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
           java.nio.charset.StandardCharsets.UTF_8).replace("\\\"", "\"")
+        val v = txt.lastIndexOf("\"value\":")
         val i = txt.lastIndexOf("\"queries\":{")
-        if (i < 0) None
-        else {
-          val end = txt.indexOf('}', i)
-          val m = "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
-            .findAllMatchIn(txt.substring(i + 10, end + 1))
-            .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap
-          if (m.isEmpty) None else Some((f.getName, m))
-        }
+        // the driver keeps only the LAST ~2k chars of the bench line, so
+        // the capture usually starts INSIDE the final medians map with
+        // the "queries" marker cut off. The medians are the only
+        // name:number map adjacent to "value" (field order is designed
+        // for exactly this), so the segment before "value" is safe to
+        // regex; a name truncated by the cut can't collide with a real
+        // query name (none is a suffix of another) and falls out of the
+        // common-subset intersection anyway.
+        val seg =
+          if (i >= 0 && v > i) Some(txt.substring(i + 10, v))
+          else if (v > 0) Some(txt.substring(0, v))
+          else None
+        val m = seg.map("\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(_)
+          .map(mm => mm.group(1) -> mm.group(2).toDouble).toMap)
+          .getOrElse(Map.empty)
+        if (m.isEmpty) None else Some((f.getName, m))
       } catch { case _: Throwable => None }
     }
   }

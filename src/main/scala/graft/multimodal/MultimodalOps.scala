@@ -431,9 +431,20 @@ object MultimodalOps {
     import graft.functions.native.sorted_pairs
     // the hash groups feed four plan branches (zero-pairs, banding, two
     // member re-expansions); persist so decode + the hash shuffle run
-    // once — at 100 TB this is the dedup state you'd materialize anyway
-    val grouped = hashes.groupBy(col(hashCol))
+    // once — at 100 TB this is the dedup state you'd materialize anyway.
+    // The skew observation sits BETWEEN the aggregation and the persist:
+    // metrics fire exactly once (at cache materialization) and can never
+    // be AQE-pruned the way a downstream-branch observation can when the
+    // 1..maxDist candidate branch turns out empty (the common
+    // all-duplicates-are-exact fixture shape).
+    val raw = hashes.groupBy(col(hashCol))
       .agg(collect_list(col("asset_id")).as("members"))
+    val grouped = skewObs.fold(raw)(o => raw.observe(o,
+        count(lit(1)).as("hash_groups"),
+        max(size(col("members"))).as("max_group_size"),
+        sum(size(col("members"))).as("n_assets"),
+        sum(when(size(col("members")) >= 2, size(col("members")) - 1)
+          .otherwise(0)).as("collapsed_dups")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val zero = grouped.filter(size(col("members")) >= 2)
       .select(explode(sorted_pairs(col("members"))).as("p"))
@@ -444,9 +455,11 @@ object MultimodalOps {
           |  struct(c AS chunk, shiftright(id, c * 14) & 16383 AS ck))"""
           .stripMargin)).as("b"))
       .select(col("id"), col("b.chunk"), col("b.ck"))
+    // no observation here: this branch is AQE-pruned outright when no
+    // 1..maxDist pairs exist, and the gate's Observation is single-use
     val hashPairs = graft.operators.LshJoin.candidatesBudgeted(
         banded, Seq("chunk", "ck"), maxBucket,
-        candidateBudget = 4L * 1000 * 1000, skewObs)
+        candidateBudget = 4L * 1000 * 1000, skewObs = None)
       .select(col("id_a").as("h_a"), col("id_b").as("h_b"),
         bit_count(col("id_a").bitwiseXOR(col("id_b"))).as("hamming"))
       .filter(col("hamming").between(1, maxDist))

@@ -52,6 +52,11 @@ object TuneFocus {
         val med = ts.sorted.apply(ts.size / 2)
         println(f"FOCUS $tag $n%-26s median=$med%7.2fs reps=[${
           ts.map(t => f"$t%.2f").mkString(", ")}]")
+        ObsRegistry.drain().foreach { case (on, m) =>
+          val kv = m.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(", ")
+          println(s"FOCUS $tag $n obs($on): $kv")
+        }
       }
     }
     spark.stop()
