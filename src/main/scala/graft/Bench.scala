@@ -67,7 +67,8 @@ object Bench {
     "q57_zorder", "q58_session_window",
     "p65_pagerank", "p66_incremental_components", "m14_audio_neardup",
     "r22_remote_union", "q59_udaf_gcd", "q60_typed_flatmap",
-    "p67_personalized_pagerank", "p68_matryoshka_recall")
+    "p67_personalized_pagerank", "p68_matryoshka_recall",
+    "p69_setsim_join", "p70_token_budget", "p71_blocklist")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above
@@ -114,7 +115,10 @@ object Bench {
     "p67_personalized_pagerank", "m14_audio_neardup",
     // round-8 ratios that earned a keep (q59 2.6×); q60 (0.88×) and
     // p68 (1.5×) pruned per the heavy-set's own protocol
-    "r22_remote_union", "q59_udaf_gcd")
+    "r22_remote_union", "q59_udaf_gcd",
+    // round-9 new gates: p69 shuffles candidate pairs (permanent
+    // citizen); p70/p71 get their one round of scale history
+    "p69_setsim_join", "p70_token_budget", "p71_blocklist")
 
   private def fmtJsonNum(v: Double): String = {
     // fixed decimal, no scientific notation (driver-side json parsers)

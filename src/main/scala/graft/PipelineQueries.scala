@@ -21,6 +21,15 @@ object PipelineQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
 
+  /** p71 phrase blocklist: shared by the gate and its oracle (same
+    * never-drift contract as [[blocklist49]]). "slow filter" contains
+    * "filter" and shares a prefix with "slow", so the Aho–Corasick
+    * failure-link outputs are exercised; "quantum flux capacitor"
+    * never occurs in the fixture vocabulary. */
+  private[graft] val blocklist = Seq(
+    "slow filter", "filter", "slow", "big vector", "vector table",
+    "spark window", "quantum flux capacitor")
+
   /** p49 blocklist: shared by the gate and its oracle so the two can
     * never drift. Exercises exact-host and subdomain-suffix matches,
     * plus the specificity rule (assets.src4.com must win over a
@@ -695,6 +704,51 @@ object PipelineQueries {
       GraphOps.personalizedPageRank(e, "src", "dst", seeds, "doc_id",
           iters = 3)
         .orderBy(col("node"))
+    }),
+
+    // EXACT set-similarity join via prefix filtering (p69, round 9):
+    // the zero-false-negative complement of p05's banded MinHash — the
+    // tool for curation stages where a missed duplicate is a
+    // correctness bug. Same trigram-shingle Jaccard the p05/p06
+    // oracles compute, so the oracle is the full quadratic exact join;
+    // the prefix filter must reproduce it EXACTLY (no recall
+    // assertion, plain hash equality).
+    "p69_setsim_join" -> ((s, dir) =>
+      DedupOps.setSimJoinExact(docs(s, dir), "doc_id", "text", tau = 0.65)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Token-budget corpus selection (p70, round 9): the "train on the
+    // best 10k tokens" cut — docs in (quality DESC, doc_id) order
+    // until the token budget is exhausted, each with its global token
+    // offset. Exact equivalent of the single-partition SQL window
+    // (`sum(n) OVER (ORDER BY quality DESC, doc_id)`), computed with
+    // the two-phase distributed scan + bucket-level budget pruning
+    // (SampleOps.tokenBudgetSelect). Quality = distinct-token ratio
+    // (the p46 oracle spelling); weight = whitespace token count.
+    "p70_token_budget" -> ((s, dir) =>
+      SampleOps.tokenBudgetSelect(docs(s, dir), "doc_id",
+          quality = size(array_distinct(split(col("text"), " ")))
+            .cast(DoubleType) / size(split(col("text"), " ")),
+          weight = size(split(col("text"), " ")),
+          budgetTokens = 10000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Multi-pattern blocklist screen (p71, round 9): WHICH blocklist
+    // phrases each document contains, via one Aho–Corasick pass per
+    // row (native MultiContains expression — O(len) regardless of
+    // pattern count; K contains() probes cost O(K·len)). The pattern
+    // list exercises overlap (a pattern inside another), shared
+    // prefixes, and a never-matching entry; matches surface in
+    // pattern-list order as a joined string (the gate hasher's value
+    // model is scalar columns, the p23 precedent).
+    "p71_blocklist" -> ((s, dir) => {
+      val m = graft.functions.native.multi_contains(
+        col("text"), PipelineQueries.blocklist)
+      docs(s, dir).select(col("doc_id"),
+          array_join(m, ",").as("matched"),
+          size(m).as("n_matched"))
+        .orderBy(col("doc_id"))
     }),
 
     // Matryoshka truncation recall audit (p68): how much ANN quality
@@ -1999,6 +2053,48 @@ object PipelineQueries {
 
     // p08's exact ranking replayed at BOTH widths (full list, [1:16]
     // slice), then the per-query overlap of the two top-10 sets
+    // p69's oracle is the full quadratic exact join — the prefix
+    // filter is lossless, so the gate is plain hash equality (the
+    // strongest form: no recall assertion, no threshold)
+    "p69_setsim_join" ->
+      """WITH t AS (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.65
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // p70: the one-partition window spelling IS the oracle; the Spark
+    // side must reproduce it with the distributed two-phase scan
+    "p70_token_budget" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS quality
+        | FROM documents),
+        |c AS (SELECT doc_id, quality, n_tok,
+        |  sum(n_tok) OVER (ORDER BY quality DESC, doc_id) AS cum FROM t)
+        |SELECT doc_id, quality, n_tok, CAST(cum - n_tok AS BIGINT) AS start_tok
+        |FROM c WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
+
+    "p71_blocklist" ->
+      """SELECT doc_id,
+        | COALESCE(array_to_string(list_filter(
+        |  ['slow filter', 'filter', 'slow', 'big vector', 'vector table',
+        |   'spark window', 'quantum flux capacitor'],
+        |  p -> contains(text, p)), ','), '') AS matched,
+        | CAST(len(list_filter(
+        |  ['slow filter', 'filter', 'slow', 'big vector', 'vector table',
+        |   'spark window', 'quantum flux capacitor'],
+        |  p -> contains(text, p))) AS INT) AS n_matched
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "p68_matryoshka_recall" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),
         |sf AS (

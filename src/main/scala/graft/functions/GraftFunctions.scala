@@ -81,7 +81,11 @@ object GraftFunctions {
         else 0.0
       TokenScoreSum(exprs.head, keys.zip(vals), default)
     },
-    "nfc_normalize" -> { exprs => NfcNormalize(exprs.head) })
+    "nfc_normalize" -> { exprs => NfcNormalize(exprs.head) },
+    // multi_contains(text, array('pat a', 'pat b'))
+    "multi_contains" -> { exprs =>
+      MultiContains(exprs.head,
+        stringSeqArg(exprs(1), "multi_contains patterns")) })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -848,7 +848,119 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Byte-level Aho–Corasick automaton over a fixed pattern list: trie +
+  * BFS failure links precomputed into a dense DFA (node × 256 byte
+  * transitions), with each node's merged pattern-output set. One scan
+  * of the text visits each byte exactly once regardless of pattern
+  * count — K `contains()` probes cost O(K·len) and a regex alternation
+  * backtracks. UTF-8 byte matching equals substring matching because
+  * UTF-8 is self-synchronizing for exact byte sequences. */
+private[functions] final class AhoCorasick(patterns: Seq[Array[Byte]]) {
+  private val (dfa, outs) = {
+    val maxNodes = patterns.map(_.length).sum + 1
+    val goto = Array.fill(maxNodes)(Array.fill(256)(-1))
+    val out = Array.fill(maxNodes)(List.empty[Int])
+    var n = 1
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { b =>
+        val c = b & 0xFF
+        if (goto(s)(c) < 0) { goto(s)(c) = n; n += 1 }
+        s = goto(s)(c)
+      }
+      out(s) ::= pi
+    }
+    // BFS: resolve failure links and close goto into a full DFA
+    val fail = new Array[Int](n)
+    val q = new java.util.ArrayDeque[Int]()
+    var c = 0
+    while (c < 256) {
+      if (goto(0)(c) < 0) goto(0)(c) = 0
+      else { fail(goto(0)(c)) = 0; q.add(goto(0)(c)) }
+      c += 1
+    }
+    while (!q.isEmpty) {
+      val s = q.poll()
+      out(s) = out(s) ++ out(fail(s))
+      var c = 0
+      while (c < 256) {
+        val t = goto(s)(c)
+        if (t < 0) goto(s)(c) = goto(fail(s))(c)
+        else { fail(t) = goto(fail(s))(c); q.add(t) }
+        c += 1
+      }
+    }
+    (goto, out.map(_.toArray))
+  }
+
+  /** Marks `hit(i) = true` for every pattern i occurring in `bytes`. */
+  def scan(bytes: Array[Byte], hit: Array[Boolean]): Unit = {
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      s = dfa(s)(bytes(i) & 0xFF)
+      val o = outs(s)
+      var j = 0
+      while (j < o.length) { hit(o(j)) = true; j += 1 }
+      i += 1
+    }
+  }
+}
+
+/** Distinct blocklist patterns occurring in a text column, in
+  * pattern-list order — the multi-phrase content screen (NSFW/spam/
+  * boilerplate blocklists) a training-data pipeline runs over every
+  * document. Matching is a single Aho–Corasick pass per row (O(len),
+  * independent of pattern count); the automaton is built once per
+  * expression instance when the task closure deserializes, the same
+  * "model rides the plan" idiom as [[NearestCentroids]]. Returning
+  * WHICH rules fired (not a boolean) is what makes the screen
+  * auditable — rule-level hit rates come free from one groupBy. */
+case class MultiContains(child: Expression, patterns: Seq[String])
+  extends UnaryExpression {
+
+  require(patterns.nonEmpty, "multi_contains needs at least one pattern")
+  require(patterns.forall(_.nonEmpty), "empty pattern matches everything")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiContains", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"multi_contains needs string, got $other")
+    }
+
+  @transient private lazy val ac =
+    new AhoCorasick(patterns.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  @transient private lazy val patUtf8 =
+    patterns.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val hit = new Array[Boolean](patterns.length)
+    ac.scan(u.getBytes, hit)
+    val b = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < hit.length) { if (hit(i)) b += patUtf8(i); i += 1 }
+    new GenericArrayData(b.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiContains =
+    copy(child = newChild)
+}
+
 object native {
+  def multi_contains(text: Column, patterns: Seq[String]): Column =
+    Bridge.column(MultiContains(Bridge.expression(text), patterns))
   def shingle_set(tokens: Column, n: Int): Column =
     Bridge.column(ShingleSet(Bridge.expression(tokens), n))
   def max_ngram_freq(tokens: Column, n: Int): Column =

@@ -256,6 +256,62 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT set-similarity self-join with prefix filtering (the
+    * SSJoin/PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al.
+    * WWW'08; the reference has no equivalent): every pair of documents
+    * whose distinct word-n-gram sets have Jaccard ≥ tau, with ZERO
+    * false negatives — the exact complement of the banded MinHash
+    * screen ([[minhashLshPairs]]), for the curation stages where a
+    * missed duplicate is a correctness bug (eval-set decontamination,
+    * licensing dedup) rather than a recall trade.
+    *
+    * Prefix-filter principle: order shingles by ascending corpus
+    * document frequency (rarest first, ties by shingle — any global
+    * TOTAL order is correct; frequency order makes candidates fewest).
+    * If |A∩B| ≥ ⌈tau·|A|⌉ (implied by J ≥ tau), the intersection
+    * element with the smallest global order sits within the first
+    * |A| − ⌈tau·|A|⌉ + 1 shingles of A — and symmetrically for B — so
+    * any qualifying pair shares a shingle in both PREFIXES and banding
+    * on prefix shingles is a lossless candidate generator. Unlike LSH
+    * banding there is no recall knob and no skew cap: a boilerplate
+    * shingle shared by the whole corpus has maximal frequency and
+    * lands in nobody's prefix (for tau high enough that prefixes are
+    * proper subsets), so hot buckets shrink as data grows instead of
+    * exploding.
+    *
+    * Plan shape: one shuffle to count shingle document frequencies,
+    * one equi-join to rank + one regroup to sort/slice each document's
+    * prefix, then the shared [[LshJoin]] bucket machinery on prefix
+    * shingles and an exact |∩|/|∪| verification attach. Candidate
+    * volume ∝ Σ_prefix-shingle bucket² — bounded by rare-shingle
+    * frequencies, in practice ≪ n². */
+  def setSimJoinExact(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, ngram: Int = 3): DataFrame = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1): $tau")
+    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), ngram).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val toks = sets.select(col("id"), explode(col("sh")).as("t"))
+    // document frequency per shingle: `toks` is one row per (doc,
+    // distinct shingle), so count(*) IS the document frequency
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val prefix = toks.join(freq, "t")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("t")))).as("ts"))
+      .select(col("id"), transform(
+          slice(col("ts"), lit(1),
+            (size(col("ts")) - ceil(size(col("ts")) * tau) + 1).cast("int")),
+          s => s.getField("t")).as("pre"))
+    val banded = prefix.select(col("id"), explode(col("pre")).as("t"))
+    // maxBucket = MaxValue: prefix filtering is EXACT — dropping a hot
+    // bucket would break the zero-false-negative contract, and the
+    // prefix construction is itself the skew bound (see scaladoc)
+    val cands = LshJoin.candidates(banded, Seq("t"), maxBucket = Int.MaxValue)
+    LshJoin.attach(cands, sets, "sh")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash of a token array via the native
     * [[graft.functions.SimHash64]] expression (sign of per-bit ±1 sums
     * of token hashes) — one JVM loop per row, no shuffle, no UDF. */

@@ -244,4 +244,87 @@ object SampleOps {
           .cast("int"))
       .withColumn("sort_key", hashBucket(col(idCol), 7000003L * (epoch + 1)))
   }
+
+  /** Token-budget corpus selection: take documents in (quality DESC,
+    * id ASC) order until the cumulative token count exceeds
+    * `budgetTokens` — the "best N tokens" cut every pretraining-data
+    * curation run ends with ("train on the top 1T tokens by quality").
+    * Returns the selected rows with their token count and exclusive
+    * global token offset.
+    *
+    * The naive spelling is `sum(weight) OVER (ORDER BY quality DESC)`
+    * — a single-partition window that funnels the corpus through one
+    * task. This is the two-phase distributed scan of
+    * [[PackingOps.packChunks]] re-keyed from an id RANGE to a QUALITY
+    * range: rows bucket by a deterministic quality stride (every row
+    * with the same quality lands in the same bucket, so bucket order
+    * IS selection order), per-bucket token totals cumulate on the
+    * driver (O(buckets), never O(rows)), and buckets whose base offset
+    * already exceeds the budget are PRUNED before the heavy local-scan
+    * pass — at 100 TB with a 1% budget, ~99% of the corpus never
+    * shuffles. Skew note: quality scores concentrated on few distinct
+    * values collapse buckets; the stride bucketing stays correct (just
+    * unbalanced), and the in-budget data per bucket is re-spread by
+    * the repartition before the local scan.
+    *
+    * Semantics: the ordered stream is truncated at the first document
+    * that would overflow the budget — `start_tok + n_tok ≤ budget`,
+    * exactly `sum(w) OVER (ORDER BY q DESC, id) ≤ budget` in SQL. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, quality: Column,
+      weight: Column, budgetTokens: Long, parts: Int = 0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val base = df.select(col(idCol).cast("long").as("id"),
+      quality.cast("double").as("quality"), weight.cast("long").as("n_tok"))
+    val b = base.agg(min("quality"), max("quality")).collect().head
+    if (b.isNullAt(0)) {
+      return base.select(col("id"), col("quality"), col("n_tok"),
+        col("n_tok").as("start_tok")).limit(0)
+    }
+    val lo = b.getDouble(0)
+    val hi = b.getDouble(1)
+    // descending-quality buckets: pid 0 holds the BEST rows. The stride
+    // is a pure function of (lo, hi, nParts), so both passes key rows
+    // identically — the packChunks determinism argument
+    val stride = math.max((hi - lo) / nParts, java.lang.Double.MIN_NORMAL)
+    val withPid = base.withColumn("pid",
+      least(lit(nParts - 1),
+        floor((lit(hi) - col("quality")) / lit(stride)).cast("int")))
+    val totals = withPid.groupBy("pid").agg(sum("n_tok").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val bases = {
+      var acc = 0L
+      totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }.toMap
+    }
+    // budget prune: a bucket whose BASE offset is already past the
+    // budget cannot contribute a selected row — skip it entirely
+    val live = totals.collect {
+      case (pid, _) if bases(pid) < budgetTokens => pid
+    }
+    if (live.isEmpty) {
+      return base.select(col("id"), col("quality"), col("n_tok"),
+        col("n_tok").as("start_tok")).limit(0)
+    }
+    val local = withPid.filter(col("pid").isin(live: _*))
+      .select(col("pid"), col("id"), col("quality"), col("n_tok"))
+      .repartition(math.max(1, live.length), col("pid"))
+      .sortWithinPartitions(col("pid"), col("quality").desc, col("id"))
+      .as[(Int, Long, Double, Long)]
+      .mapPartitions { it =>
+        var cur = Int.MinValue
+        var acc = 0L
+        it.map { case (pid, id, q, n) =>
+          if (pid != cur) { cur = pid; acc = 0L }
+          val start = acc; acc += n; (pid, id, q, n, start)
+        }
+      }.toDF("pid", "id", "quality", "n_tok", "local_start")
+    local
+      .select(col("id"), col("quality"), col("n_tok"),
+        (element_at(typedlit(bases), col("pid")) + col("local_start"))
+          .as("start_tok"))
+      .filter(col("start_tok") + col("n_tok") <= budgetTokens)
+  }
 }

@@ -66,6 +66,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == inputs.map(ref))
   }
 
+  test("multi_contains == per-pattern contains, incl. overlapping " +
+      "patterns and failure-link outputs") {
+    import spark.implicits._
+    val pats = Seq("slow filter", "filter", "slow", "owl", "never here")
+    val texts = Seq(
+      (1L, "a slow filter runs"),       // matches slow filter, filter, slow
+      (2L, "slowly filtered"),          // slow, filter (substrings)
+      (3L, "an owl flew"),              // owl
+      (4L, "sl ow fil ter"),            // nothing
+      (5L, ""),                         // empty text
+      (6L, "slow slow slow"))           // slow once (distinct)
+    val got = texts.toDF("id", "t")
+      .select(col("id"),
+        array_join(native.multi_contains(col("t"), pats), "|").as("m"))
+      .as[(Long, String)].collect().toMap
+    def naive(t: String) = pats.filter(t.contains).mkString("|")
+    texts.foreach { case (id, t) => assert(got(id) == naive(t), s"id=$id") }
+  }
+
+  test("multi_contains: null text yields null; non-ASCII patterns match " +
+      "byte-exactly") {
+    import spark.implicits._
+    val pats = Seq("héllo", "wörld")
+    val got = Seq((1L, Some("héllo wörld")), (2L, None))
+      .toDF("id", "t")
+      .select(col("id"), native.multi_contains(col("t"), pats).as("m"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getSeq[String](1).toList)))
+      .toMap
+    assert(got(1L).contains(pats.toList))
+    assert(got(2L).isEmpty)
+  }
+
   test("range join bucketed == naive inequality join") {
     import spark.implicits._
     val points = Seq((1L, 5.0), (2L, 42.0), (3L, 99.0), (4L, 150.0))

@@ -106,4 +106,98 @@ class Round9OpsSpec extends AnyFunSuite {
       .as[(String, String, Long, Long, Long, Double)].collect().toSet
     assert(got == Set(("A", "B", 1L, 1L, 1L, 1.0)))
   }
+
+  // ---- exact set-similarity join (prefix filtering, p69) ------------------
+
+  /** brute-force trigram-shingle Jaccard oracle */
+  private def bruteJaccard(docs: Seq[(Long, String)], tau: Double) = {
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      sa = sh(ta); sb = sh(tb)
+      j = (sa & sb).size.toDouble / (sa | sb).size if j >= tau
+    } yield (a, b, j)).toSet
+  }
+
+  test("setSimJoinExact == brute-force Jaccard (zero false negatives, " +
+      "zero false positives)") {
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g h",            // exact dup of 1
+      3L -> "a b c d e f g x",            // near dup of 1/2
+      4L -> "p q r s t u v w",            // distinct
+      5L -> "p q r s t u v w y z",        // superset-ish of 4
+      6L -> "m n o",                      // single shingle
+      7L -> "m n o",                      // its dup
+      8L -> "completely different words here now")
+    val df = docs.toDF("doc_id", "text")
+    for (tau <- Seq(0.5, 0.8)) {
+      val got = DedupOps.setSimJoinExact(df, "doc_id", "text", tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == bruteJaccard(docs, tau), s"tau=$tau")
+    }
+  }
+
+  test("setSimJoinExact: a corpus-wide boilerplate shingle lands in " +
+      "nobody's prefix and creates no candidates") {
+    // every doc shares the 'x x x' boilerplate shingle; at tau=0.8 and
+    // 5+ shingles/doc the prefix is 1-2 RAREST shingles, never the hot
+    // one — so the candidate count stays 0 even though a naive banding
+    // on all shingles would bucket all n docs together
+    val docs = (1L to 40L).map(i =>
+      i -> s"x x x u$i v$i w$i y$i z$i")
+    val got = DedupOps.setSimJoinExact(docs.toDF("doc_id", "text"),
+      "doc_id", "text", tau = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.isEmpty)
+    assert(bruteJaccard(docs, 0.8).isEmpty) // oracle agrees
+  }
+
+  // ---- token-budget selection (p70) ---------------------------------------
+
+  test("tokenBudgetSelect == single-partition window oracle, " +
+      "incl. quality ties and the overflow cut") {
+    // quality = distinct ratio; craft ties (docs 3/4 same quality) and
+    // a doc that straddles the budget boundary
+    val rows = Seq(
+      (1L, 1.0, 30L), (2L, 0.9, 40L), (3L, 0.8, 25L), (4L, 0.8, 25L),
+      (5L, 0.7, 100L), (6L, 0.6, 10L))
+    val df = rows.toDF("id", "q", "n")
+    val got = SampleOps.tokenBudgetSelect(df, "id", col("q"), col("n"),
+        budgetTokens = 121L, parts = 4)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._1)
+    // order: 1(30) 2(70) 3(95) 4(120) | 5 overflows(220) 6 would fit at
+    // 130 > 121 — the stream TRUNCATES at the first overflow
+    assert(got.toSeq == Seq(
+      (1L, 1.0, 30L, 0L), (2L, 0.9, 40L, 30L),
+      (3L, 0.8, 25L, 70L), (4L, 0.8, 25L, 95L)))
+  }
+
+  test("tokenBudgetSelect: budget larger than the corpus keeps everything") {
+    val df = Seq((1L, 0.5, 10L), (2L, 0.9, 20L)).toDF("id", "q", "n")
+    val got = SampleOps.tokenBudgetSelect(df, "id", col("q"), col("n"),
+        budgetTokens = 1000L, parts = 2)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._4)
+    assert(got.toSeq == Seq((2L, 0.9, 20L, 0L), (1L, 0.5, 10L, 20L)))
+  }
+
+  test("tokenBudgetSelect: empty input and all-pruned budget are empty") {
+    val df = Seq((1L, 0.5, 10L)).toDF("id", "q", "n")
+    assert(SampleOps.tokenBudgetSelect(df.limit(0), "id", col("q"),
+      col("n"), 100L).count() == 0)
+    // budget smaller than the first doc: bucket 0 is live but the doc
+    // overflows -> empty selection
+    assert(SampleOps.tokenBudgetSelect(df, "id", col("q"),
+      col("n"), 5L).count() == 0)
+  }
+
+  test("tokenBudgetSelect: constant quality (single-bucket skew) stays " +
+      "correct via the id tie-break") {
+    val df = (1L to 50L).map(i => (i, 0.5, 10L)).toDF("id", "q", "n")
+    val got = SampleOps.tokenBudgetSelect(df, "id", col("q"), col("n"),
+        budgetTokens = 105L, parts = 8)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 10L))
+    assert(got.map(_._4).toSeq == (0L until 100L by 10L))
+  }
 }
