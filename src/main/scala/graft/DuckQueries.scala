@@ -204,6 +204,20 @@ object DuckQueries {
         .select(col("U_KEY").as("u_key"), col("U_NAME").as("u_name"),
           col("U_VAL").as("u_val"))
         .orderBy(col("u_key"))
+    }),
+
+    // r10 shape: TableCatalog mount over the second backend — DuckDB's
+    // default schema is `main` where Derby's is `APP`, so the mount
+    // exercises namespace discovery against a different catalog layout
+    "r29_duckdb_catalog" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      s.conf.set("spark.sql.catalog.graftduck", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftduck.url", url)
+      s.sql(
+        """SELECT N_REGIONKEY AS n_regionkey, count(*) AS n_nations,
+          | min(N_NAME) AS first_name
+          |FROM graftduck.main.NATION
+          |GROUP BY N_REGIONKEY ORDER BY n_regionkey""".stripMargin)
     }))
 
   private val allOracle: Map[String, String] = Map(
@@ -235,7 +249,10 @@ object DuckQueries {
         | UNION ALL
         | SELECT n_nationkey + 1000, 'new_' || n_name, 0.5 - n_regionkey
         | FROM nation WHERE n_nationkey % 5 = 0
-        |) ORDER BY u_key""".stripMargin)
+        |) ORDER BY u_key""".stripMargin,
+    "r29_duckdb_catalog" ->
+      """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
 
   /** Gates registered only when the vendored driver is present. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -579,7 +579,7 @@ object DedupOps {
     * on ObjectHashAggregate whose sort-based fallback made suite-order
     * sf1 reps spill-bound). */
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, knownSources: Option[Seq[String]] = None): DataFrame = {
     // source universes are bounded (corpus mixes name dozens of
     // sources, not thousands): encode each source as a BIT and make the
     // corpus-sized aggregation a LONG bit_or — a codegen'd
@@ -590,8 +590,14 @@ object DedupOps {
     // suite-order sf1 reps spill-bound and 3-4× a focused run
     // (VERDICT r8 finding 2); the bit_or path has no object state and
     // no sort fallback. Sources >64 fall back to the set spelling.
-    val srcs = df.select(col(srcCol).cast("string").as("s"))
-      .distinct().collect().map(_.getString(0)).sorted
+    //
+    // `knownSources`: the source universe is pipeline CONFIGURATION in
+    // a real mixing run (the same standing the p38/p43 mixture weights
+    // have) — callers that know it skip the discovery job; when
+    // omitted, one column-pruned distinct derives it from the data.
+    val srcs = knownSources.map(_.map(String.valueOf(_: Any)).sorted.toArray)
+      .getOrElse(df.select(col(srcCol).cast("string").as("s"))
+        .distinct().collect().map(_.getString(0)).sorted)
     if (srcs.length > 64)
       return sourceOverlapSets(df, srcCol, textCol, n)
     val bitOf = map(srcs.zipWithIndex.flatMap { case (s, i) =>
@@ -602,8 +608,14 @@ object DedupOps {
         element_at(bitOf, col(srcCol).cast("string")).as("bit"),
         explode(shingles(col(textCol), n)).as("sh"))
       // Scala functions.shiftleft only takes a literal shift; the SQL
-      // form shifts by a column
-      .select(expr("shiftleft(CAST(1 AS BIGINT), bit)").as("bv"), col("sh"))
+      // form shifts by a column. The shuffle key is the shingle's
+      // 64-bit hash, not the string: same distinct-count semantics
+      // (xxhash64 collisions over a bounded shingle universe are
+      // ~|U|²/2⁶⁵ — vanishing, and deterministic either way), smaller
+      // shuffle rows, cheaper aggregate hashing. The audit never needs
+      // the shingle TEXT — only its identity.
+      .select(expr("shiftleft(CAST(1 AS BIGINT), bit)").as("bv"),
+        xxhash64(col("sh")).as("sh"))
       .groupBy(col("sh"))
       .agg(bit_or(col("bv")).as("mask"))
     // distinct masks ≤ min(#shingles, 2^|sources|) — the per-mask tally

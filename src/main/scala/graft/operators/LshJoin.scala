@@ -36,6 +36,24 @@ private[graft] object LshJoin {
     *   dropped, AQE's empty-relation propagation may prune the observed
     *   node with the rest of the subtree and report no metrics. */
   def candidates(banded: DataFrame, keyCols: Seq[String], maxBucket: Int,
+      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    // native pair expansion inside candidatesRaw: the HOF spelling
+    // (flatten/transform/filter/slice) evaluates interpreted lambdas
+    // per ELEMENT — n²/2 per bucket
+    candidatesRaw(banded, keyCols, maxBucket, skewObs)
+      .dropDuplicates("id_a", "id_b")
+
+  /** [[candidates]] WITHOUT the final distinct: candidate pair
+    * OCCURRENCES, possibly repeated across bucket keys. For verifiers
+    * whose per-occurrence cost is a cheap codegen'd expression (a dot
+    * product) and whose candidate stream is dominated by
+    * collide-in-one-table-only false positives, verify-then-dedupe
+    * beats paying a candidate-sized exchange up front — the caller
+    * owns the final `dropDuplicates` AFTER its verification filter.
+    * Callers whose verification payload is heavy (shingle arrays) or
+    * whose candidates repeat across many keys should keep
+    * [[candidates]]. */
+  def candidatesRaw(banded: DataFrame, keyCols: Seq[String], maxBucket: Int,
       skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val sized = banded.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))
@@ -45,13 +63,9 @@ private[graft] object LshJoin {
       sum(when(size(col("ids")) > maxBucket, size(col("ids"))).otherwise(0L))
         .as("dropped_ids"),
       max(size(col("ids"))).as("max_bucket_size")))
-    val grouped = watched.filter(size(col("ids")).between(2, maxBucket))
-    // native pair expansion: the HOF spelling (flatten/transform/filter/
-    // slice) evaluates interpreted lambdas per ELEMENT — n²/2 per bucket
-    grouped
+    watched.filter(size(col("ids")).between(2, maxBucket))
       .select(explode(graft.functions.native.sorted_pairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** [[candidates]] with a RELATIVE skew guard (round-9, VERDICT r8

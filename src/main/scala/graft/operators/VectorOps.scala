@@ -269,24 +269,45 @@ object VectorOps {
     * Norms are computed once per vector, before the pair explosion.
     * At scale, size (nPlanes, nTables) with [[lshAutoParams]] — fixed
     * planes at growing n is an accidental O(n²). */
+  /** @param dedupeEarly candidate-dedup strategy. `false` =
+    *   VERIFY-THEN-DEDUPE (round 9): right when buckets are BOUNDED
+    *   (the [[lshAutoParams]] sizing) — there the candidate stream is
+    *   dominated by false candidates colliding in exactly ONE table
+    *   (a second collision needs an independent p^planes event), so
+    *   cross-table duplication is ~1.0× and the classic
+    *   dedupe-before-verify order pays a candidate-sized EXCHANGE
+    *   (measured sf1, adaptive params: ~50M pair rows through
+    *   dropDuplicates) to remove almost nothing; verifying first costs
+    *   one codegen'd dot product per occurrence, and the tau filter
+    *   collapses the stream BEFORE the only pair-keyed exchange
+    *   (measured sf1: 8.7 → 6.8 s). `true` (default) = dedupe first —
+    *   right for few-large-buckets configs (p10's 2⁴ buckets), where
+    *   pairs co-bucket in MANY tables and verify-first multiplies the
+    *   dot-product work (measured sf0.1: 2.4 → 3.4 s for p10). */
   def lshNearDupPairs(
       vecs: DataFrame, tau: Double, nPlanes: Int = 3, nTables: Int = 8,
       maxBucket: Int = 10000,
-      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      skewObs: Option[org.apache.spark.sql.Observation] = None,
+      dedupeEarly: Boolean = true): DataFrame = {
     // banding carries ONLY (id, tbl, bucket) — vectors never ride it
     val banded = vecs
       .select(col("id"), posexplode(lshBucketKeys(col("vec"), nPlanes, nTables)))
       .withColumnRenamed("pos", "tbl")
       .withColumnRenamed("col", "bucket")
-    val cands = LshJoin.candidates(banded, Seq("tbl", "bucket"), maxBucket, skewObs)
+    val cands =
+      if (dedupeEarly)
+        LshJoin.candidates(banded, Seq("tbl", "bucket"), maxBucket, skewObs)
+      else
+        LshJoin.candidatesRaw(banded, Seq("tbl", "bucket"), maxBucket, skewObs)
     // vectors (with precomputed norms) join back for verification only
     val payload = vecs.select(col("id"),
       struct(col("vec"), norm(col("vec")).as("nrm")).as("p"))
-    LshJoin.attach(cands, payload, "p")
+    val verified = LshJoin.attach(cands, payload, "p")
       .select(col("id_a"), col("id_b"),
         (dot(col("p_a.vec"), col("p_b.vec"))
           / (col("p_a.nrm") * col("p_b.nrm"))).as("cosine"))
       .filter(col("cosine") >= tau)
+    if (dedupeEarly) verified else verified.dropDuplicates("id_a", "id_b")
   }
 
   /** Symmetric int8 quantization of an embedding column — the ANN

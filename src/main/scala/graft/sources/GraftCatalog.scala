@@ -75,9 +75,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     withConnection { conn =>
       val wantSchema = if (namespace.isEmpty) null else namespace.mkString(".")
+      // "BASE TABLE": DuckDB's JDBC metadata reports the SQL-standard
+      // type string, not Derby/Postgres' "TABLE" — a type filter that
+      // omits it silently lists nothing (the r29 lesson; the same
+      // family of quirk as the reference's MSys* filtering in
+      // connection/mdb/mod.rs:352-517)
       val rs = conn.getMetaData.getTables(null,
         if (wantSchema == null) null else likeEscape(conn, wantSchema), "%",
-        Array("TABLE", "VIEW"))
+        Array("TABLE", "BASE TABLE", "VIEW"))
       val out = Seq.newBuilder[Identifier]
       while (rs.next()) {
         val schem = rs.getString("TABLE_SCHEM")
@@ -101,7 +106,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val rs = conn.getMetaData.getTables(null,
         if (wantSchema == null) null else likeEscape(conn, wantSchema),
         likeEscape(conn, ident.name()),
-        Array("TABLE", "VIEW"))
+        Array("TABLE", "BASE TABLE", "VIEW"))
       // exact-compare per character but case-insensitively: wildcard
       // overmatches (MY_TABLE vs MYXTABLE) are filtered out, while
       // case-folding backends (getTables matching 'nation' to stored

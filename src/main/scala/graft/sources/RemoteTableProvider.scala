@@ -1123,7 +1123,7 @@ class ListTablesReader(opts: RemoteOptions)
 
   private val conn = GraftConnections.open(opts)
   private val rs = conn.getMetaData.getTables(null, null, "%",
-    Array("TABLE", "VIEW"))
+    Array("TABLE", "BASE TABLE", "VIEW"))
 
   override def next(): Boolean = rs.next()
 
