@@ -282,14 +282,35 @@ object DedupOps {
     * Plan shape: one shuffle to count shingle document frequencies,
     * one equi-join to rank + one regroup to sort/slice each document's
     * prefix, then the shared [[LshJoin]] bucket machinery on prefix
-    * shingles and an exact |∩|/|∪| verification attach. Candidate
-    * volume ∝ Σ_prefix-shingle bucket² — bounded by rare-shingle
-    * frequencies, in practice ≪ n². */
+    * shingles (+ the PPJoin length filter) and an exact |∩|/|∪|
+    * verification attach. Candidate volume ∝ Σ_prefix-shingle
+    * bucket² — bounded by rare-shingle frequencies, in practice ≪ n².
+    *
+    * Scale caveat: the rare-prefix bound assumes the shingle universe
+    * GROWS with the corpus (true of natural text — n-gram universes
+    * are heavy-tailed and unbounded). On a BOUNDED universe (the
+    * synthetic fixture's ~30-word vocab caps distinct trigrams at
+    * ~27k), every shingle eventually becomes frequent and candidates
+    * degrade toward n²/|universe| — visible in the sf1 sweep, and a
+    * property of the fixture, not the algorithm. At 100 TB of real
+    * text, prefix shingles stay rare; the approximate MinHash screen
+    * (p05/p31) remains the first pass and this operator the exact
+    * confirm stage on its survivors. */
   def setSimJoinExact(df: DataFrame, idCol: String, textCol: String,
       tau: Double, ngram: Int = 3): DataFrame = {
     require(tau > 0 && tau < 1, s"tau must be in (0,1): $tau")
-    val sets = df.select(col(idCol).as("id"), shingles(col(textCol), ngram).as("sh"))
+    // shingle IDENTITY only, never text: 8-byte hashed shingles
+    // (native ShingleHashSet — no concatenated strings built) make the
+    // frequency shuffle, the prefix sort, the banding keys, and the
+    // per-pair intersect/union loops long-typed end to end. Measured
+    // sf0.1: the string spelling was the suite's most expensive query
+    // (7.5 s); Jaccard = |∩|/|∪| is identical under an injective
+    // relabeling (collisions ~|universe|²/2⁶⁴, deterministic).
+    val sets = df.select(col(idCol).as("id"),
+        graft.functions.native.shingle_hash_set(
+          split(col(textCol), " "), ngram).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = sets.select(col("id"), explode(col("sh")).as("t"))
     // document frequency per shingle: `toks` is one row per (doc,
     // distinct shingle), so count(*) IS the document frequency
@@ -301,11 +322,31 @@ object DedupOps {
           slice(col("ts"), lit(1),
             (size(col("ts")) - ceil(size(col("ts")) * tau) + 1).cast("int")),
           s => s.getField("t")).as("pre"))
-    val banded = prefix.select(col("id"), explode(col("pre")).as("t"))
+    // LENGTH FILTER (the second canonical PPJoin component): J ≥ tau
+    // forces min(|A|,|B|) ≥ tau·max(|A|,|B|), so set sizes ride the
+    // banding encoded into the id's low 12 bits and cross-size pairs
+    // drop BEFORE deduplication and verification (measured sf0.1:
+    // 248k → ~90k candidates for the same 256 true pairs). The size
+    // saturates at 4095, which keeps the filter CONSERVATIVE (a
+    // capped size can only under-reject), and the float comparison
+    // carries a 1e-6 slack so a boundary pair with min = tau·max
+    // exactly can never be lost to double rounding.
+    val banded = prefix.join(sets.select(col("id"),
+          least(size(col("sh")), lit(4095)).cast("long").as("sz")), "id")
+      .select((col("id") * 4096 + col("sz")).as("id"),
+        explode(col("pre")).as("t"))
     // maxBucket = MaxValue: prefix filtering is EXACT — dropping a hot
     // bucket would break the zero-false-negative contract, and the
     // prefix construction is itself the skew bound (see scaladoc)
-    val cands = LshJoin.candidates(banded, Seq("t"), maxBucket = Int.MaxValue)
+    val cands = LshJoin.candidatesRaw(banded, Seq("t"), maxBucket = Int.MaxValue)
+      .select((col("id_a") / 4096).cast("long").as("id_a"),
+        (col("id_a") % 4096).as("sz_a"),
+        (col("id_b") / 4096).cast("long").as("id_b"),
+        (col("id_b") % 4096).as("sz_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double")
+        >= greatest(col("sz_a"), col("sz_b")) * tau - 1e-6)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
     LshJoin.attach(cands, sets, "sh")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= tau)

@@ -39,6 +39,31 @@ class PropertySpec extends AnyFunSuite {
     8 -> Gen.asciiPrintableChar.map(_.toString),
     1 -> Gen.oneOf("é", "λ", "中", "🙂", "𝕏"))).map(_.mkString)
 
+  test("MultiContains (Aho-Corasick) == naive per-pattern contains on " +
+      "any text, incl. overlapping and nested patterns") {
+    // low-entropy alphabet so patterns overlap, nest, and share
+    // prefixes/suffixes often — the failure-link stress shape
+    val abToken: Gen[String] =
+      Gen.chooseNum(1, 6).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b')))
+    val case_ = for {
+      nPats <- Gen.chooseNum(1, 8)
+      pats <- Gen.listOfN(nPats, abToken)
+      text <- Gen.chooseNum(0, 40)
+        .flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    } yield (pats.distinct, text)
+    forAllG(case_, n = 200) { case (pats, text) =>
+      if (pats.nonEmpty) {
+        val e = MultiContains(Literal(UTF8String.fromString(text)), pats)
+        val got = e.nullSafeEval(UTF8String.fromString(text))
+          .asInstanceOf[ArrayData]
+        val gotSeq = (0 until got.numElements())
+          .map(i => got.getUTF8String(i).toString)
+        assert(gotSeq == pats.filter(text.contains(_)),
+          s"pats=$pats text=$text")
+      }
+    }
+  }
+
   test("SimHashPoly equals the codepoint-recurrence reference on any tokens") {
     def poly(s: String, base: Long, mod: Long): Long =
       s.codePoints().toArray.foldLeft(0L)((h, cp) => (h * base + cp) % mod)

@@ -138,6 +138,29 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("setSimJoinExact == brute force on seeded random word-soup " +
+      "corpora (exactness is not fixture luck)") {
+    // deterministic LCG so failures reproduce; tiny vocab makes
+    // overlapping shingle sets and borderline-tau pairs common
+    var state = 0x5EEDL
+    def nextInt(n: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % n).toInt + n) % n
+    }
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 3) {
+      val docs = (1L to 30L).map { i =>
+        val len = 4 + nextInt(8)
+        i -> Vector.fill(len)(vocab(nextInt(vocab.size))).mkString(" ")
+      }
+      for (tau <- Seq(0.4, 0.7)) {
+        val got = DedupOps.setSimJoinExact(docs.toDF("doc_id", "text"),
+          "doc_id", "text", tau).as[(Long, Long, Double)].collect().toSet
+        assert(got == bruteJaccard(docs, tau), s"trial=$trial tau=$tau")
+      }
+    }
+  }
+
   test("setSimJoinExact: a corpus-wide boilerplate shingle lands in " +
       "nobody's prefix and creates no candidates") {
     // every doc shares the 'x x x' boilerplate shingle; at tau=0.8 and
