@@ -51,6 +51,24 @@ class DuckDbSourceSpec extends AnyFunSuite {
     assert(Dialect.forName("duckdb") == DuckDbDialect)
   }
 
+  test("catalog mount lists and loads tables (DuckDB reports the " +
+      "SQL-standard 'BASE TABLE' type string)") {
+    ifDriver {
+      fixture
+      spark.conf.set("spark.sql.catalog.duckspec", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.duckspec.url", url)
+      // listTables goes through getTables with the type filter — a
+      // Derby-shaped ("TABLE","VIEW") filter silently lists NOTHING
+      // against DuckDB (the r29 regression this test pins)
+      val shown = spark.sql("SHOW TABLES IN duckspec.main")
+        .select("tableName").collect().map(_.getString(0).toUpperCase)
+      assert(shown.contains("T"), s"SHOW TABLES returned: ${shown.toSeq}")
+      val n = spark.sql("SELECT count(*) AS n FROM duckspec.main.T")
+        .collect().head.getLong(0)
+      assert(n == 40L)
+    }
+  }
+
   test("filter + projection push into the remote SQL") {
     ifDriver {
       ScanSqlLog.clear()
