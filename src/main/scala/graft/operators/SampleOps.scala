@@ -269,7 +269,12 @@ object SampleOps {
     *
     * Semantics: the ordered stream is truncated at the first document
     * that would overflow the budget — `start_tok + n_tok ≤ budget`,
-    * exactly `sum(w) OVER (ORDER BY q DESC, id) ≤ budget` in SQL. */
+    * exactly `sum(w) OVER (ORDER BY q DESC, id) ≤ budget` in SQL.
+    * Rows with a null quality or null weight are EXCLUDED up front: a
+    * null has no position in a quality ordering and no token count,
+    * and engines disagree on where DESC places nulls — admitting them
+    * would make the cut engine-dependent (and NPE the driver-side
+    * bucket fold, which decodes pid/n_tok as primitives). */
   def tokenBudgetSelect(df: DataFrame, idCol: String, quality: Column,
       weight: Column, budgetTokens: Long, parts: Int = 0): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
@@ -278,7 +283,8 @@ object SampleOps {
     val nParts = if (parts > 0) parts
       else spark.sessionState.conf.numShufflePartitions
     val base = df.select(col(idCol).cast("long").as("id"),
-      quality.cast("double").as("quality"), weight.cast("long").as("n_tok"))
+        quality.cast("double").as("quality"), weight.cast("long").as("n_tok"))
+      .filter(col("quality").isNotNull && col("n_tok").isNotNull)
     val b = base.agg(min("quality"), max("quality")).collect().head
     if (b.isNullAt(0)) {
       return base.select(col("id"), col("quality"), col("n_tok"),

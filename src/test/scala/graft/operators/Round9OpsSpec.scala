@@ -214,6 +214,22 @@ class Round9OpsSpec extends AnyFunSuite {
       col("n"), 5L).count() == 0)
   }
 
+  test("tokenBudgetSelect: null quality / null weight rows are excluded, " +
+      "not NPE'd or engine-dependently ordered") {
+    val df = Seq[(Long, java.lang.Double, java.lang.Long)](
+      (1L, 0.9, 10L), (2L, null, 10L), (3L, 0.8, null), (4L, 0.7, 10L))
+      .toDF("id", "q", "n")
+    val got = SampleOps.tokenBudgetSelect(df, "id", col("q"), col("n"),
+        budgetTokens = 100L, parts = 4)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._4)
+    assert(got.toSeq == Seq((1L, 0.9, 10L, 0L), (4L, 0.7, 10L, 10L)))
+    // all-null quality: empty result, not a driver-side NPE
+    val allNull = Seq[(Long, java.lang.Double, java.lang.Long)](
+      (1L, null, 10L)).toDF("id", "q", "n")
+    assert(SampleOps.tokenBudgetSelect(allNull, "id", col("q"),
+      col("n"), 100L).count() == 0)
+  }
+
   test("tokenBudgetSelect: constant quality (single-bucket skew) stays " +
       "correct via the id tie-break") {
     val df = (1L to 50L).map(i => (i, 0.5, 10L)).toDF("id", "q", "n")
