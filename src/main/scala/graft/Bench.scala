@@ -118,7 +118,10 @@ object Bench {
     "r22_remote_union", "q59_udaf_gcd",
     // round-9 new gates: p69 shuffles candidate pairs (permanent
     // citizen); p70/p71 get their one round of scale history
-    "p69_setsim_join", "p70_token_budget", "p71_blocklist")
+    "p69_setsim_join", "p70_token_budget", "p71_blocklist",
+    // round-10: p72 shuffles within-cluster candidate pairs and
+    // iterates (k-means rounds) — permanent citizen on both grounds
+    "p72_kmeans_semdedup")
 
   private def fmtJsonNum(v: Double): String = {
     // fixed decimal, no scientific notation (driver-side json parsers)

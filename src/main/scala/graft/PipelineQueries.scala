@@ -764,6 +764,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SemDeDup PROPER (p72, round 10): k-means clusters the embedding
+    // space, near-dup cosine pairs run WITHIN clusters only, connected
+    // components + canonical keeper collapse the duplicates — the
+    // composition from Abbas et al. 2023 that makes embedding dedup
+    // linear in the corpus (pair search Σ|cluster|² with k ∝ n). The
+    // training is VectorOps.kmeansFit — decimal-disciplined centroid
+    // means — so the DuckDB oracle replays the ENTIRE pipeline
+    // bit-for-bit: seeds, 3 assignment passes, 2 mean updates,
+    // within-cluster pairs, recursive components. No recall bound
+    // anywhere — the SemDeDup approximation (cross-cluster near-dups
+    // are missed by design) is part of the replayed semantics. k grows
+    // with the corpus (target cluster size 64; = 8 on the ≤512-vector
+    // oracle fixture, which the SQL pins as LIMIT 8).
+    "p72_kmeans_semdedup" -> ((s, dir) => {
+      val all = embs(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val k = math.max(8L, (all.count() + 63) / 64).toInt
+      VectorOps.semDedup(all, k = k, tau = 0.4, iters = 2)
+        .select(col("id").as("vec_id"), col("kcluster"), col("comp"),
+          col("comp_size"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Matryoshka truncation recall audit (p68): how much ANN quality
     // survives truncating the embedding to its first 16 of 64 dims —
     // the dimension-reduction sanity check run before committing a
@@ -2110,6 +2133,94 @@ object PipelineQueries {
         |   'spark window', 'quantum flux capacitor'],
         |  p -> contains(text, p))) AS INT) AS n_matched
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // full k-means replay: seeds = 8 lowest vec_ids; per round the
+    // assignment is the NearestCentroids scoring (dot/‖c‖, left-to-right
+    // double sums, ties to the lowest cid) and the mean update is the
+    // p62 decimal discipline (scale-11 exact sums, one decimal→double
+    // cast, one double division); then within-cluster cosine pairs and
+    // the p28 recursive-component closure
+    "p72_kmeans_semdedup" ->
+      """WITH RECURSIVE
+        |v AS MATERIALIZED (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+        |  AS emb FROM embeddings),
+        |seeds AS (
+        | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS cv
+        | FROM (SELECT vec_id, emb FROM v ORDER BY vec_id LIMIT 8)),
+        |c0 AS MATERIALIZED (
+        | SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+        | FROM seeds),
+        |a0 AS MATERIALIZED (
+        | SELECT vec_id, cid FROM (
+        |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+        |    ORDER BY (CASE WHEN c.cn = 0 THEN CAST('-infinity' AS DOUBLE)
+        |      ELSE list_sum(list_transform(range(1, len(v.emb) + 1),
+        |        i -> v.emb[i] * c.cv[i])) / c.cn END) DESC, c.cid) AS rn
+        |  FROM v, c0 c) WHERE rn = 1),
+        |e2 AS MATERIALIZED (
+        | SELECT vec_id, i, emb[i] AS x FROM (
+        |  SELECT vec_id, unnest(range(1, len(emb) + 1)) AS i, emb FROM v)),
+        |m1 AS (
+        | SELECT a0.cid, e2.i,
+        |  CAST(sum(CAST(e2.x AS DECIMAL(26,11))) AS DOUBLE) / count(*) AS m
+        | FROM e2 JOIN a0 USING (vec_id) GROUP BY a0.cid, e2.i),
+        |c1l AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
+        |c1 AS MATERIALIZED (
+        | SELECT c0.cid, coalesce(l.cv, c0.cv) AS cv,
+        |  sqrt(list_sum(list_transform(coalesce(l.cv, c0.cv), x -> x * x)))
+        |   AS cn
+        | FROM c0 LEFT JOIN c1l l ON l.cid = c0.cid),
+        |a1 AS MATERIALIZED (
+        | SELECT vec_id, cid FROM (
+        |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+        |    ORDER BY (CASE WHEN c.cn = 0 THEN CAST('-infinity' AS DOUBLE)
+        |      ELSE list_sum(list_transform(range(1, len(v.emb) + 1),
+        |        i -> v.emb[i] * c.cv[i])) / c.cn END) DESC, c.cid) AS rn
+        |  FROM v, c1 c) WHERE rn = 1),
+        |m2 AS (
+        | SELECT a1.cid, e2.i,
+        |  CAST(sum(CAST(e2.x AS DECIMAL(26,11))) AS DOUBLE) / count(*) AS m
+        | FROM e2 JOIN a1 USING (vec_id) GROUP BY a1.cid, e2.i),
+        |c2l AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid),
+        |c2 AS MATERIALIZED (
+        | SELECT c1.cid, coalesce(l.cv, c1.cv) AS cv,
+        |  sqrt(list_sum(list_transform(coalesce(l.cv, c1.cv), x -> x * x)))
+        |   AS cn
+        | FROM c1 LEFT JOIN c2l l ON l.cid = c1.cid),
+        |af AS MATERIALIZED (
+        | SELECT vec_id, cid FROM (
+        |  SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+        |    ORDER BY (CASE WHEN c.cn = 0 THEN CAST('-infinity' AS DOUBLE)
+        |      ELSE list_sum(list_transform(range(1, len(v.emb) + 1),
+        |        i -> v.emb[i] * c.cv[i])) / c.cn END) DESC, c.cid) AS rn
+        |  FROM v, c2 c) WHERE rn = 1),
+        |pr AS MATERIALIZED (
+        | SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        | FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        | JOIN embeddings ea ON ea.vec_id = x.vec_id
+        | JOIN embeddings eb ON eb.vec_id = y.vec_id
+        | WHERE list_sum(list_transform(range(1, len(ea.embedding) + 1),
+        |    i -> CAST(ea.embedding[i] AS DOUBLE) * eb.embedding[i]))
+        |  / (sqrt(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+        |       i -> CAST(ea.embedding[i] AS DOUBLE) * ea.embedding[i])))
+        |   * sqrt(list_sum(list_transform(range(1, len(eb.embedding) + 1),
+        |       i -> CAST(eb.embedding[i] AS DOUBLE) * eb.embedding[i]))))
+        |  >= 0.4),
+        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr),
+        |reach(node, comp) AS (
+        | SELECT src, src FROM edges
+        | UNION
+        | SELECT g.dst, r.comp FROM reach r JOIN edges g ON g.src = r.node),
+        |comps AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |lab AS (
+        | SELECT af.vec_id, af.cid, coalesce(c.comp, af.vec_id) AS comp
+        | FROM af LEFT JOIN comps c ON c.node = af.vec_id)
+        |SELECT vec_id, CAST(cid AS INT) AS kcluster, comp,
+        | count(*) OVER (PARTITION BY comp) AS comp_size,
+        | (vec_id = comp) AS keep
+        |FROM lab ORDER BY vec_id""".stripMargin,
 
     "p68_matryoshka_recall" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -443,4 +443,92 @@ object VectorOps {
       .withColumn("centroid", col("sum_v") / col("n"))
       .withColumn("rms", sqrt(col("sum_sq") / col("n")))
   }
+
+  /** ORACLE-EXACT distributed Lloyd k-means over (id, vec): seeds are
+    * the `k` lowest-id vectors, then `iters` assign/mean rounds. The
+    * same plan shape as [[trainCentroids]] (shuffle-free assignment via
+    * the codegen'd [[graft.functions.NearestCentroids]] expression, one
+    * posexplode + groupBy(cid, dim) per round, only O(k·dim) aggregated
+    * values ever reaching the driver) but with the centroid UPDATE in
+    * fully cross-engine arithmetic: component sums ride the p62 decimal
+    * discipline (scale-11 quantization, exact decimal addition, one
+    * correctly-rounded decimal→double cast) and the mean is a single
+    * double division — so a reference engine can replay TRAINING
+    * bit-for-bit, not just assert recall on the result. (trainCentroids
+    * keeps its decimal-division form because the materialized IVF index
+    * fixtures are built from it; this is the gate-grade variant.)
+    * Unscaled-sum headroom: |x| ≤ 1-ish embedding components at scale
+    * 11 keep Σ|x|·10^11 < 2^53 up to ~90k members per (cid, dim) —
+    * beyond that, drop to scale 9 (p62) for 9M members. */
+  def kmeansFit(vecs: DataFrame, k: Int, iters: Int = 2): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    def toD(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Float](0).map(_.toDouble)
+    var cents: Seq[Seq[Double]] = vecs.orderBy(col("id")).limit(k)
+      .select(col("vec")).collect().toSeq.map(toD)
+    require(cents.nonEmpty, "no seed vectors")
+    for (_ <- 0 until iters) {
+      val assigned = vecs.withColumn("cid", element_at(
+        graft.functions.native.nearest_centroids(col("vec"), cents, 1), 1))
+      val means = assigned
+        .select(col("cid"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg((sum(col("x").cast(DoubleType).cast(DecimalType(26, 11)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // empty clusters keep their previous centroid
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** SemDeDup proper (Abbas et al. 2023): k-means clusters the
+    * embedding space, near-duplicate search runs WITHIN clusters only,
+    * connected components + canonical keeper collapse the duplicates.
+    * This is the composition that makes embedding dedup tractable at
+    * corpus scale — the pair search drops from O(n²) cosine evals to
+    * Σ|cluster|², and with k ∝ n (fixed target cluster size) that is
+    * O(n·target): linear in the corpus. The price is the SemDeDup
+    * approximation — near-dups split across a cluster boundary are
+    * missed — which is exactly why the gate's oracle replays the SAME
+    * clustering (bit-exact [[kmeansFit]]) rather than comparing against
+    * global exact pairs.
+    *
+    * Plan shape: training (iters bounded passes) → one shuffle-free
+    * assignment pass → self-equi-join on the cluster key (ONE corpus
+    * shuffle; bounded by the k ∝ n cluster-size target, the skew
+    * analogue of LshJoin's bucket cap) → component fold over pair rows
+    * only. Vectors ride the pair join once; at 100 TB the join input
+    * is (cluster, id, vec) — nothing else shuffles.
+    *
+    * Returns (id, kcluster, comp, comp_size, keep): kcluster = the
+    * k-means cluster index (0-based seed order), comp = connected-
+    * component canonical id over the ≥ tau pairs, keep = id == comp. */
+  def semDedup(vecs: DataFrame, k: Int, tau: Double,
+      iters: Int = 2): DataFrame = {
+    val cents = kmeansFit(vecs, k, iters)
+    val assigned = vecs.select(col("id"), col("vec"),
+      element_at(
+        graft.functions.native.nearest_centroids(col("vec"), cents, 1), 1)
+        .as("kcluster"))
+    val a = assigned.select(col("kcluster"), col("id").as("id_a"),
+      col("vec").as("va"))
+    val b = assigned.select(col("kcluster"), col("id").as("id_b"),
+      col("vec").as("vb"))
+    val pairs = a.join(b, Seq("kcluster"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("va"), col("vb")) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.operators.ClusterOps.dedupClusters(
+      vecs, "id", pairs, "id_a", "id_b")
+    assigned.select(col("id").cast("long").as("doc_id"), col("kcluster"))
+      .join(comps, Seq("doc_id"))
+      .select(col("doc_id").as("id"), col("kcluster"), col("comp"),
+        col("cluster_size").as("comp_size"), col("keep"))
+  }
 }

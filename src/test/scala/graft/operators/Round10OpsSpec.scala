@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Round-10 operator specs: oracle-exact distributed k-means
+  * (kmeansFit) and the SemDeDup composition built on it (semDedup). */
+class Round10OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecsDF(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("id", "vec")
+
+  // three well-separated 4-dim clusters around axis directions
+  private def clustered: Seq[(Long, Seq[Float])] = {
+    def around(base: Seq[Float], jitter: Float, n: Int, id0: Long) =
+      (0 until n).map(i => (id0 + i,
+        base.zipWithIndex.map { case (b, d) =>
+          b + jitter * ((i + d) % 3 - 1) }))
+    around(Seq(1f, 0f, 0f, 0f), 0.02f, 5, 0L) ++
+      around(Seq(0f, 1f, 0f, 0f), 0.02f, 5, 10L) ++
+      around(Seq(0f, 0f, 1f, 0f), 0.02f, 5, 20L)
+  }
+
+  test("kmeansFit is partitioning-invariant (decimal update discipline)") {
+    val df = vecsDF(clustered)
+    val a = VectorOps.kmeansFit(df.repartition(1), k = 3, iters = 2)
+    val b = VectorOps.kmeansFit(df.repartition(7, col("id")), k = 3,
+      iters = 2)
+    assert(a == b, "bit-identical centroids regardless of partitioning")
+  }
+
+  test("kmeansFit separates well-separated clusters") {
+    // seeds are ids 0,1,2 — all in cluster A; two Lloyd rounds must
+    // still pull centroids apart onto the dominant axes? No: with all
+    // seeds in one cluster the OTHER clusters capture no seed. Use
+    // k=3 over a fixture whose three lowest ids span the clusters.
+    val rows = clustered.map { case (id, v) =>
+      // remap so ids 0,1,2 are one member of each cluster
+      val nid = id match {
+        case 0L => 0L case 10L => 1L case 20L => 2L
+        case x if x < 10 => x + 2 case x if x < 20 => x - 8 + 10
+        case x => x - 18 + 20
+      }
+      (nid, v)
+    }
+    val cents = VectorOps.kmeansFit(vecsDF(rows), k = 3, iters = 2)
+    // each centroid's dominant axis is distinct
+    val doms = cents.map(c => c.zipWithIndex.maxBy(_._1)._2)
+    assert(doms.toSet.size == 3, s"distinct dominant axes, got $doms")
+    cents.zip(Seq(0, 1, 2)).foreach { case (c, axis) =>
+      assert(c(axis) > 0.9, s"centroid $c concentrates on axis $axis")
+    }
+  }
+
+  test("kmeansFit keeps the previous centroid for empty clusters") {
+    // two far points + k=3: seed 3 duplicates seed 1's position (ties
+    // assign to the LOWEST cid), so cluster 2 goes empty and must
+    // retain its seed vector exactly
+    val rows = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(0f, 1f)))
+    val cents = VectorOps.kmeansFit(vecsDF(rows), k = 3, iters = 2)
+    assert(cents(2) == Seq(0.0, 1.0), "empty cluster retains seed")
+  }
+
+  test("semDedup: planted near-identical vectors collapse to one " +
+      "keeper; distant vectors stay singletons") {
+    val rows = clustered ++ Seq(
+      (30L, clustered.head._2),              // exact dup of id 0
+      (31L, clustered.head._2.map(_ * 1.0001f))) // near dup (cos ~ 1)
+    val out = VectorOps.semDedup(vecsDF(rows), k = 3, tau = 0.999)
+      .select("id", "comp", "keep").as[(Long, Long, Boolean)]
+      .collect().map { case (id, c, k2) => (id, (c, k2)) }.toMap
+    assert(out(30L)._1 == 0L && !out(30L)._2, "dup joins id 0's comp")
+    assert(out(31L)._1 == 0L && !out(31L)._2)
+    assert(out(0L)._1 == 0L && out(0L)._2, "lowest id is the keeper")
+    // a vector in another k-means cluster is its own component
+    assert(out(10L)._1 == 10L && out(10L)._2)
+  }
+
+  test("semDedup never pairs across k-means clusters (the SemDeDup " +
+      "approximation is part of the contract)") {
+    // two identical vectors FORCED into different clusters by seeding:
+    // k = n so every vector is its own seed; identical seeds tie to
+    // the lowest cid, so both copies land in cluster of the first —
+    // same cluster, they pair. Conversely orthogonal vectors never
+    // reach tau. This pins that pairs require cluster equality by
+    // checking the pair count equals the within-cluster expectation.
+    val rows = Seq((0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(0f, 1f)))
+    val out = VectorOps.semDedup(vecsDF(rows), k = 2, tau = 0.9)
+      .select("id", "kcluster", "comp").as[(Long, Int, Long)]
+      .collect().sortBy(_._1)
+    assert(out(0)._2 == out(1)._2 && out(2)._2 == out(3)._2)
+    assert(out(0)._2 != out(2)._2, "orthogonal pairs cluster apart")
+    assert(out(1)._3 == 0L && out(3)._3 == 2L,
+      "components confined to clusters")
+  }
+}
