@@ -787,6 +787,18 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // JL RANDOM PROJECTION (p73, round 10): 64-dim embeddings projected
+    // to 8 dims through the hash-derived ±1 sign matrix — the matrix
+    // never materializes (regenerated from arithmetic everywhere), the
+    // fold is a fixed IEEE sequence, so the full projected table is
+    // hash-exact vs the oracle. The cheap precursor to ANN at scale:
+    // the projected column is 8× smaller on every downstream shuffle.
+    "p73_random_projection" -> ((s, dir) =>
+      embs(s, dir).select(col("vec_id"),
+          VectorOps.randomProject(col("embedding"), outDim = 8,
+            seed = 42L).as("proj"))
+        .orderBy(col("vec_id"))),
+
     // Matryoshka truncation recall audit (p68): how much ANN quality
     // survives truncating the embedding to its first 16 of 64 dims —
     // the dimension-reduction sanity check run before committing a
@@ -2221,6 +2233,24 @@ object PipelineQueries {
         | count(*) OVER (PARTITION BY comp) AS comp_size,
         | (vec_id = comp) AS keep
         |FROM lab ORDER BY vec_id""".stripMargin,
+
+    // the sign matrix regenerated from the same two-round poly-hash
+    // mix; left fold via list_reduce with a prepended 0.0 (the p51
+    // init spelling), in-engine sqrt for the 1/√k normalization
+    "p73_random_projection" ->
+      """SELECT vec_id,
+        | list_transform(range(0, 8), j ->
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, len(embedding) + 1), i ->
+        |     CAST(embedding[i] AS DOUBLE) *
+        |     (CASE WHEN (((((i - 1) * 1000003 + j * 7919 + 42)
+        |            % 2147483647) * (((i - 1) * 1000003 + j * 7919 + 42)
+        |            % 2147483647)
+        |          + (((i - 1) * 1000003 + j * 7919 + 42) % 2147483647))
+        |          % 2147483647) % 2 = 0
+        |       THEN 1.0 ELSE -1.0 END))),
+        |   (a, x) -> a + x) / sqrt(CAST(8 AS DOUBLE))) AS proj
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "p68_matryoshka_recall" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -487,6 +487,38 @@ object VectorOps {
     cents
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dims with a
+    * HASH-DERIVED sign matrix: entry s(i, j) ∈ {+1, −1} comes from two
+    * rounds of integer poly-hash mixing of (input dim i, output dim j,
+    * seed) — the projection matrix never materializes anywhere (no
+    * broadcast, no file): every executor, every retry, and the SQL
+    * oracle regenerate the identical matrix from the arithmetic. The
+    * standard dense-sign JL construction (Achlioptas 2003 shows ±1
+    * entries satisfy the JL lemma with the same guarantees as
+    * Gaussians); output dim j = (Σ_i v[i]·s(i,j)) / √outDim, the fold
+    * left-to-right over i — a fixed IEEE sequence, repartition-
+    * invariant and engine-replayable. Per-row and shuffle-free inside
+    * whole-stage codegen: the 100 TB shape is scan → project, with the
+    * projected column ~dim/outDim× smaller riding every downstream
+    * shuffle (the cheap precursor to ANN indexing, the p68 audit's
+    * complement). */
+  def randomProject(vec: Column, outDim: Int, seed: Long = 0L): Column = {
+    require(outDim >= 1, "outDim >= 1")
+    def sign(i: Column, j: Column): Column = {
+      val h1 = (i.cast("long") * lit(1000003L) + j.cast("long") * lit(7919L)
+        + lit(seed)) % lit(2147483647L)
+      // squaring makes the parity NONLINEAR in (i, j) — a linear mix's
+      // parity alternates with i (odd stride), which degenerates the
+      // matrix to ± alternation; h1² + h1 stays < 2^63 (h1 < 2^31)
+      val h2 = (h1 * h1 + h1) % lit(2147483647L)
+      when(h2 % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    }
+    transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(sequence(lit(0), size(vec) - 1), lit(0.0),
+        (acc, i) => acc + element_at(vec, i + 1).cast("double") * sign(i, j))
+        / sqrt(lit(outDim.toDouble)))
+  }
+
   /** SemDeDup proper (Abbas et al. 2023): k-means clusters the
     * embedding space, near-duplicate search runs WITHIN clusters only,
     * connected components + canonical keeper collapse the duplicates.

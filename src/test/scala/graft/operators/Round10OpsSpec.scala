@@ -81,6 +81,47 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out(10L)._1 == 10L && out(10L)._2)
   }
 
+  // ---- JL random projection ---------------------------------------------
+
+  test("randomProject: shuffle-free plan, balanced signs, JL distortion") {
+    val dim = 64
+    val rows = (0L until 40L).map { id =>
+      (id, (0 until dim).map(d =>
+        (((id * 131 + d * 31 + 7) % 1009).toFloat / 1009f) - 0.5f))
+    }
+    val df = vecsDF(rows)
+    val proj = df.select(col("id"),
+      VectorOps.randomProject(col("vec"), outDim = 16, seed = 42L)
+        .as("proj"))
+    // per-row: no Exchange anywhere in the physical plan
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle-free, got:\n$plan")
+    val collected = proj.as[(Long, Seq[Double])].collect().toMap
+    assert(collected.values.forall(_.length == 16))
+    // sign balance: project the all-ones vector; each output dim is
+    // (n_plus - n_minus)/sqrt(k), so |value| << dim for a mixed matrix
+    val ones = vecsDF(Seq((0L, Seq.fill(dim)(1f))))
+      .select(VectorOps.randomProject(col("vec"), 16, 42L).as("p"))
+      .as[Seq[Double]].collect().head
+    assert(ones.forall(v => math.abs(v) < dim / 2.0),
+      s"signs mix (no constant row): $ones")
+    assert(ones.exists(_ != ones.head), "rows of the matrix differ")
+    // JL distortion: mean squared-distance ratio over sampled pairs
+    // stays within a loose band (deterministic fixture + seed)
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = rows.map { case (id, v) =>
+      id -> v.map(_.toDouble) }.toMap
+    val ratios = for {
+      a <- 0L until 20L; b <- (a + 1) until 20L
+    } yield d2(collected(a), collected(b)) / d2(orig(a), orig(b))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.4,
+      s"mean distortion ~1 (unbiased estimator), got $mean")
+    assert(ratios.forall(r => r > 0.15 && r < 4.0),
+      s"no pathological pair, got ${ratios.min} .. ${ratios.max}")
+  }
+
   test("semDedup never pairs across k-means clusters (the SemDeDup " +
       "approximation is part of the contract)") {
     // two identical vectors FORCED into different clusters by seeding:
