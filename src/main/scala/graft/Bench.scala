@@ -120,8 +120,9 @@ object Bench {
     // citizen); p70/p71 get their one round of scale history
     "p69_setsim_join", "p70_token_budget", "p71_blocklist",
     // round-10: p72 shuffles within-cluster candidate pairs and
-    // iterates (k-means rounds) — permanent citizen on both grounds
-    "p72_kmeans_semdedup")
+    // iterates (k-means rounds) — permanent citizen on both grounds;
+    // p73/p74 get their one round of scale history
+    "p72_kmeans_semdedup", "p73_random_projection", "p74_cdc_chunks")
 
   private def fmtJsonNum(v: Double): String = {
     // fixed decimal, no scientific notation (driver-side json parsers)

@@ -787,6 +787,36 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // CONTENT-DEFINED chunk dedup (p74, round 10): chunk boundaries
+    // from the rolling content hash (native CdcChunks) instead of a
+    // fixed stride, so a one-token insertion shifts only the chunks
+    // whose windows touch it — the defect p61's fixed 24-token chunks
+    // structurally have. The gate plants exactly that failure case
+    // in-plan: a 'zq'-prefixed variant of each doc_id < 40 (the m12
+    // derive pattern); CDC keeps the variant's chunk fingerprints
+    // aligned with the original's from the first untouched window on,
+    // so those docs show high n_shared. Same fp-keyed exchange shapes
+    // as p61 (chunk fp distinct-doc counts, equi-join back) — no pair
+    // explosion at any scale.
+    "p74_cdc_chunks" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("zq "), col("text")).as("text")))
+      val fps = base.select(col("doc_id"),
+          explode(graft.functions.native.cdc_chunks(col("text"), 4, 8))
+            .as("chunk"))
+        .select(col("doc_id"), md5(col("chunk")).as("fp"))
+      val docCount = fps.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      fps.join(docCount, Seq("fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JL RANDOM PROJECTION (p73, round 10): 64-dim embeddings projected
     // to 8 dims through the hash-derived ±1 sign matrix — the matrix
     // never materializes (regenerated from arithmetic everywhere), the
@@ -2233,6 +2263,43 @@ object PipelineQueries {
         | count(*) OVER (PARTITION BY comp) AS comp_size,
         | (vec_id = comp) AS keep
         |FROM lab ORDER BY vec_id""".stripMargin,
+
+    // the CDC boundary rule replayed with DuckDB list lambdas: per-token
+    // p12 poly hash (empty token pinned to 0 — string_split('','')
+    // yields [''] with unicode('') = -1, unlike the char walk), window
+    // fold base 1000003, boundary where ≡ 0 (mod 8), forced final
+    // boundary at n; 1-based inclusive list slices rebuild the chunks
+    "p74_cdc_chunks" ->
+      """WITH base AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, 'zq ' || text FROM documents
+        | WHERE doc_id < 40),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        |h AS (SELECT doc_id, toks, list_transform(toks, tk ->
+        |  CASE WHEN tk = '' THEN CAST(0 AS BIGINT) ELSE
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(tk, ''),
+        |       c -> CAST(unicode(c) AS BIGINT))),
+        |     (a, x) -> (a * 31 + x) % 2147483647) END) AS th FROM t),
+        |b AS (SELECT doc_id, toks,
+        |  list_append(
+        |   list_filter(range(4, len(toks)), p ->
+        |     list_reduce(list_prepend(CAST(0 AS BIGINT), th[p-3:p]),
+        |       (a, x) -> (a * 1000003 + x) % 2147483647) % 8 = 0),
+        |   len(toks)) AS bs FROM h),
+        |c AS (SELECT doc_id, list_transform(range(1, len(bs) + 1), k ->
+        |   array_to_string(
+        |     toks[(CASE WHEN k = 1 THEN 1 ELSE bs[k-1] + 1 END):bs[k]],
+        |     ' ')) AS chunks FROM b),
+        |f AS (SELECT doc_id, md5(unnest(chunks)) AS fp FROM c),
+        |dc AS (SELECT fp, count(DISTINCT doc_id) AS n_docs
+        |       FROM f GROUP BY fp)
+        |SELECT f.doc_id, count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN dc.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_shared
+        |FROM f JOIN dc USING (fp)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
 
     // the sign matrix regenerated from the same two-round poly-hash
     // mix; left fold via list_reduce with a prepended 0.0 (the p51

@@ -85,7 +85,11 @@ object GraftFunctions {
     // multi_contains(text, array('pat a', 'pat b'))
     "multi_contains" -> { exprs =>
       MultiContains(exprs.head,
-        stringSeqArg(exprs(1), "multi_contains patterns")) })
+        stringSeqArg(exprs(1), "multi_contains patterns")) },
+    // cdc_chunks(text, window, divisor)
+    "cdc_chunks" -> { exprs =>
+      CdcChunks(exprs.head, intArg(exprs(1), "cdc_chunks window"),
+        intArg(exprs(2), "cdc_chunks divisor")) })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

@@ -1023,7 +1023,96 @@ case class MultiContains(child: Expression, patterns: Seq[String])
     copy(child = newChild)
 }
 
+/** CONTENT-DEFINED CHUNKING over whitespace tokens: a chunk boundary
+  * falls after token position p whenever the polynomial hash of the
+  * `window` tokens ending at p is ≡ 0 (mod `divisor`) — so boundaries
+  * are a function of local CONTENT, not position. This is the property
+  * fixed-stride chunking (p61's 24-token windows) structurally lacks:
+  * a single-token insertion shifts every downstream fixed chunk and
+  * kills its fingerprints, while CDC boundaries re-align as soon as
+  * one untouched window passes (the FastCDC/LBFS principle, applied at
+  * token granularity for text dedup). Expected chunk length = divisor
+  * tokens; no min/max clamp on purpose — clamps make each boundary
+  * depend on the previous one (sequential state), which would break
+  * both per-position parallelism and SQL replayability. Token hash =
+  * the [[PolyFingerprint]] construction (base 31 mod 2³¹−1) per token;
+  * window hash folds token hashes with base 1000003 in the same
+  * field. Per-row, shuffle-free, O(tokens·window). */
+case class CdcChunks(child: Expression, window: Int, divisor: Int)
+  extends UnaryExpression {
+
+  require(window >= 1, "window >= 1")
+  require(divisor >= 1, "divisor >= 1")
+
+  private val Mod = 2147483647L
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcChunks", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cdc_chunks needs string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    // keep empty tokens (limit -1): bit-compatible with SQL split
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    val th = new Array[Long](n)
+    var t = 0
+    while (t < n) {
+      val tok = toks(t)
+      var h = 0L
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        h = (h * 31 + cp) % Mod
+        i += Character.charCount(cp)
+      }
+      th(t) = h
+      t += 1
+    }
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var p = window // 1-based end position of the window
+    while (p < n) {
+      var acc = 0L
+      var q = p - window
+      while (q < p) { acc = (acc * 1000003L + th(q)) % Mod; q += 1 }
+      if (acc % divisor == 0) bounds += p
+      p += 1
+    }
+    bounds += n
+    val out = new Array[Any](bounds.length)
+    var start = 0
+    var k = 0
+    while (k < bounds.length) {
+      val end = bounds(k)
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        toks.slice(start, end).mkString(" "))
+      start = end
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 object native {
+  def cdc_chunks(text: Column, window: Int, divisor: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(text), window, divisor))
   def multi_contains(text: Column, patterns: Seq[String]): Column =
     Bridge.column(MultiContains(Bridge.expression(text), patterns))
   def shingle_set(tokens: Column, n: Int): Column =

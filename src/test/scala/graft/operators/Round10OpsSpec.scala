@@ -81,6 +81,50 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out(10L)._1 == 10L && out(10L)._2)
   }
 
+  // ---- content-defined chunking -----------------------------------------
+
+  private def cdcChunksOf(texts: Seq[String], w: Int = 4, d: Int = 8) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"),
+        graft.functions.native.cdc_chunks(col("text"), w, d).as("chunks"))
+      .as[(Long, Seq[String])].collect().toMap
+
+  test("cdc_chunks: chunks rejoin to the original text; short docs " +
+      "are a single chunk") {
+    val doc = (1 to 200).map(i => s"tok${i % 37}x$i").mkString(" ")
+    val out = cdcChunksOf(Seq(doc, "only three tokens", ""))
+    assert(out(0L).mkString(" ") == doc, "lossless partition")
+    assert(out(0L).length > 5, s"content boundaries fired: ${out(0L).length}")
+    assert(out(1L) == Seq("only three tokens"), "n < window: one chunk")
+    assert(out(2L) == Seq(""), "empty text: one empty chunk")
+  }
+
+  test("cdc_chunks: insertion-robust where fixed-stride chunking is " +
+      "not (the p61 comparison)") {
+    val doc = (1 to 240).map(i => s"w${(i * 7) % 53}q$i").mkString(" ")
+    val shifted = "zq " + doc
+    val out = cdcChunksOf(Seq(doc, shifted))
+    val shared = out(0L).toSet.intersect(out(1L).toSet)
+    // all chunks after the insertion's window horizon re-align
+    assert(shared.size >= out(0L).size - 3,
+      s"CDC re-aligns: ${shared.size} of ${out(0L).size} chunks shared")
+    // fixed 24-token stride on the same pair: zero aligned chunks
+    val toks = doc.split(" ").toSeq
+    val fixedA = toks.grouped(24).map(_.mkString(" ")).toSet
+    val fixedB = ("zq" +: toks).grouped(24).map(_.mkString(" ")).toSet
+    assert(fixedA.intersect(fixedB).isEmpty,
+      "fixed-stride shares nothing after a one-token insertion")
+  }
+
+  test("cdc_chunks registers as a SQL function") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cdc_chunks('a b c d e f g h i j k l', 4, 2) AS c")
+      .as[Seq[String]].collect().head
+    assert(r.mkString(" ") == "a b c d e f g h i j k l")
+  }
+
   // ---- JL random projection ---------------------------------------------
 
   test("randomProject: shuffle-free plan, balanced signs, JL distortion") {
