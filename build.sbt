@@ -10,8 +10,18 @@ unmanagedBase := file("/opt/spark/jars")
 // references it at compile time (DriverManager discovers the driver via
 // ServiceLoader), and every DuckDB-backed gate self-disables when the
 // jar is absent — a clean checkout still builds and runs.
+// Self-heal: lib/*.jar is gitignored (66 MB binary), so a `git clean`
+// silently drops the second backend AND its 9 gates. If the jar is
+// missing, re-vendor it from the local coursier cache by FILENAME
+// (wherever the cache mirrors it from) before wiring the classpath.
 Compile / unmanagedJars ++= {
   val f = baseDirectory.value / "lib" / "duckdb_jdbc-1.0.0.jar"
+  if (!f.exists) {
+    val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+    (cache ** "duckdb_jdbc-1.0.0.jar").get.headOption.foreach { src =>
+      sbt.IO.copyFile(src, f)
+    }
+  }
   if (f.exists) Seq(Attributed.blank(f)) else Seq.empty
 }
 // Test-only deps resolve from the pre-warmed coursier cache; anything

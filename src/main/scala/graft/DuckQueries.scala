@@ -206,6 +206,28 @@ object DuckQueries {
         .orderBy(col("u_key"))
     }),
 
+    // FEDERATION over the lake (r30, round 10): a `query` source over
+    // DuckDB's read_parquet — the remote engine scans the SAME parquet
+    // file the oracle reads, and Spark's filter + complete-agg pushdown
+    // wrap the subquery, so the whole aggregation executes inside
+    // DuckDB against the file and only |groups| rows cross the wire.
+    // This is the reference's query-as-table path pointed at a
+    // columnar file engine instead of a server catalog — the shape a
+    // lakehouse sidecar engine actually runs.
+    "r30_duckdb_parquet" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "query" ->
+        (s"SELECT l_returnflag, l_quantity FROM " +
+          s"read_parquet('$dir/lineitem.parquet')"))
+        .filter(col("l_quantity") > 40)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(DecimalType(25, 6))).cast(DoubleType)
+            .as("qty"))
+        .select(col("l_returnflag"), col("n_items"), col("qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // r10 shape: TableCatalog mount over the second backend — DuckDB's
     // default schema is `main` where Derby's is `APP`, so the mount
     // exercises namespace discovery against a different catalog layout
@@ -252,7 +274,12 @@ object DuckQueries {
         |) ORDER BY u_key""".stripMargin,
     "r29_duckdb_catalog" ->
       """SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
-        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "r30_duckdb_parquet" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_quantity > 40
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
   /** Gates registered only when the vendored driver is present. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

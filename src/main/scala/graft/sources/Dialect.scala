@@ -248,6 +248,17 @@ trait Dialect extends Serializable {
 
   def booleanLiteral(b: Boolean): String = if (b) "TRUE" else "FALSE"
 
+  /** Whether this engine's `CAST(double AS DECIMAL(p,s))` agrees with
+    * Spark's cast BIT-FOR-BIT. Spark converts through
+    * `BigDecimal.valueOf(double)` — the SHORTEST decimal rendering —
+    * then rounds HALF_UP; an engine that instead expands the exact
+    * binary value (or truncates, like Derby) disagrees on values such
+    * as 1.0000005 at scale 6. Gates the decimal-cast SUM pushdown
+    * (`compileAgg`): only dialects VERIFIED to match may push a float
+    * column's decimal-disciplined sum. Default false — the safe
+    * refusal, like the scalar-fn whitelist. */
+  def castDoubleToDecimalMatchesSpark: Boolean = false
+
   def literal(v: Any): Option[String] = v match {
     case null => Some("NULL")
     case s: String => Some(stringLiteral(s))
@@ -604,6 +615,13 @@ object SqliteDialect extends Dialect {
 object DuckDbDialect extends Dialect {
   val name = "duckdb"
   override def stringDdlType: String = "TEXT"
+
+  /** Verified: DuckDB converts double→decimal through the shortest
+    * decimal rendering with half-away-from-zero ties (2.5→3, −2.5→−3,
+    * 1.0000005 at scale 6 → 1.000001) — exactly Spark's
+    * `BigDecimal.valueOf` + HALF_UP path (DuckDbSourceSpec pins the
+    * tie values end-to-end). */
+  override def castDoubleToDecimalMatchesSpark: Boolean = true
 
   /** DuckDB rejects X'..' binary literals; its blob literal is an
     * escaped-hex string cast to BLOB. */

@@ -292,6 +292,13 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
     }
     pushedPreds = compiled.collect { case (p, Some(_)) => p }.toArray
     pushedSql = compiled.collect { case (_, Some(s)) => s }
+    if (sys.env.contains("GRAFT_DEBUG_PUSH"))
+      compiled.foreach { case (p, s) =>
+        // scalastyle:off println
+        println(s"GRAFT_PUSH: $p -> $s v1=${
+          org.apache.spark.sql.graftbridge.Bridge.predicateToV1(p)}")
+        // scalastyle:on println
+      }
     compiled.collect { case (p, None) => p }.toArray
   }
   override def pushedPredicates(): Array[
@@ -403,18 +410,60 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
       }
     case s: Sum if !s.isDistinct =>
       import RemoteType._
-      aggColumn(s.column).flatMap { n =>
-        val q = dialect.quote(n)
-        table.remoteSchema(n).tpe match {
-          case RInt1 | RInt2 | RInt4 | RInt8 | RUInt1 | RUInt2 | RUInt4 =>
-            Some((s"SUM(CAST($q AS BIGINT))", LongType))
-          case RFloat4 | RFloat8 =>
-            Some((s"SUM(CAST($q AS DOUBLE))", DoubleType))
-          case RDecimal(p, sc) if p + 10 <= DecimalType.MAX_PRECISION =>
-            Some((s"CAST(SUM($q) AS DECIMAL(${p + 10},$sc))",
-              DecimalType(p + 10, sc)))
-          case _ => None
-        }
+      s.column match {
+        // SUM(CAST(col AS DECIMAL(p,s))) — the decimal-disciplined sum
+        // every order-stable pipeline writes. Pushable when the remote
+        // cast provably produces Spark's cast values: integral sources
+        // need p−s digits of headroom (then the cast is lossless),
+        // decimal sources must purely widen, and a DOUBLE source needs
+        // the dialect-verified rounding match (Derby truncates — stays
+        // Spark-side; DuckDB matches). Result rides back as Spark's own
+        // sum-over-decimal widened type.
+        case c: org.apache.spark.sql.connector.expressions.Cast =>
+          c.dataType match {
+            case dt: DecimalType
+                if dt.precision + 10 <= DecimalType.MAX_PRECISION =>
+              aggColumn(c.expression).flatMap { n =>
+                val q = dialect.quote(n)
+                val intDigits = dt.precision - dt.scale
+                val sparkIdentical = table.remoteSchema(n).tpe match {
+                  case RInt1 | RUInt1 => intDigits >= 3
+                  case RInt2 | RUInt2 => intDigits >= 5
+                  case RInt4 | RUInt4 => intDigits >= 10
+                  case RInt8 => intDigits >= 19
+                  case RDecimal(p0, s0) =>
+                    s0 <= dt.scale && intDigits >= p0 - s0
+                  case RFloat8 => dialect.castDoubleToDecimalMatchesSpark
+                  // RFloat4 never: Spark widens float→double first and
+                  // renders THAT (0.1f → 0.10000000149…), engines cast
+                  // the REAL's own shortest form (0.1) — guaranteed ulp
+                  // disagreement on non-dyadic values
+                  case _ => false
+                }
+                if (!sparkIdentical) None
+                else {
+                  val rp = dt.precision + 10
+                  Some((s"CAST(SUM(CAST($q AS " +
+                    s"DECIMAL(${dt.precision},${dt.scale}))) AS " +
+                    s"DECIMAL($rp,${dt.scale}))", DecimalType(rp, dt.scale)))
+                }
+              }
+            case _ => None
+          }
+        case _ =>
+          aggColumn(s.column).flatMap { n =>
+            val q = dialect.quote(n)
+            table.remoteSchema(n).tpe match {
+              case RInt1 | RInt2 | RInt4 | RInt8 | RUInt1 | RUInt2 | RUInt4 =>
+                Some((s"SUM(CAST($q AS BIGINT))", LongType))
+              case RFloat4 | RFloat8 =>
+                Some((s"SUM(CAST($q AS DOUBLE))", DoubleType))
+              case RDecimal(p, sc) if p + 10 <= DecimalType.MAX_PRECISION =>
+                Some((s"CAST(SUM($q) AS DECIMAL(${p + 10},$sc))",
+                  DecimalType(p + 10, sc)))
+              case _ => None
+            }
+          }
       }
     case a: Avg if !a.isDistinct =>
       import RemoteType._
@@ -456,7 +505,16 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
       }
     }
 
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+  private def debugAgg(aggregation: Aggregation): Unit =
+    if (sys.env.contains("GRAFT_DEBUG_PUSH")) {
+      // scalastyle:off println
+      aggregation.aggregateExpressions.foreach(a =>
+        println(s"GRAFT_AGG: $a (${a.getClass.getName}) -> ${compileAgg(a)}"))
+      // scalastyle:on println
+    }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    debugAgg(aggregation)
     // single-partition scans only: complete pushdown means Spark takes
     // our rows as the final aggregate result (with GROUP BY, one remote
     // result row per group — the remote engine's grouping IS the final
@@ -465,6 +523,7 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
     rewritable && !hasTransform && opts.numPartitions == 1 &&
       aggregation.groupByExpressions.forall(compileGroupCol(_).isDefined) &&
       aggregation.aggregateExpressions.forall(compileAgg(_).isDefined)
+  }
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!supportCompletePushDown(aggregation)) return false

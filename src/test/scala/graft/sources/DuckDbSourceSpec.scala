@@ -69,6 +69,76 @@ class DuckDbSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("query source over read_parquet: filter + agg push into the " +
+      "federated subquery (the r30 shape)") {
+    ifDriver {
+      // a parquet file DuckDB scans directly — written fresh per spec
+      val pq = s"/tmp/graft_duck_spec_pq_${sys.props("user.name")}"
+      spark.range(100).selectExpr("id", "id % 5 AS g", "id * 1.5 AS v")
+        .coalesce(1).write.mode("overwrite").parquet(pq)
+      ScanSqlLog.clear()
+      // CAST in the remote projection: DuckDB types id*1.5 as DECIMAL,
+      // which Spark would wrap in a CAST comparison that refuses to
+      // push — a DOUBLE column pushes the plain `> 30.0` predicate
+      val df = remote("query" ->
+          (s"SELECT g, CAST(v AS DOUBLE) AS v FROM " +
+            s"read_parquet('$pq/*.parquet')"))
+        .filter(col("v") > 30.0)
+        .groupBy(col("g")).agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(25,6)")).as("s"))
+      val got = df.collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDecimal(2)))).toMap
+      val exp = (0L until 100L).filter(_ * 1.5 > 30.0).groupBy(_ % 5)
+        .map { case (g, xs) => (g,
+          (xs.size.toLong, new java.math.BigDecimal(xs.map(_ * 15L).sum)
+            .movePointLeft(1).setScale(6))) }
+      assert(got == exp)
+      val sql = ScanSqlLog.recent.last
+      assert(sql.contains("read_parquet"), sql)
+      assert(sql.contains("GROUP BY"), sql)
+      assert(sql.contains("WHERE"), sql)
+      assert(sql.contains("SUM(CAST("), sql)
+    }
+  }
+
+  test("decimal-cast SUM pushdown matches Spark's cast on rounding " +
+      "ties (the castDoubleToDecimalMatchesSpark contract)") {
+    ifDriver {
+      val dbPath2 = s"/tmp/graft_duck_spec_ties_${sys.props("user.name")}.db"
+      new java.io.File(dbPath2).delete()
+      val url2 = s"jdbc:duckdb:$dbPath2"
+      val c = java.sql.DriverManager.getConnection(url2)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE TABLE TIES (G INT, V DOUBLE)")
+        // shortest-repr ties at scale 6 + half-away negatives
+        st.execute("INSERT INTO TIES VALUES (1, 1.0000005), " +
+          "(1, 2.0000015), (2, -1.0000005), (2, 0.1), (2, 2.5)")
+        st.close()
+      } finally c.close()
+      def scan = spark.read.format("graft-remote").option("url", url2)
+        .option("dbtable", "TIES").load()
+      val agg = (df: org.apache.spark.sql.DataFrame) => df
+        .groupBy(col("G")).agg(
+          sum(col("V").cast("decimal(20,6)")).as("s"))
+        .orderBy(col("G"))
+        .collect().map(r => (r.getInt(0), r.getDecimal(1))).toSeq
+      ScanSqlLog.clear()
+      val pushed = agg(scan)
+      assert(ScanSqlLog.recent.last.contains("SUM(CAST("),
+        "sum actually pushed: " + ScanSqlLog.recent.last)
+      // Spark-side reference: same values decoded raw, cast + summed
+      // by Spark itself (aggregates cannot push through a 2-partition
+      // range scan, so this path is Spark's own arithmetic)
+      val sparkSide = agg(spark.read.format("graft-remote")
+        .option("url", url2).option("dbtable", "TIES")
+        .option("partitioncolumn", "G").option("lowerbound", "1")
+        .option("upperbound", "3").option("numpartitions", "2").load())
+      assert(pushed == sparkSide,
+        s"pushed $pushed vs spark-side $sparkSide")
+    }
+  }
+
   test("filter + projection push into the remote SQL") {
     ifDriver {
       ScanSqlLog.clear()
