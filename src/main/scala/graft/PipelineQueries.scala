@@ -823,11 +823,13 @@ object PipelineQueries {
     // fold is a fixed IEEE sequence, so the full projected table is
     // hash-exact vs the oracle. The cheap precursor to ANN at scale:
     // the projected column is 8× smaller on every downstream shuffle.
+    // (scalar rows — one per (vec_id, dim) — because the driver's
+    // canonicalizer cannot sort array columns, the q54/p50 lesson)
     "p73_random_projection" -> ((s, dir) =>
       embs(s, dir).select(col("vec_id"),
-          VectorOps.randomProject(col("embedding"), outDim = 8,
-            seed = 42L).as("proj"))
-        .orderBy(col("vec_id"))),
+          posexplode(VectorOps.randomProject(col("embedding"), outDim = 8,
+            seed = 42L)).as(Seq("dim", "proj")))
+        .orderBy(col("vec_id"), col("dim"))),
 
     // Matryoshka truncation recall audit (p68): how much ANN quality
     // survives truncating the embedding to its first 16 of 64 dims —
@@ -2305,7 +2307,7 @@ object PipelineQueries {
     // mix; left fold via list_reduce with a prepended 0.0 (the p51
     // init spelling), in-engine sqrt for the 1/√k normalization
     "p73_random_projection" ->
-      """SELECT vec_id,
+      """WITH p AS (SELECT vec_id,
         | list_transform(range(0, 8), j ->
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list_transform(range(1, len(embedding) + 1), i ->
@@ -2317,7 +2319,11 @@ object PipelineQueries {
         |          % 2147483647) % 2 = 0
         |       THEN 1.0 ELSE -1.0 END))),
         |   (a, x) -> a + x) / sqrt(CAST(8 AS DOUBLE))) AS proj
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |FROM embeddings),
+        |x AS (SELECT vec_id, unnest(range(1, len(proj) + 1)) AS i, proj
+        |      FROM p)
+        |SELECT vec_id, CAST(i - 1 AS INT) AS dim, proj[i] AS proj
+        |FROM x ORDER BY vec_id, dim""".stripMargin,
 
     "p68_matryoshka_recall" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -15,9 +15,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateInventorySpec extends AnyFunSuite {
 
-  // Bump this floor when ADDING gates; it must never go down. 164 =
-  // the round-8 inventory (60 q + 22 r + 68 p + 14 m).
-  private val floor = 164
+  // Bump this floor when ADDING gates; it must never go down. 178 =
+  // the round-10 inventory (60 q + 30 r + 74 p + 14 m); the 8 DuckDB
+  // gates self-disable without the vendored jar (which build.sbt now
+  // re-vendors from the coursier cache, so they are present wherever
+  // the build itself runs).
+  private val floor =
+    if (DuckQueries.available) 178 else 170
 
   test(s"gate inventory never shrinks below $floor") {
     val n = SparkEntry.queries.size
