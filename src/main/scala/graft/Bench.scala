@@ -119,10 +119,10 @@ object Bench {
     // round-9 new gates: p69 shuffles candidate pairs (permanent
     // citizen); p70/p71 get their one round of scale history
     "p69_setsim_join", "p70_token_budget", "p71_blocklist",
-    // round-10: p72 shuffles within-cluster candidate pairs and
-    // iterates (k-means rounds) — permanent citizen on both grounds;
-    // p73/p74 get their one round of scale history
-    "p72_kmeans_semdedup", "p73_random_projection", "p74_cdc_chunks")
+    // round-10: p72 and m15 shuffle candidate pairs (permanent
+    // citizens); p73/p74 get their one round of scale history
+    "p72_kmeans_semdedup", "p73_random_projection", "p74_cdc_chunks",
+    "m15_crossmodal_dup")
 
   private def fmtJsonNum(v: Double): String = {
     // fixed decimal, no scientific notation (driver-side json parsers)

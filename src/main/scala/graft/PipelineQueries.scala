@@ -918,6 +918,40 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // CROSS-MODAL dup classification (m15, round 10): image near-dup
+    // pairs split by caption similarity into true duplicates (drop)
+    // vs recaptioned images (keep — augmentation signal unimodal dedup
+    // silently destroys). Planted classes, all derived in-plan: every
+    // doc_id%11 doc renders the NEXT doc's pixels (image-dup pair at
+    // hamming 0, m13's remap); of those, the doc_id%22 half ALSO takes
+    // the next doc's caption (jaccard 1 → 'dup') while the others keep
+    // their own ('recaption'). Decode is real (javax.imageio), pixels
+    // never shuffle, and the caption-jaccard join touches only
+    // candidate-pair rows.
+    "m15_crossmodal_dup" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val remapped = d.select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, col("doc_id") + 1)
+            .otherwise(col("doc_id")).as("src_id"), col("source"))
+        .join(d.select(col("doc_id").as("src_id"), col("text")), "src_id")
+      val assets = remapped
+        .select(col("doc_id").as("asset_id"), lit("image").as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"), col("source"))
+        .as[graft.multimodal.MediaAsset]
+        .mapPartitions(_.map(a =>
+          a.copy(payload = MultimodalOps.syntheticBmp(a.payload, 24, 16))))
+      val captions = d.select(col("doc_id"),
+          when(col("doc_id") % 22 === 0, col("doc_id") + 1)
+            .otherwise(col("doc_id")).as("cap_src"))
+        .join(d.select(col("doc_id").as("cap_src"), col("text")), "cap_src")
+        .select(col("doc_id").as("asset_id"), col("text").as("caption"))
+      val pairs = MultimodalOps.imageNearDupPairs(
+        MultimodalOps.imageDHash(assets).toDF(), maxDist = 3)
+      MultimodalOps.crossModalDupClass(pairs, captions, tau = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Cross-snapshot CENTROID DRIFT (p63): re-embed/delete part of the
     // corpus in-plan (every vec_id % 17 row deleted; every % 13 row
     // sign-flipped — float negation is exact) and measure per-label
@@ -3614,6 +3648,61 @@ object PipelineQueries {
     // (px = 24·16·3 = 1152 cyclic bytes), brute-force hamming ≤ 3
     // pairs (the banding is recall-complete there), then p14's
     // min-label recursive closure with singleton fill-in
+    // m13's dhash replay + p06's jaccard spelling over the remapped
+    // captions; dup/recaption split at the same tau
+    "m15_crossmodal_dup" ->
+      """WITH remap AS MATERIALIZED (
+        | SELECT d.doc_id, d2.text AS text
+        | FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 11 = 0 THEN doc_id + 1
+        |             ELSE doc_id END AS src_id FROM documents) d
+        | JOIN documents d2 ON d2.doc_id = d.src_id),
+        |caps AS MATERIALIZED (
+        | SELECT d.doc_id, d2.text AS cap
+        | FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 22 = 0 THEN doc_id + 1
+        |             ELSE doc_id END AS cap_src FROM documents) d
+        | JOIN documents d2 ON d2.doc_id = d.cap_src),
+        |s AS (
+        | SELECT doc_id, 24 AS w, 16 AS h,
+        |  substring(repeat(text, CAST(ceil(1152.0 / length(text)) AS INT) + 1),
+        |    1, 1152) AS px
+        | FROM remap),
+        |b AS MATERIALIZED (
+        | SELECT doc_id,
+        |  list_sum(flatten(list_transform(range(0, 8), gy ->
+        |   list_transform(range(0, 7), gx ->
+        |    CASE WHEN
+        |      (unicode(substring(px, CAST(1 + ((gy*h//8)*w + (gx*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(2 + ((gy*h//8)*w + (gx*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(3 + ((gy*h//8)*w + (gx*w//8))*3 AS INT), 1)))
+        |      >
+        |      (unicode(substring(px, CAST(1 + ((gy*h//8)*w + ((gx+1)*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(2 + ((gy*h//8)*w + ((gx+1)*w//8))*3 AS INT), 1))
+        |       + unicode(substring(px, CAST(3 + ((gy*h//8)*w + ((gx+1)*w//8))*3 AS INT), 1)))
+        |    THEN CAST(1 AS BIGINT) << (gy*7 + gx) ELSE CAST(0 AS BIGINT) END))))
+        |  AS dhash
+        | FROM s),
+        |pairs AS MATERIALIZED (
+        | SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  bit_count(xor(a.dhash, b2.dhash)) AS hamming
+        | FROM b a JOIN b b2 ON a.doc_id < b2.doc_id
+        | WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3),
+        |sh AS MATERIALIZED (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(cap, ' ') AS s FROM caps)),
+        |j AS (
+        | SELECT p.id_a, p.id_b, p.hamming,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS caption_jaccard
+        | FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+        | JOIN sh b ON b.doc_id = p.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming, caption_jaccard,
+        | CASE WHEN caption_jaccard >= 0.8 THEN 'dup' ELSE 'recaption' END
+        |  AS dup_class
+        |FROM j ORDER BY id_a, id_b""".stripMargin,
+
     "m13_image_dedup_cluster" ->
       """WITH RECURSIVE remap AS MATERIALIZED (
         | SELECT d.doc_id, d2.text AS text

@@ -390,6 +390,36 @@ object MultimodalOps {
       : org.apache.spark.sql.DataFrame =
     bandedHammingPairs(hashes, "dhash", maxDist, maxBucket, skewObs)
 
+  /** CROSS-MODAL duplicate classification (the LAION/WebDataset dedup
+    * decision): image near-dup candidate pairs joined with their
+    * captions' n-gram Jaccard, split into `dup` (same image, same
+    * caption — a true duplicate to drop) vs `recaption` (same image,
+    * DIFFERENT caption — a valuable augmentation pair to KEEP).
+    * Unimodal image dedup cannot tell these apart and silently throws
+    * away the recaptioned training signal. Plan shape: the pair set is
+    * the banded hamming join's output (payloads never shuffle); the
+    * caption join touches only candidate-pair rows, so its cost is
+    * output-proportional at any corpus size. `imagePairs`:
+    * (id_a, id_b, hamming); `captions`: (asset_id, caption). */
+  def crossModalDupClass(imagePairs: org.apache.spark.sql.DataFrame,
+      captions: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val capA = captions.select(col("asset_id").as("id_a"),
+      col("caption").as("cap_a"))
+    val capB = captions.select(col("asset_id").as("id_b"),
+      col("caption").as("cap_b"))
+    imagePairs.join(capA, "id_a").join(capB, "id_b")
+      .withColumn("caption_jaccard", graft.operators.DedupOps.jaccard(
+        graft.operators.DedupOps.shingles(col("cap_a")),
+        graft.operators.DedupOps.shingles(col("cap_b"))))
+      .withColumn("dup_class",
+        when(col("caption_jaccard") >= tau, lit("dup"))
+          .otherwise(lit("recaption")))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        col("caption_jaccard"), col("dup_class"))
+  }
+
   /** Audio near-duplicate candidate pairs over the 56-bit energy hash —
     * the same pigeonhole banding as [[imageNearDupPairs]] (both hashes
     * are 56-bit perceptual signatures; a re-encoded/re-crawled clip

@@ -81,6 +81,29 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out(10L)._1 == 10L && out(10L)._2)
   }
 
+  // ---- cross-modal dup classification -----------------------------------
+
+  test("crossModalDupClass splits image pairs by caption similarity") {
+    val pairs = Seq((1L, 2L, 0), (3L, 4L, 2), (5L, 6L, 1))
+      .toDF("id_a", "id_b", "hamming")
+    val caps = Seq(
+      (1L, "the quick brown fox jumps over the dog"),
+      (2L, "the quick brown fox jumps over the dog"),   // identical → dup
+      (3L, "a completely different caption about cats here"),
+      (4L, "nothing shared with the other caption text at all"),
+      (5L, "the quick brown fox jumps over the dog"),
+      (6L, "the quick brown fox leaps over the dog"))   // 1-word edit
+      .toDF("asset_id", "caption")
+    val out = graft.multimodal.MultimodalOps
+      .crossModalDupClass(pairs, caps, tau = 0.8)
+      .select("id_a", "dup_class").as[(Long, String)].collect().toMap
+    assert(out(1L) == "dup")
+    assert(out(3L) == "recaption")
+    assert(out(5L) == "recaption",
+      "a single mid-caption edit breaks enough trigrams to drop " +
+        "below tau=0.8 — the class is caption-level, not char-level")
+  }
+
   // ---- content-defined chunking -----------------------------------------
 
   private def cdcChunksOf(texts: Seq[String], w: Int = 4, d: Int = 8) =
