@@ -43,7 +43,26 @@ object DuckQueries {
     // keyed-upsert fixture: DuckDB's ON CONFLICT form requires the merge
     // key to be a PRIMARY KEY / UNIQUE constraint (its upsert contract)
     "UPS" -> ("CREATE TABLE UPS (U_KEY INT PRIMARY KEY, U_NAME VARCHAR, " +
-      "U_VAL DOUBLE)"))
+      "U_VAL DOUBLE)"),
+    // typed-decode fixture (r31): engine-native types the SPARK side
+    // cannot write (UTINYINT) or that exercise distinct decode arms
+    // (DATE/TIMESTAMP/DECIMAL/SMALLINT) — populated by remote SQL from
+    // NATION, never through the connector write path
+    "TYPED" -> ("CREATE TABLE TYPED (K INT, D DATE, TS TIMESTAMP, " +
+      "DC DECIMAL(12,3), UT UTINYINT, SM SMALLINT)"))
+
+  /** Remote-side derivation of the TYPED fixture — runs INSIDE DuckDB
+    * after NATION lands, so every value is a deterministic function of
+    * the nation parquet the oracle also reads. */
+  private val typedInsert: String =
+    """INSERT INTO TYPED
+      |SELECT N_NATIONKEY,
+      | DATE '2020-01-01' + CAST(N_NATIONKEY AS INT),
+      | TIMESTAMP '2020-03-01 12:00:00' + N_NATIONKEY * INTERVAL 1 HOUR,
+      | CAST(N_NATIONKEY AS DECIMAL(12,3)) + CAST(0.125 AS DECIMAL(12,3)),
+      | CAST(200 + N_REGIONKEY AS UTINYINT),
+      | CAST(N_NATIONKEY * 100 AS SMALLINT)
+      |FROM NATION""".stripMargin.replace("\n", " ")
 
   private def fixtureDf(spark: SparkSession, dir: String,
       table: String): DataFrame = table match {
@@ -82,6 +101,8 @@ object DuckQueries {
     if (prepared.contains(url)) return url
     val counts = ddl.keys.map(t =>
       t -> (if (t == "UPS") upsFinalCount(spark, dir)
+            else if (t == "TYPED")
+              Tables.table(spark, dir, "nation").count()
             else fixtureDf(spark, dir, t).count())).toMap
     val c = DriverManager.getConnection(url)
     // a fresh Statement per operation: DuckDB's JDBC driver CLOSES the
@@ -106,12 +127,18 @@ object DuckQueries {
     }
     c.close()
     if (!upToDate) {
-      ddl.keys.foreach { table =>
+      ddl.keys.filterNot(_ == "TYPED").foreach { table =>
         fixtureDf(spark, dir, table)
           .write.format("graft-remote")
           .option("url", url).option("dbtable", table)
           .mode("append").save()
       }
+      // TYPED derives remotely (UTINYINT is not writable from Spark)
+      val c2 = DriverManager.getConnection(url)
+      try {
+        val st = c2.createStatement()
+        try st.executeUpdate(typedInsert) finally st.close()
+      } finally c2.close()
       // keyed upsert through the staged ON CONFLICT path: n%3 keys
       // update in place, n%5 keys insert as new (r28 reads the result)
       upsDeltaDf(spark, dir)
@@ -228,6 +255,21 @@ object DuckQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Per-DB typed decode against the second engine (r31): DATE,
+    // TIMESTAMP, DECIMAL, SMALLINT, and the name-based unsigned path
+    // (UTINYINT > 127 — DuckDB's JDBC isSigned is false for EVERY
+    // column, so only Dialect.signedHint keeps this from widening
+    // wrong). The fixture derives remotely from NATION, so the oracle
+    // recomputes every value from the same parquet the writer read.
+    "r31_duckdb_types" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      remote(s, url, "dbtable" -> "TYPED")
+        .select(col("K").as("k"), col("D").as("d"), col("TS").as("ts"),
+          col("DC").as("dc"), col("UT").cast(IntegerType).as("ut"),
+          col("SM").cast(IntegerType).as("sm"))
+        .orderBy(col("k"))
+    }),
+
     // r10 shape: TableCatalog mount over the second backend — DuckDB's
     // default schema is `main` where Derby's is `APP`, so the mount
     // exercises namespace discovery against a different catalog layout
@@ -279,7 +321,17 @@ object DuckQueries {
       """SELECT l_returnflag, count(*) AS n_items,
         | CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
         |FROM lineitem WHERE l_quantity > 40
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "r31_duckdb_types" ->
+      """SELECT n_nationkey AS k,
+        | DATE '2020-01-01' + CAST(n_nationkey AS INT) AS d,
+        | TIMESTAMP '2020-03-01 12:00:00'
+        |  + n_nationkey * INTERVAL 1 HOUR AS ts,
+        | CAST(n_nationkey AS DECIMAL(12,3))
+        |  + CAST(0.125 AS DECIMAL(12,3)) AS dc,
+        | CAST(200 + n_regionkey AS INT) AS ut,
+        | CAST(n_nationkey * 100 AS INT) AS sm
+        |FROM nation ORDER BY k""".stripMargin)
 
   /** Gates registered only when the vendored driver is present. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -817,6 +817,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // QUALITY-DISTRIBUTION DRIFT between snapshots (p75, round 10):
+    // the monitoring gate a daily pipeline runs before trusting a new
+    // crawl — p03's quality score histogrammed over snapshot A (the
+    // corpus) and an in-plan re-crawl B (every %17 doc dropped, every
+    // %13 doc's text degraded with repeated junk tokens — both quality
+    // components shift deterministically), then the symmetric
+    // chi-square divergence per bin. The ln-free PSI (p22/p51 ratio
+    // standing) keeps the whole audit hash-exact; per-bin rows keep
+    // the evidence of WHICH score region moved.
+    "p75_quality_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = d.select(TextOps.qualityScore(col("text")).as("score"))
+      val b = d.filter(col("doc_id") % 17 =!= 0)
+        .select(when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" zz zz zz zz zz zz zz zz")))
+          .otherwise(col("text")).as("text"))
+        .select(TextOps.qualityScore(col("text")).as("score"))
+      DiffOps.distributionDrift(a, b, nBins = 20).orderBy(col("bin"))
+    }),
+
     // JL RANDOM PROJECTION (p73, round 10): 64-dim embeddings projected
     // to 8 dims through the hash-derived ±1 sign matrix — the matrix
     // never materializes (regenerated from arithmetic everywhere), the
@@ -2299,6 +2319,55 @@ object PipelineQueries {
         | count(*) OVER (PARTITION BY comp) AS comp_size,
         | (vec_id = comp) AS keep
         |FROM lab ORDER BY vec_id""".stripMargin,
+
+    // p16's quality spelling over both snapshots (B's degraded text via
+    // the same CASE), p64's fixed-width binning, rational chi-square
+    "p75_quality_drift" ->
+      """WITH qa AS (
+        | SELECT string_split(text, ' ') AS toks FROM documents),
+        |sa AS (
+        | SELECT len(toks) AS n_tok,
+        |  len(list_filter(toks, x -> x IN
+        |    ('the','a','and','of','to','in','is'))) AS n_stop,
+        |  len(list_distinct(toks)) AS n_dis FROM qa),
+        |a AS (
+        | SELECT ((CASE WHEN n_tok BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+        |  + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tok
+        |       BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+        |  + CAST(n_dis AS DOUBLE) / n_tok) / 3.0 AS score FROM sa),
+        |qb AS (
+        | SELECT string_split(CASE WHEN doc_id % 13 = 0
+        |    THEN text || ' zz zz zz zz zz zz zz zz' ELSE text END, ' ')
+        |   AS toks
+        | FROM documents WHERE doc_id % 17 != 0),
+        |sb AS (
+        | SELECT len(toks) AS n_tok,
+        |  len(list_filter(toks, x -> x IN
+        |    ('the','a','and','of','to','in','is'))) AS n_stop,
+        |  len(list_distinct(toks)) AS n_dis FROM qb),
+        |b AS (
+        | SELECT ((CASE WHEN n_tok BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+        |  + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tok
+        |       BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+        |  + CAST(n_dis AS DOUBLE) / n_tok) / 3.0 AS score FROM sb),
+        |ha AS (SELECT CAST(floor(score * 20) AS INT) AS bin,
+        |        count(*) AS n_a FROM a GROUP BY 1),
+        |hb AS (SELECT CAST(floor(score * 20) AS INT) AS bin,
+        |        count(*) AS n_b FROM b GROUP BY 1),
+        |j AS (SELECT coalesce(ha.bin, hb.bin) AS bin,
+        |       coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |      FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+        |       CAST(sum(n_b) AS BIGINT) AS t_b FROM j)
+        |SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(n_a AS DOUBLE) / t_a AS p_a,
+        | CAST(n_b AS DOUBLE) / t_b AS p_b,
+        | CASE WHEN CAST(n_a AS DOUBLE) / t_a + CAST(n_b AS DOUBLE) / t_b > 0
+        |  THEN (CAST(n_a AS DOUBLE) / t_a - CAST(n_b AS DOUBLE) / t_b)
+        |     * (CAST(n_a AS DOUBLE) / t_a - CAST(n_b AS DOUBLE) / t_b)
+        |     / (CAST(n_a AS DOUBLE) / t_a + CAST(n_b AS DOUBLE) / t_b)
+        |  ELSE 0.0 END AS contrib
+        |FROM j, t ORDER BY bin""".stripMargin,
 
     // the CDC boundary rule replayed with DuckDB list lambdas: per-token
     // p12 poly hash (empty token pinned to 0 — string_split('','')

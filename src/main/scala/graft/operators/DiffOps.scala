@@ -46,4 +46,46 @@ object DiffOps {
       idCol: String, textCol: String): DataFrame =
     snapshotDiff(oldSnap, newSnap, idCol, textCol)
       .groupBy(col("change")).agg(count(lit(1)).as("n_docs"))
+
+  /** DISTRIBUTION DRIFT between two snapshots of a score column — the
+    * monitoring primitive a daily pipeline runs on its quality/langid/
+    * length distributions before trusting a new crawl (the PSI
+    * use-case). The divergence is the symmetric chi-square
+    * Σ (pA−pB)²/(pA+pB) rather than PSI's Σ (pA−pB)·ln(pA/pB): the
+    * same monotone drift signal (both vanish iff the histograms agree,
+    * both grow with separation) with PURE rational arithmetic — no
+    * libm `ln`, whose final-ulp disagreement across engines would
+    * break bit-exact replay (the p22/p51 ratio-form standing). Bins
+    * are fixed-width (floor of an engine-identical double — the p64
+    * discipline) so each snapshot histogram is ONE map-side-combined
+    * groupBy; a quantile binning would need a global rank.
+    *
+    * Inputs: each side is a DataFrame with a double `score` column.
+    * Returns per-bin (bin, n_a, n_b, p_a, p_b, contrib); the total
+    * drift is `sum(contrib)`, left to the caller so the per-bin
+    * evidence (WHICH score region moved) stays in the result. Scale:
+    * two histogram groupBys + a \|bins\|-row join + one broadcast of
+    * the two totals — aggregate-state-only shuffles at any corpus
+    * size. */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, "nBins >= 1")
+    def binned(df: DataFrame, n: String) = df
+      .select(floor(col("score") * nBins).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(n))
+    val j = binned(a, "n_a").join(binned(b, "n_b"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = j.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    j.crossJoin(broadcast(tot))
+      .withColumn("p_a", col("n_a").cast("double") / col("t_a"))
+      .withColumn("p_b", col("n_b").cast("double") / col("t_b"))
+      .withColumn("contrib",
+        when(col("p_a") + col("p_b") > 0,
+          (col("p_a") - col("p_b")) * (col("p_a") - col("p_b"))
+            / (col("p_a") + col("p_b")))
+          .otherwise(lit(0.0)))
+      .select(col("bin"), col("n_a"), col("n_b"), col("p_a"), col("p_b"),
+        col("contrib"))
+  }
 }

@@ -81,6 +81,40 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out(10L)._1 == 10L && out(10L)._2)
   }
 
+  // ---- distribution drift -----------------------------------------------
+
+  test("distributionDrift: identical snapshots give zero everywhere; " +
+      "a shifted snapshot charges exactly the moved bins") {
+    val a = (0 until 100).map(i => (i % 10) / 10.0).toDF("score")
+    val same = DiffOps.distributionDrift(a, a, nBins = 10)
+      .select("contrib").as[Double].collect()
+    assert(same.forall(_ == 0.0), "A == B → all contribs 0")
+    // B moves every 0.9-bin row to 0.0: only bins 0 and 9 move
+    val b = (0 until 100).map(i => if (i % 10 == 9) 0.0 else (i % 10) / 10.0)
+      .toDF("score")
+    val drift = DiffOps.distributionDrift(a, b, nBins = 10)
+      .select("bin", "contrib").as[(Int, Double)].collect().toMap
+    assert(drift(9) > 0 && drift(0) > 0)
+    assert((1 to 8).forall(drift(_) == 0.0), "untouched bins charge 0")
+    val total = drift.values.sum
+    assert(total > 0 && total <= 2.0, s"chi-square bounded by 2: $total")
+  }
+
+  test("distributionDrift: a bin present in only one snapshot " +
+      "survives the full-outer join with null-free probabilities") {
+    val a = Seq(0.05, 0.15).toDF("score")
+    val b = Seq(0.05, 0.95).toDF("score")
+    val rows = DiffOps.distributionDrift(a, b, nBins = 10)
+      .orderBy("bin")
+      .select("bin", "n_a", "n_b", "contrib")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 9))
+    val m = rows.map(r => r._1 -> r).toMap
+    assert(m(1)._2 == 1L && m(1)._3 == 0L && m(1)._4 > 0)
+    assert(m(9)._2 == 0L && m(9)._3 == 1L && m(9)._4 > 0)
+    assert(m(0)._4 == 0.0, "bin with equal mass charges 0")
+  }
+
   // ---- cross-modal dup classification -----------------------------------
 
   test("crossModalDupClass splits image pairs by caption similarity") {

@@ -82,10 +82,9 @@ def main():
             n_fail += 1
             continue
         snames = spark_tbl.column_names
-        srows = [tuple(col[i] for col in
-                       (c.to_pylist() for c in spark_tbl.columns))
-                 for i in range(spark_tbl.num_rows)]
-        # rebuild rows properly (column-major -> row-major)
+        # column-major -> row-major (NOTE: an earlier revision also ran a
+        # per-row generator that re-materialized every column per row —
+        # O(rows^2 * cols), minutes per 17k-row gate; keep it dead)
         cols = [c.to_pylist() for c in spark_tbl.columns]
         srows = list(zip(*cols)) if cols else []
         sn, sr = canon(snames, srows)
