@@ -270,6 +270,34 @@ object DuckQueries {
         .orderBy(col("k"))
     }),
 
+    // CROSS-ENGINE federation (r32, round 10): ONE Spark plan joins a
+    // Derby-resident table with a DuckDB-resident table. Each leaf is
+    // its own connector scan — the filter + projection compile through
+    // that engine's dialect and execute remotely (only survivors cross
+    // either wire) — and the small DuckDB side broadcasts, so the join
+    // adds no exchange on the big side. This is the reference's
+    // multi-source design (every scan carries its own connection/
+    // dialect, `RemoteTableExec` instances compose freely in one plan)
+    // exercised across two genuinely different engines; at 100 TB the
+    // same shape is "fact table in warehouse A, dimension in engine B".
+    "r32_cross_engine_join" -> ((s, dir) => {
+      val duckUrl = ensure(s, dir)
+      val derbyUrl = RemoteQueries.ensure(s, dir)
+      val cust = remote(s, derbyUrl, "dbtable" -> "CUSTOMER")
+        .filter(col("C_ACCTBAL") > 1000.0)
+        .select(col("C_CUSTKEY"), col("C_NATIONKEY"), col("C_ACCTBAL"))
+      val nat = remote(s, duckUrl, "dbtable" -> "NATION")
+        .filter(col("N_REGIONKEY") < 4)
+        .select(col("N_NATIONKEY"), col("N_NAME"))
+      cust.join(broadcast(nat), col("C_NATIONKEY") === col("N_NATIONKEY"))
+        .groupBy(col("N_NAME"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("C_ACCTBAL").cast(DecimalType(25, 6))).cast(DoubleType)
+            .as("bal"))
+        .select(col("N_NAME").as("n_name"), col("n_cust"), col("bal"))
+        .orderBy(col("n_name"))
+    }),
+
     // r10 shape: TableCatalog mount over the second backend — DuckDB's
     // default schema is `main` where Derby's is `APP`, so the mount
     // exercises namespace discovery against a different catalog layout
@@ -322,6 +350,12 @@ object DuckQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
         |FROM lineitem WHERE l_quantity > 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "r32_cross_engine_join" ->
+      """SELECT n_name, count(*) AS n_cust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 1000.0 AND n_regionkey < 4
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "r31_duckdb_types" ->
       """SELECT n_nationkey AS k,
         | DATE '2020-01-01' + CAST(n_nationkey AS INT) AS d,

@@ -202,6 +202,42 @@ class DuckDbSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-engine join (the r32 shape): both leaves push their " +
+      "filter to their OWN engine and the small side broadcasts") {
+    ifDriver {
+      val dir = "/root/testdata/sf0.001"
+      val duckUrl = graft.DuckQueries.ensure(spark, dir)
+      val derbyUrl = graft.RemoteQueries.ensure(spark, dir)
+      def rmt(url: String, table: String) =
+        spark.read.format("graft-remote")
+          .option("url", url).option("dbtable", table).load()
+      ScanSqlLog.clear()
+      val cust = rmt(derbyUrl, "CUSTOMER")
+        .filter(col("C_ACCTBAL") > 1000.0)
+        .select("C_CUSTKEY", "C_NATIONKEY")
+      val nat = rmt(duckUrl, "NATION")
+        .filter(col("N_REGIONKEY") < 4)
+        .select("N_NATIONKEY", "N_NAME")
+      val joined = cust.join(broadcast(nat),
+        col("C_NATIONKEY") === col("N_NATIONKEY"))
+      val n = joined.count()
+      assert(n > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      // each engine saw ITS filter, compiled by ITS dialect
+      val sqls = ScanSqlLog.recent
+      assert(sqls.exists(s => s.contains("CUSTOMER") &&
+        s.contains("C_ACCTBAL") && s.contains("> 1000.0")),
+        s"derby side not pushed: $sqls")
+      assert(sqls.exists(s => s.contains("NATION") &&
+        s.contains("N_REGIONKEY") && s.contains("< 4")),
+        s"duckdb side not pushed: $sqls")
+      // neither side shipped unfiltered: projections pruned remotely
+      assert(!sqls.exists(_.contains("C_MKTSEGMENT")),
+        s"customer projection not pruned: $sqls")
+    }
+  }
+
   test("binary literal renders as the ::BLOB escape form") {
     assert(DuckDbDialect.binaryLiteral(Array[Byte](0x0A, -1)) ==
       "'\\x0A\\xFF'::BLOB")
