@@ -837,6 +837,35 @@ object PipelineQueries {
       DiffOps.distributionDrift(a, b, nBins = 20).orderBy(col("bin"))
     }),
 
+    // WINNOWING span fingerprints (p76, round 10 — Schleimer et al.
+    // 2003, the MOSS algorithm): window-minimum selection keeps only
+    // ~2/(w+1) of p36's every-window fingerprints while GUARANTEEING
+    // any shared token span ≥ w+k-1 still co-selects at least one
+    // fingerprint. Same planted-re-crawl construction as p74 (prefix-
+    // perturbed copies of every doc_id<40): each copy shares its whole
+    // tail with its source, so every copy pair MUST land n_shared > 0 —
+    // the guarantee is load-bearing in the gate, not just the spec.
+    // Selection is per-row (no shuffle); the only exchanges are the
+    // (doc_id, fp)-sized groupBy + join-back — the p74/p61 budget on a
+    // ~(w+1)/2× smaller row set than p36 would ship.
+    "p76_winnowing" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("zq "), col("text")).as("text")))
+      val fps = DedupOps.winnowingSelect(base, "doc_id", "text",
+        k = 5, w = 4)
+      val docCount = fps.groupBy("fp")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      fps.join(docCount, Seq("fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_select"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"),
+          min(col("fp")).as("min_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // JL RANDOM PROJECTION (p73, round 10): 64-dim embeddings projected
     // to 8 dims through the hash-derived ±1 sign matrix — the matrix
     // never materializes (regenerated from arithmetic everywhere), the
@@ -2319,6 +2348,37 @@ object PipelineQueries {
         | count(*) OVER (PARTITION BY comp) AS comp_size,
         | (vec_id = comp) AS keep
         |FROM lab ORDER BY vec_id""".stripMargin,
+
+    // winnowing replay: grams as {'h': md5, 'pos': p} structs, window
+    // minima via list_reduce with the 'g' init sentinel (orders after
+    // every hex digit), rightmost-position tie-break, list_distinct —
+    // the exact fold the Spark HOF chain runs
+    "p76_winnowing" ->
+      """WITH base AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, 'zq ' || text FROM documents
+        | WHERE doc_id < 40),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        |g AS (SELECT doc_id, list_transform(range(1, len(toks) - 5 + 2),
+        |   p -> {'h': md5(array_to_string(toks[p:p+4], ' ')), 'pos': p})
+        |  AS grams FROM t WHERE len(toks) >= 5),
+        |sel AS (SELECT doc_id,
+        |   list_transform(range(1, greatest(len(grams) - 3, 1) + 1), s ->
+        |     list_reduce(list_prepend({'h': 'g', 'pos': 0}, grams[s:s+3]),
+        |       (a, x) -> CASE WHEN x.h < a.h OR
+        |                      (x.h = a.h AND x.pos > a.pos)
+        |                 THEN x ELSE a END)) AS fps FROM g),
+        |f AS (SELECT doc_id, unnest(fps) AS sfp FROM sel),
+        |fx AS (SELECT DISTINCT doc_id, sfp.pos AS pos, sfp.h AS fp FROM f),
+        |dc AS (SELECT fp, count(DISTINCT doc_id) AS n_docs
+        |       FROM fx GROUP BY fp)
+        |SELECT fx.doc_id, count(*) AS n_select,
+        | CAST(sum(CASE WHEN dc.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_shared,
+        | min(fx.fp) AS min_fp
+        |FROM fx JOIN dc USING (fp)
+        |GROUP BY fx.doc_id ORDER BY fx.doc_id""".stripMargin,
 
     // p16's quality spelling over both snapshots (B's degraded text via
     // the same CASE), p64's fixed-width binning, rational chi-square

@@ -750,4 +750,58 @@ object DedupOps {
         (sum(when(col("n_docs") === 1, col("n_tok")).otherwise(0))
           .cast("double") / sum(col("n_tok"))).as("kept_frac"))
   }
+
+  /** WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken 2003 —
+    * the MOSS algorithm): hash every `k`-token gram, slide a window of
+    * `w` consecutive gram hashes, keep each window's MINIMUM, ties
+    * broken by the RIGHTMOST position (the paper's robust winnowing —
+    * re-selecting an already-selected hash where possible minimizes
+    * the selection count). The union of window minima is the
+    * document's fingerprint set, with the paper's two guarantees:
+    *
+    *   - any token-substring match of length ≥ w+k-1 between two
+    *     documents shares at least one SELECTED fingerprint — a
+    *     detection GUARANTEE random sampling cannot give, and
+    *   - expected density 2/(w+1): only that fraction of gram hashes
+    *     is ever selected.
+    *
+    * The density is the scale story vs [[repeatedSpanWindows]] (p36),
+    * which shuffles EVERY window fingerprint: winnowing ships the
+    * provably-sufficient subset, cutting the (doc_id, fp) exchange
+    * ~(w+1)/2× while keeping the ≥ w+k-1 detection threshold. At
+    * 100 TB the exchange is the whole cost of span-level dedup, so the
+    * factor is wall-clock, not cosmetic.
+    *
+    * Selection is per-row array arithmetic (HOFs over the token
+    * array): no shuffle, no state, partition-invariant. Gram hashes
+    * are the p36 md5-hex spelling, so window minima order identically
+    * on any engine (lexicographic over lowercase hex; the fold's "g"
+    * init sentinel orders after every hex digit and loses to the first
+    * real gram).
+    *
+    * Returns (doc_id, pos, fp): one row per distinct selected
+    * (position, gram hash). Docs with fewer than `k` tokens emit
+    * nothing; docs with fewer than `w` grams winnow their single short
+    * window. */
+  def winnowingSelect(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive (got k=$k, w=$w)")
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(idCol).as("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= k)
+    val grams = transform(sequence(lit(1), size(col("t")) - (k - 1)),
+      p => struct(md5(array_join(slice(col("t"), p, lit(k)), " ")).as("h"),
+        p.as("pos")))
+    val withG = base.select(col("doc_id"), grams.as("g"))
+    val nw = greatest(size(col("g")) - (w - 1), lit(1))
+    val sel = array_distinct(transform(sequence(lit(1), nw), s =>
+      aggregate(slice(col("g"), s, lit(w)),
+        struct(lit("g").as("h"), lit(0).as("pos")),
+        (acc, x) => when(x("h") < acc("h") ||
+            (x("h") === acc("h") && x("pos") > acc("pos")), x)
+          .otherwise(acc))))
+    withG.select(col("doc_id"), explode(sel).as("s"))
+      .select(col("doc_id"), col("s")("pos").as("pos"),
+        col("s")("h").as("fp"))
+  }
 }

@@ -241,4 +241,60 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out(1)._3 == 0L && out(3)._3 == 2L,
       "components confined to clusters")
   }
+
+  // ---- winnowing (p76) ----
+
+  private def winnow(rows: Seq[(Long, String)], k: Int = 5, w: Int = 4) =
+    DedupOps.winnowingSelect(rows.toDF("doc_id", "text"),
+      "doc_id", "text", k, w)
+
+  test("winnowing guarantee: a shared span of >= w+k-1 tokens " +
+      "co-selects at least one fingerprint") {
+    // k=5, w=4 -> threshold 8 tokens. The shared middle is 9 tokens;
+    // prefixes/suffixes differ entirely.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val rows = Seq(
+      (1L, s"p1 p2 p3 $shared s1 s2"),
+      (2L, s"x1 $shared y1 y2 y3 y4"))
+    val sel = winnow(rows).select("doc_id", "fp")
+      .as[(Long, String)].collect()
+    val common = sel.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(sel.filter(_._1 == 2L).map(_._2).toSet)
+    assert(common.nonEmpty, "guarantee violated: no shared selection")
+  }
+
+  test("winnowing rightmost tie-break: identical grams select one " +
+      "fingerprint per window at the window's last position") {
+    // 12 identical tokens, k=5 -> 8 identical gram hashes; w=4 -> 5
+    // windows; every window's min ties and must pick its RIGHTMOST
+    // position: 4,5,6,7,8
+    val rows = Seq((1L, Seq.fill(12)("tok").mkString(" ")))
+    val sel = winnow(rows).select("pos").as[Int].collect().sorted
+    assert(sel.toSeq == Seq(4, 5, 6, 7, 8), sel.toSeq.toString)
+  }
+
+  test("winnowing density: selections are a strict subset of grams " +
+      "and near the 2/(w+1) expectation on varied text") {
+    val text = (1 to 400).map(i => s"t${i * 7919 % 997}").mkString(" ")
+    val rows = Seq((1L, text))
+    val nGrams = 400 - 4
+    val nSel = winnow(rows).count()
+    assert(nSel < nGrams / 2, s"selected $nSel of $nGrams grams")
+    assert(nSel > nGrams / 5, s"selected $nSel of $nGrams grams")
+  }
+
+  test("winnowing is partition-invariant and short docs emit nothing") {
+    val rows = (1L to 50L).map(i =>
+      (i, (1 to 30).map(j => s"w${(i * 31 + j * 17) % 101}").mkString(" ")))
+    val a = winnow(rows).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val b = DedupOps.winnowingSelect(
+        rows.toDF("doc_id", "text").repartition(13, col("doc_id")),
+        "doc_id", "text", 5, 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(a == b)
+    assert(winnow(Seq((9L, "one two three four"))).count() == 0L,
+      "doc shorter than k tokens selects nothing")
+  }
 }
