@@ -70,7 +70,8 @@ object Bench {
     "p67_personalized_pagerank", "p68_matryoshka_recall",
     "p69_setsim_join", "p70_token_budget", "p71_blocklist",
     "p72_kmeans_semdedup", "p73_random_projection", "p74_cdc_chunks",
-    "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing")
+    "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing",
+    "p77_annealing_mixture")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above
@@ -122,9 +123,10 @@ object Bench {
     // citizen); p70/p71 get their one round of scale history
     "p69_setsim_join", "p70_token_budget", "p71_blocklist",
     // round-10: p72 and m15 shuffle candidate pairs (permanent
-    // citizens); p73/p74/p75/p76 get their one round of scale history
+    // citizens); p73–p77 get their one round of scale history
     "p72_kmeans_semdedup", "p73_random_projection", "p74_cdc_chunks",
-    "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing")
+    "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing",
+    "p77_annealing_mixture")
 
   private def fmtJsonNum(v: Double): String = {
     // fixed decimal, no scientific notation (driver-side json parsers)

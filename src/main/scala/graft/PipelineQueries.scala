@@ -386,6 +386,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // STAGED/ANNEALING mixture schedule (p77, round 10): the data mix
+    // changes ACROSS training — phase 1 is the web-heavy main run,
+    // phase 2 the short anneal that upweights the curated source
+    // (src1's weight rises 8×, the budget drops to a fifth). One
+    // O(sources) token aggregate shared by BOTH phases, per-row
+    // decisions ride a single corpus pass as an exploded 2-element
+    // array, phases draw independent fractional subsets (phase-salted
+    // hash). Oracle replays rates, both salts, and the copy
+    // arithmetic bit-for-bit.
+    "p77_annealing_mixture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      SampleOps.annealingMixture(
+          d.select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tok")),
+          idCol = "doc_id", sourceCol = "source", tokenCount = col("n_tok"),
+          phases = Seq(
+            (1, Map("src0" -> 0.04, "src1" -> 0.01), 80000L),
+            (2, Map("src0" -> 0.002, "src1" -> 0.08), 20000L)),
+          defaultWeight = 0.004)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("phase"),
+          col("rate"), col("n_copies"))
+        .orderBy(col("doc_id"), col("phase"))
+    }),
+
     // Deterministic epoch shuffle + sharding: shard and within-shard
     // sort key as pure functions of (doc_id, epoch) — a new epoch is a
     // fresh permutation, a retry is the identical one. The writer runs
@@ -3313,6 +3337,40 @@ object PipelineQueries {
          | FROM t JOIN r ON t.source = r.source)
          |SELECT doc_id, source, n_tok, rate, n_copies
          |FROM c WHERE n_copies > 0 ORDER BY doc_id""".stripMargin
+    },
+
+    "p77_annealing_mixture" -> {
+      // phase salts: 1000003·1 and 1000003·2 (annealingMixture folds
+      // the phase id into the fractional draw's salt)
+      val b1 = SampleOps.hashBucketSql("t.doc_id", 1000003L)
+      val b2 = SampleOps.hashBucketSql("t.doc_id", 2000006L)
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         | FROM documents),
+         |tot AS (
+         | SELECT source, CAST(sum(n_tok) AS DOUBLE) AS tok_s
+         | FROM t GROUP BY source),
+         |r AS (
+         | SELECT source, 1 AS phase,
+         |  (CASE source WHEN 'src0' THEN 0.04 WHEN 'src1' THEN 0.01
+         |               ELSE 0.004 END) * 80000.0 / tok_s AS rate
+         | FROM tot
+         | UNION ALL
+         | SELECT source, 2 AS phase,
+         |  (CASE source WHEN 'src0' THEN 0.002 WHEN 'src1' THEN 0.08
+         |               ELSE 0.004 END) * 20000.0 / tok_s AS rate
+         | FROM tot),
+         |c AS (
+         | SELECT t.doc_id, t.source, t.n_tok, r.phase, r.rate,
+         |  CAST(floor(r.rate) AS BIGINT) +
+         |   CASE WHEN (CASE WHEN r.phase = 1 THEN $b1 ELSE $b2 END) <
+         |     CAST(floor((r.rate - floor(r.rate)) * ${SampleOps.P}.0)
+         |      AS BIGINT)
+         |    THEN 1 ELSE 0 END AS n_copies
+         | FROM t JOIN r ON t.source = r.source)
+         |SELECT doc_id, source, n_tok, phase, rate, n_copies
+         |FROM c WHERE n_copies > 0 ORDER BY doc_id, phase""".stripMargin
     },
 
     "p39_epoch_shuffle" -> {

@@ -333,4 +333,53 @@ object SampleOps {
           .as("start_tok"))
       .filter(col("start_tok") + col("n_tok") <= budgetTokens)
   }
+
+  /** STAGED (annealing) mixture schedule: real pretraining runs change
+    * the data mix ACROSS training — a long web-heavy main phase, then a
+    * short "anneal" phase that upweights curated/high-quality sources
+    * (the Llama-3 / MiniCPM recipe). Each phase is a full
+    * [[mixtureEpochs]] allocation (per-source rate =
+    * weight·phase_budget/tokens_s, floor(rate) whole epochs + a
+    * deterministic hash-threshold fractional remainder), and phases
+    * draw INDEPENDENT fractional subsets (the hash salt folds in the
+    * phase id), so a doc can ride phase 1 and sit out phase 2 or vice
+    * versa. Returns one row per (kept doc, phase) with that phase's
+    * rate and copy count.
+    *
+    * Scale shape — deliberately NOT |phases| calls to [[mixtureEpochs]]
+    * (each would re-aggregate and re-scan the corpus): ONE O(sources)
+    * token-total aggregate shared by every phase, broadcast back, and
+    * the per-phase decisions ride a single corpus pass as a
+    * |phases|-element array that explodes to only the kept (doc, phase)
+    * rows. Per-row integer/IEEE arithmetic throughout — bit-exact in
+    * any ANSI engine, zero corpus shuffle at any number of phases. */
+  def annealingMixture(
+      df: DataFrame, idCol: String, sourceCol: String, tokenCount: Column,
+      phases: Seq[(Int, Map[String, Double], Long)],
+      defaultWeight: Double = 0.0, salt: Long = 0L): DataFrame = {
+    require(phases.nonEmpty, "at least one phase")
+    require(phases.map(_._1).distinct.size == phases.size,
+      "phase ids must be distinct (the id salts the fractional draw)")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(tokenCount.cast("long")).as("tok_s"))
+      .select(col(sourceCol).as("__mix_source"), col("tok_s"))
+    val perPhase = phases.map { case (ph, weights, budget) =>
+      val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, f)) =>
+        when(col(sourceCol) === lit(s), lit(f)).otherwise(acc)
+      }
+      val rate = w * lit(budget.toDouble) / col("tok_s").cast("double")
+      val nCopies = floor(rate).cast("long") +
+        when(hashBucket(col(idCol), salt + 1000003L * ph) <
+          floor((rate - floor(rate)) * lit(P.toDouble)).cast("long"), 1L)
+          .otherwise(0L)
+      struct(lit(ph).as("phase"), rate.as("rate"), nCopies.as("n_copies"))
+    }
+    df.join(broadcast(totals), col(sourceCol) === col("__mix_source"))
+      .select(col("*"), explode(array(perPhase: _*)).as("__ph"))
+      .select((df.columns.map(col) :+
+        col("__ph")("phase").as("phase") :+
+        col("__ph")("rate").as("rate") :+
+        col("__ph")("n_copies").as("n_copies")): _*)
+      .filter(col("n_copies") > 0)
+  }
 }

@@ -297,4 +297,54 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(winnow(Seq((9L, "one two three four"))).count() == 0L,
       "doc shorter than k tokens selects nothing")
   }
+
+  // ---- annealing mixture (p77) ----
+
+  private def mixCorpus = (1L to 300L).map(i =>
+    (i, s"src${i % 3}", 10L + i % 50)).toDF("id", "src", "n")
+
+  test("annealingMixture equals per-phase mixtureEpochs with " +
+      "phase-salted independent draws") {
+    val phases = Seq((1, Map("src0" -> 0.5), 2000L),
+      (2, Map("src1" -> 0.9), 500L))
+    val staged = SampleOps.annealingMixture(mixCorpus, "id", "src",
+        col("n"), phases, defaultWeight = 0.1)
+      .select(col("id"), col("phase"), col("n_copies"))
+      .as[(Long, Int, Long)].collect().toSet
+    val perPhase = phases.flatMap { case (ph, w, b) =>
+      SampleOps.mixtureEpochs(mixCorpus, "id", "src", col("n"), w, b,
+          defaultWeight = 0.1, salt = 1000003L * ph)
+        .select(col("id"), lit(ph).as("phase"), col("n_copies"))
+        .as[(Long, Int, Long)].collect()
+    }.toSet
+    assert(staged == perPhase)
+  }
+
+  test("annealingMixture: phases draw INDEPENDENT fractional subsets") {
+    // same sub-1 rate in both phases: if the draws shared a salt the
+    // kept sets would be identical; independent salts disagree on
+    // ~2·f·(1−f) of rows
+    val phases = Seq((1, Map("src0" -> 0.3), 1000L),
+      (2, Map("src0" -> 0.3), 1000L))
+    val out = SampleOps.annealingMixture(mixCorpus, "id", "src",
+        col("n"), phases)
+      .select(col("id"), col("phase")).as[(Long, Int)].collect()
+    val k1 = out.filter(_._2 == 1).map(_._1).toSet
+    val k2 = out.filter(_._2 == 2).map(_._1).toSet
+    assert(k1 != k2, "phase draws must be independent")
+    assert(k1.nonEmpty && k2.nonEmpty)
+  }
+
+  test("annealingMixture: one shared totals aggregate rides a single " +
+      "broadcast join (no per-phase corpus re-scan)") {
+    val phases = Seq((1, Map("src0" -> 0.5), 2000L),
+      (2, Map("src1" -> 0.9), 500L))
+    val out = SampleOps.annealingMixture(mixCorpus, "id", "src",
+      col("n"), phases)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 1, plan)
+    // exactly one aggregate pair (partial+final) — the shared totals
+    assert("HashAggregate".r.findAllIn(plan).length <= 2, plan)
+  }
 }
