@@ -1599,6 +1599,18 @@ object PipelineQueries {
           brightThreshold = 330, darkThreshold = 150, contrastMin = 60)
         .toDF().orderBy(col("asset_id"))),
 
+    // LETTERBOX / PILLARBOX screen (m16, round 10) over REAL decoded
+    // pixels: consecutive uniform rows/columns matching the outermost
+    // edge's color, opposite edges capped, crop-rect area fraction.
+    // The fixture PLANTS the bars in-plan (gray-16 rows for doc_id%5,
+    // columns for doc_id%7<2; content keeps the cyclic text stream at
+    // its global position), so the oracle rebuilds the pixel string
+    // from text alone and replays the same edge walk — detection is
+    // content-only, no metadata trusted (the m12 standing).
+    "m16_letterbox" -> ((s, dir) =>
+      MultimodalOps.detectLetterbox(MultimodalOps.letterboxAssets(s, dir))
+        .toDF().orderBy(col("asset_id"))),
+
     // audio QUALITY screen over the same real-decoded clips: clipping
     // and silence counts against thresholds + exact Σ s² energy, and
     // the mostly-clipped / mostly-silent drop flag — the audio
@@ -4043,6 +4055,81 @@ object PipelineQueries {
         | CAST(h AS INT) AS height, expected_tag, actual_tag,
         | expected_tag = actual_tag AS matched
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // letterbox replay: rebuild the planted pixel string (bar rows /
+    // pillar columns overlay the cyclic text stream at its GLOBAL
+    // position), then walk the same uniform-edge algorithm the Scala
+    // detector runs — uniformity as s = repeat(first-triplet, n),
+    // edge color anchored at the outermost row/column
+    "m16_letterbox" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS L,
+        |  13 + doc_id % 4 AS w, 8 + doc_id % 3 AS h,
+        |  least(doc_id % 5, 3) AS nb,
+        |  CASE WHEN doc_id % 7 < 2 THEN 1 + doc_id % 2 ELSE 0 END AS np
+        | FROM documents),
+        |p AS (
+        | SELECT doc_id, w, h,
+        |  array_to_string(list_transform(range(1, h + 1), r ->
+        |   CASE WHEN r - 1 < nb OR r - 1 >= h - nb
+        |    THEN repeat(chr(16), CAST(3 * w AS INT))
+        |    ELSE repeat(chr(16), CAST(3 * np AS INT)) ||
+        |     substring(
+        |       substring(repeat(text,
+        |         CAST(ceil(3.0 * w * h / L) AS INT) + 1), 1,
+        |         CAST(3 * w * h AS INT)),
+        |       (r - 1) * 3 * w + 3 * np + 1, 3 * (w - 2 * np)) ||
+        |     repeat(chr(16), CAST(3 * np AS INT))
+        |   END), '') AS px
+        | FROM d),
+        |rw AS (
+        | SELECT doc_id, w, h, px,
+        |  list_transform(range(1, h + 1), r ->
+        |    substring(px, (r - 1) * 3 * w + 1, 3 * w)) AS rows,
+        |  list_transform(range(1, w + 1), x -> array_to_string(
+        |    list_transform(range(1, h + 1), r ->
+        |      substring(px, (r - 1) * 3 * w + (x - 1) * 3 + 1, 3)), ''))
+        |   AS cols
+        | FROM p),
+        |e AS (
+        | SELECT doc_id, w, h, rows, cols,
+        |  list_filter(range(1, h + 1), r -> NOT (
+        |    rows[r] = repeat(substring(rows[r], 1, 3), CAST(w AS INT)) AND
+        |    substring(rows[r], 1, 3) = substring(rows[1], 1, 3))) AS badt,
+        |  list_filter(range(1, h + 1), r -> NOT (
+        |    rows[h + 1 - r] =
+        |      repeat(substring(rows[h + 1 - r], 1, 3), CAST(w AS INT)) AND
+        |    substring(rows[h + 1 - r], 1, 3) = substring(rows[h], 1, 3)))
+        |   AS badb,
+        |  list_filter(range(1, w + 1), x -> NOT (
+        |    cols[x] = repeat(substring(cols[x], 1, 3), CAST(h AS INT)) AND
+        |    substring(cols[x], 1, 3) = substring(cols[1], 1, 3))) AS badl,
+        |  list_filter(range(1, w + 1), x -> NOT (
+        |    cols[w + 1 - x] =
+        |      repeat(substring(cols[w + 1 - x], 1, 3), CAST(h AS INT)) AND
+        |    substring(cols[w + 1 - x], 1, 3) = substring(cols[w], 1, 3)))
+        |   AS badr
+        | FROM rw),
+        |g AS (
+        | SELECT doc_id, w, h,
+        |  CASE WHEN len(badt) = 0 THEN h ELSE badt[1] - 1 END AS tp,
+        |  CASE WHEN len(badb) = 0 THEN h ELSE badb[1] - 1 END AS btraw,
+        |  CASE WHEN len(badl) = 0 THEN w ELSE badl[1] - 1 END AS lb,
+        |  CASE WHEN len(badr) = 0 THEN w ELSE badr[1] - 1 END AS rbraw
+        | FROM e),
+        |f AS (
+        | SELECT doc_id, w, h, tp, least(btraw, h - tp) AS bt,
+        |  lb, least(rbraw, w - lb) AS rb
+        | FROM g)
+        |SELECT doc_id AS asset_id, CAST(w AS INT) AS width,
+        | CAST(h AS INT) AS height, CAST(tp AS INT) AS top_bars,
+        | CAST(bt AS INT) AS bottom_bars, CAST(lb AS INT) AS left_bars,
+        | CAST(rb AS INT) AS right_bars,
+        | CAST((h - tp - bt) * (w - lb - rb) AS DOUBLE) / (w * h)
+        |  AS content_frac,
+        | (tp + bt + lb + rb) > 0 AND (h - tp - bt) > 0 AND
+        |  (w - lb - rb) > 0 AS boxed
+        |FROM f ORDER BY asset_id""".stripMargin,
 
     // same pixel reconstruction as m01; per-pixel gray = R+G+B over
     // the cyclic ASCII stream

@@ -958,4 +958,86 @@ object MultimodalOps {
       }
     }
   }
+
+  // ---- letterbox / pillarbox detection (m16) ---------------------------
+
+  /** Documents rendered as real BMPs with PLANTED letterbox and
+    * pillarbox bars: `nb = min(doc_id % 5, 3)` uniform rows (gray 16)
+    * top AND bottom, `np = 1 + doc_id % 2` uniform columns left AND
+    * right for every doc_id % 7 < 2. Content pixels keep the cyclic
+    * text stream at their GLOBAL flat position (bars overlay, they do
+    * not shift the stream), so an engine with no image stack rebuilds
+    * the exact pixel string from the text alone. */
+  def letterboxAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    documentsAsAssets(spark, dir).mapPartitions(_.map { a =>
+      val w = 13 + (a.asset_id % 4).toInt
+      val h = 8 + (a.asset_id % 3).toInt
+      val nb = math.min(a.asset_id % 5, 3L).toInt
+      val np = if (a.asset_id % 7 < 2) 1 + (a.asset_id % 2).toInt else 0
+      val text = a.payload
+      val seed = new Array[Byte](w * h * 3)
+      var q = 0
+      while (q < seed.length) {
+        val pix = q / 3
+        val r = pix / w
+        val x = pix % w
+        seed(q) =
+          if (r < nb || r >= h - nb || x < np || x >= w - np) 16.toByte
+          else text(q % text.length)
+        q += 1
+      }
+      a.copy(media_type = "image", payload = syntheticBmp(seed, w, h))
+    })
+  }
+
+  /** Letterbox audit row: bar widths on each edge + the crop rect's
+    * area fraction. */
+  final case class LetterboxAudit(
+      asset_id: Long, width: Int, height: Int,
+      top_bars: Int, bottom_bars: Int, left_bars: Int, right_bars: Int,
+      content_frac: Double, boxed: Boolean)
+
+  /** LETTERBOX / PILLARBOX detection over REAL decoded pixels — the
+    * padded-image screen a LAION-style curation run applies before
+    * captioning or embedding (bars dilute the visual signal and skew
+    * aspect-ratio stats; the crop rect is what downstream stages should
+    * consume). A bar edge is counted as consecutive UNIFORM rows
+    * (columns) matching the outermost row's (column's) color; opposite
+    * edges are capped so top+bottom ≤ h and left+right ≤ w. Detection
+    * is content-only (no metadata trusted, the m12 standing) and
+    * per-row inside `mapPartitions` — embarrassingly parallel, no
+    * shuffle, O(pixels) per asset at any corpus size. */
+  def detectLetterbox(assets: Dataset[MediaAsset]): Dataset[LetterboxAudit] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val (w, h, rgb) = decodeRgb(a.payload)
+        def px(r: Int, x: Int, c: Int): Int = rgb((r * w + x) * 3 + c) & 0xFF
+        def samePix(r1: Int, x1: Int, r2: Int, x2: Int): Boolean =
+          px(r1, x1, 0) == px(r2, x2, 0) && px(r1, x1, 1) == px(r2, x2, 1) &&
+            px(r1, x1, 2) == px(r2, x2, 2)
+        def rowUniform(r: Int): Boolean =
+          (1 until w).forall(x => samePix(r, x, r, 0))
+        def colUniform(x: Int): Boolean =
+          (1 until h).forall(r => samePix(r, x, 0, x))
+        var top = 0
+        while (top < h && rowUniform(top) && samePix(top, 0, 0, 0)) top += 1
+        var bottom = 0
+        while (bottom < h - top && rowUniform(h - 1 - bottom) &&
+          samePix(h - 1 - bottom, 0, h - 1, 0)) bottom += 1
+        var left = 0
+        while (left < w && colUniform(left) && samePix(0, left, 0, 0)) left += 1
+        var right = 0
+        while (right < w - left && colUniform(w - 1 - right) &&
+          samePix(0, w - 1 - right, 0, w - 1)) right += 1
+        val ch = h - top - bottom
+        val cw = w - left - right
+        LetterboxAudit(a.asset_id, w, h, top, bottom, left, right,
+          (ch * cw).toDouble / (w * h),
+          (top + bottom + left + right) > 0 && ch > 0 && cw > 0)
+      }
+    }
+  }
 }
