@@ -298,6 +298,28 @@ object DuckQueries {
         .orderBy(col("n_name"))
     }),
 
+    // FEDERATED WRITEBACK (r33, round 10): CTAS through the mounted
+    // catalog — the result of a remote aggregation (itself pushed into
+    // DuckDB by the complete-agg pushdown) materializes BACK into
+    // DuckDB through the connector write path (createTable + append),
+    // then reads back through the scan path. The lakehouse pattern
+    // "build the mart next to the data" as one SQL statement; at scale
+    // only the |groups| summary rows ever cross the wire, twice.
+    "r33_duckdb_ctas" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      s.conf.set("spark.sql.catalog.graftduck", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftduck.url", url)
+      s.sql("DROP TABLE IF EXISTS graftduck.main.CTAS_MART")
+      s.sql(
+        """CREATE TABLE graftduck.main.CTAS_MART AS
+          |SELECT N_REGIONKEY AS region_key, count(*) AS n_nations,
+          | min(N_NAME) AS first_name
+          |FROM graftduck.main.NATION GROUP BY N_REGIONKEY""".stripMargin)
+      s.sql(
+        """SELECT region_key, n_nations, first_name
+          |FROM graftduck.main.CTAS_MART ORDER BY region_key""".stripMargin)
+    }),
+
     // r10 shape: TableCatalog mount over the second backend — DuckDB's
     // default schema is `main` where Derby's is `APP`, so the mount
     // exercises namespace discovery against a different catalog layout
@@ -350,6 +372,10 @@ object DuckQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS qty
         |FROM lineitem WHERE l_quantity > 40
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "r33_duckdb_ctas" ->
+      """SELECT n_regionkey AS region_key, count(*) AS n_nations,
+        | min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY region_key""".stripMargin,
     "r32_cross_engine_join" ->
       """SELECT n_name, count(*) AS n_cust,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal

@@ -1611,6 +1611,17 @@ object PipelineQueries {
       MultimodalOps.detectLetterbox(MultimodalOps.letterboxAssets(s, dir))
         .toDF().orderBy(col("asset_id"))),
 
+    // SILENCE TRIM (m17, round 10) — the audio analogue of m16 over
+    // REAL decoded PCM: leading/trailing |s| < threshold runs (device
+    // warmup pads, fixed-length capture windows), trailing capped so
+    // lead+tail ≤ n. The fixture plants zero-sample pads in-plan over
+    // the cyclic text byte stream (global byte positions — pads
+    // overlay, never shift), so the oracle rebuilds every 16-bit
+    // sample from text and replays the same edge walk.
+    "m17_silence_trim" -> ((s, dir) =>
+      MultimodalOps.trimSilence(MultimodalOps.silenceTrimAssets(s, dir))
+        .toDF().orderBy(col("asset_id"))),
+
     // audio QUALITY screen over the same real-decoded clips: clipping
     // and silence counts against thresholds + exact Σ s² energy, and
     // the mostly-clipped / mostly-silent drop flag — the audio
@@ -4055,6 +4066,47 @@ object PipelineQueries {
         | CAST(h AS INT) AS height, expected_tag, actual_tag,
         | expected_tag = actual_tag AS matched
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // silence-trim replay: rebuild each 16-bit sample from the text
+    // byte stream (pads at planted positions), then the same
+    // first-loud / last-loud edge walk the Scala detector runs
+    "m17_silence_trim" ->
+      """WITH d AS (
+        | SELECT doc_id, text, length(text) AS L,
+        |  128 + (doc_id % 5) * 17 AS n,
+        |  8000 + (doc_id % 3) * 4000 AS sr,
+        |  (doc_id % 5) * 8 AS pl, (doc_id % 3) * 10 AS pt
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, n, sr,
+        |  list_transform(range(0, n), i ->
+        |   CASE WHEN i < pl OR i >= n - pt THEN 0
+        |    ELSE unicode(substring(text, CAST((2 * i) % L AS INT) + 1, 1))
+        |     + 256 * unicode(substring(text,
+        |         CAST((2 * i + 1) % L AS INT) + 1, 1))
+        |   END) AS smp
+        | FROM d),
+        |e AS (
+        | SELECT doc_id, n, sr,
+        |  list_filter(range(1, n + 1), i -> abs(smp[i]) >= 1000) AS badt,
+        |  list_filter(range(1, n + 1), i -> abs(smp[n + 1 - i]) >= 1000)
+        |   AS badb
+        | FROM s),
+        |g AS (
+        | SELECT doc_id, n, sr,
+        |  CASE WHEN len(badt) = 0 THEN n ELSE badt[1] - 1 END AS lead_s
+        | , CASE WHEN len(badb) = 0 THEN n ELSE badb[1] - 1 END AS tailraw
+        | FROM e),
+        |f AS (
+        | SELECT doc_id, n, sr, lead_s, least(tailraw, n - lead_s) AS tail_s
+        | FROM g)
+        |SELECT doc_id AS asset_id, CAST(sr AS INT) AS sample_rate,
+        | CAST(n AS INT) AS n_samples, CAST(lead_s AS INT) AS lead_silence,
+        | CAST(tail_s AS INT) AS tail_silence,
+        | CAST(n - lead_s - tail_s AS INT) AS kept_samples,
+        | CAST(n - lead_s - tail_s AS DOUBLE) / n AS kept_frac,
+        | lead_s = n AS silent
+        |FROM f ORDER BY asset_id""".stripMargin,
 
     // letterbox replay: rebuild the planted pixel string (bar rows /
     // pillar columns overlay the cyclic text stream at its GLOBAL

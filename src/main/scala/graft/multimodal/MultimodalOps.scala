@@ -1040,4 +1040,69 @@ object MultimodalOps {
       }
     }
   }
+
+  // ---- leading/trailing silence trim (m17) ------------------------------
+
+  /** Documents rendered as real WAV clips with PLANTED silent pads:
+    * `(asset_id % 5) · 8` zero samples leading, `(asset_id % 3) · 10`
+    * trailing; content samples keep the cyclic text byte stream at
+    * their GLOBAL byte position (pads overlay, they do not shift the
+    * stream), so a no-audio-stack engine rebuilds every sample value
+    * from the text alone. */
+  def silenceTrimAssets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    documentsAsAssets(spark, dir).mapPartitions(_.map { a =>
+      val (n, sr) = audioDims(a.asset_id)
+      val lead = (a.asset_id % 5).toInt * 8
+      val tail = (a.asset_id % 3).toInt * 10
+      val text = a.payload
+      val seed = new Array[Byte](n * 2)
+      var q = 0
+      while (q < seed.length) {
+        val i = q / 2
+        seed(q) =
+          if (i < lead || i >= n - tail) 0
+          else text(q % text.length)
+        q += 1
+      }
+      a.copy(media_type = "audio", payload = syntheticWav(seed, n, sr))
+    })
+  }
+
+  /** Silence-trim audit row: pad lengths on each end + the kept span. */
+  final case class SilenceTrim(
+      asset_id: Long, sample_rate: Int, n_samples: Int,
+      lead_silence: Int, tail_silence: Int, kept_samples: Int,
+      kept_frac: Double, silent: Boolean)
+
+  /** LEADING/TRAILING silence detection over REAL decoded PCM — the
+    * audio analogue of [[detectLetterbox]]: recording pipelines pad
+    * clips with silence (device warmup, fixed-length capture windows),
+    * which dilutes every downstream duration/energy statistic and
+    * wastes tokens in audio-LM training; the trim span is what
+    * downstream stages should consume. A pad sample is `|s| <
+    * threshold`; the trailing count is capped so lead+tail ≤ n.
+    * Content-only (no metadata trusted), per-row inside
+    * `mapPartitions`, no shuffle, O(samples) per clip. */
+  def trimSilence(assets: Dataset[MediaAsset],
+      threshold: Int = 1000): Dataset[SilenceTrim] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val (sr, pcm) = decodePcm16(a.payload)
+        val n = pcm.length / 2
+        def quiet(i: Int): Boolean = {
+          val s = (pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)
+          math.abs(s) < threshold
+        }
+        var lead = 0
+        while (lead < n && quiet(lead)) lead += 1
+        var tail = 0
+        while (tail < n - lead && quiet(n - 1 - tail)) tail += 1
+        val kept = n - lead - tail
+        SilenceTrim(a.asset_id, sr, n, lead, tail, kept,
+          kept.toDouble / n, lead == n)
+      }
+    }
+  }
 }

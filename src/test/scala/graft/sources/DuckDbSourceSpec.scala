@@ -238,6 +238,19 @@ class DuckDbSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS through the mounted catalog (the r33 shape): drop + " +
+      "re-create is idempotent and the mart reads back") {
+    ifDriver {
+      val dir = "/root/testdata/sf0.001"
+      val q = graft.DuckQueries.queries("r33_duckdb_ctas")
+      val a = q(spark, dir).collect()
+      val b = q(spark, dir).collect() // re-runs DROP + CTAS end-to-end
+      assert(a.nonEmpty && a.sameElements(b))
+      assert(a.head.schema.fieldNames.toSeq ==
+        Seq("region_key", "n_nations", "first_name"))
+    }
+  }
+
   test("binary literal renders as the ::BLOB escape form") {
     assert(DuckDbDialect.binaryLiteral(Array[Byte](0x0A, -1)) ==
       "'\\x0A\\xFF'::BLOB")
