@@ -2396,10 +2396,11 @@ object PipelineQueries {
         | (vec_id = comp) AS keep
         |FROM lab ORDER BY vec_id""".stripMargin,
 
-    // winnowing replay: grams as {'h': md5, 'pos': p} structs, window
-    // minima via list_reduce with the 'g' init sentinel (orders after
-    // every hex digit), rightmost-position tie-break, list_distinct —
-    // the exact fold the Spark HOF chain runs
+    // winnowing replay, poly-hash family (the p74 list_reduce
+    // spelling): token hashes ·31 mod 2³¹−1, gram hashes ·1000003 mod
+    // 2³¹−1, window minima via a left fold whose `x.h <= a.h` update
+    // rule IS the rightmost tie-break, global DISTINCT (= the native
+    // pass's consecutive dedup — selections are non-decreasing)
     "p76_winnowing" ->
       """WITH base AS (
         | SELECT doc_id, text FROM documents
@@ -2407,15 +2408,25 @@ object PipelineQueries {
         | SELECT doc_id + 1000000, 'zq ' || text FROM documents
         | WHERE doc_id < 40),
         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
-        |g AS (SELECT doc_id, list_transform(range(1, len(toks) - 5 + 2),
-        |   p -> {'h': md5(array_to_string(toks[p:p+4], ' ')), 'pos': p})
-        |  AS grams FROM t WHERE len(toks) >= 5),
+        |h AS (SELECT doc_id, list_transform(toks, tk ->
+        |  CASE WHEN tk = '' THEN CAST(0 AS BIGINT) ELSE
+        |   list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(tk, ''),
+        |       c -> CAST(unicode(c) AS BIGINT))),
+        |     (a, x) -> (a * 31 + x) % 2147483647) END) AS th FROM t),
+        |g AS (SELECT doc_id, list_transform(range(1, len(th) - 5 + 2),
+        |   p -> list_reduce(list_prepend(CAST(0 AS BIGINT), th[p:p+4]),
+        |     (a, x) -> (a * 1000003 + x) % 2147483647)) AS gh
+        |  FROM h WHERE len(th) >= 5),
         |sel AS (SELECT doc_id,
-        |   list_transform(range(1, greatest(len(grams) - 3, 1) + 1), s ->
-        |     list_reduce(list_prepend({'h': 'g', 'pos': 0}, grams[s:s+3]),
-        |       (a, x) -> CASE WHEN x.h < a.h OR
-        |                      (x.h = a.h AND x.pos > a.pos)
-        |                 THEN x ELSE a END)) AS fps FROM g),
+        |   list_transform(range(1, greatest(len(gh) - 3, 1) + 1), s ->
+        |     list_reduce(
+        |       list_prepend(
+        |         {'h': CAST(9223372036854775807 AS BIGINT), 'pos': 0},
+        |         list_transform(range(s, least(s + 4, len(gh) + 1)),
+        |           p -> {'h': gh[p], 'pos': p})),
+        |       (a, x) -> CASE WHEN x.h <= a.h THEN x ELSE a END))
+        |   AS fps FROM g),
         |f AS (SELECT doc_id, unnest(fps) AS sfp FROM sel),
         |fx AS (SELECT DISTINCT doc_id, sfp.pos AS pos, sfp.h AS fp FROM f),
         |dc AS (SELECT fp, count(DISTINCT doc_id) AS n_docs

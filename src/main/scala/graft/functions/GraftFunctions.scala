@@ -89,7 +89,11 @@ object GraftFunctions {
     // cdc_chunks(text, window, divisor)
     "cdc_chunks" -> { exprs =>
       CdcChunks(exprs.head, intArg(exprs(1), "cdc_chunks window"),
-        intArg(exprs(2), "cdc_chunks divisor")) })
+        intArg(exprs(2), "cdc_chunks divisor")) },
+    // winnow_fps(text, k, w)
+    "winnow_fps" -> { exprs =>
+      WinnowFps(exprs.head, intArg(exprs(1), "winnow_fps k"),
+        intArg(exprs(2), "winnow_fps w")) })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

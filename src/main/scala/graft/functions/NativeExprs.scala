@@ -1110,9 +1110,113 @@ case class CdcChunks(child: Expression, window: Int, divisor: Int)
     copy(child = newChild)
 }
 
+/** WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken 2003) as
+  * one native pass — the production spelling of
+  * `DedupOps.winnowingSelect`. Token hashes are [[CdcChunks]]'s
+  * codepoint poly (·31 mod 2³¹−1), gram hashes its window fold
+  * (·1000003 mod 2³¹−1) — both already SQL-replayable via the p74
+  * list_reduce spelling, so the selection stays engine-reproducible
+  * while replacing the HOF chain's per-gram md5 STRING building (32
+  * hex chars built, compared, and shuffled per gram) with integer
+  * arithmetic. Window minima tie-break RIGHTMOST (robust winnowing);
+  * consecutive duplicate selections collapse (selections are
+  * non-decreasing in position, so this equals a global distinct).
+  *
+  * Returns array<struct<pos int, fp long>>; fewer than k tokens →
+  * empty array. Codegen via reference-obj like the other natives. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+
+  require(k >= 1 && w >= 1, "k and w must be positive")
+
+  private val Mod = 2147483647L
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowFps", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fps needs string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    val nGrams = n - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    // token poly hashes (CdcChunks spelling)
+    val th = new Array[Long](n)
+    var t = 0
+    while (t < n) {
+      val tok = toks(t)
+      var h = 0L
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        h = (h * 31 + cp) % Mod
+        i += Character.charCount(cp)
+      }
+      th(t) = h
+      t += 1
+    }
+    // gram hashes: fold of k consecutive token hashes (p74 spelling)
+    val gh = new Array[Long](nGrams)
+    var p = 0
+    while (p < nGrams) {
+      var acc = 0L
+      var q = p
+      while (q < p + k) { acc = (acc * 1000003L + th(q)) % Mod; q += 1 }
+      gh(p) = acc
+      p += 1
+    }
+    // window minima, rightmost tie-break; dedup vs the last selection
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var lastPos = -1
+    val nWin = math.max(nGrams - w + 1, 1)
+    var st = 0
+    while (st < nWin) {
+      var bestH = Long.MaxValue
+      var bestPos = -1
+      var x = st
+      val end = math.min(st + w, nGrams)
+      while (x < end) {
+        if (gh(x) <= bestH) { bestH = gh(x); bestPos = x }
+        x += 1
+      }
+      if (bestPos != lastPos) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](bestPos + 1, bestH)) // 1-based pos, the SQL standing
+        lastPos = bestPos
+      }
+      st += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 object native {
   def cdc_chunks(text: Column, window: Int, divisor: Int): Column =
     Bridge.column(CdcChunks(Bridge.expression(text), window, divisor))
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowFps(Bridge.expression(text), k, w))
   def multi_contains(text: Column, patterns: Seq[String]): Column =
     Bridge.column(MultiContains(Bridge.expression(text), patterns))
   def shingle_set(tokens: Column, n: Int): Column =

@@ -772,36 +772,25 @@ object DedupOps {
     * 100 TB the exchange is the whole cost of span-level dedup, so the
     * factor is wall-clock, not cosmetic.
     *
-    * Selection is per-row array arithmetic (HOFs over the token
-    * array): no shuffle, no state, partition-invariant. Gram hashes
-    * are the p36 md5-hex spelling, so window minima order identically
-    * on any engine (lexicographic over lowercase hex; the fold's "g"
-    * init sentinel orders after every hex digit and loses to the first
-    * real gram).
+    * Selection is ONE native pass per row
+    * ([[graft.functions.native.winnow_fps]]): no shuffle, no state,
+    * partition-invariant. Gram hashes are the integer poly family the
+    * CDC chunker already uses (token ·31 / window ·1000003, both mod
+    * 2³¹−1) — SQL-replayable via the p74 `list_reduce` spelling — so
+    * window minima order identically on any engine while costing
+    * integer compares instead of the md5-hex strings the first cut of
+    * this operator built per gram (measured 3.25 s → sub-second at
+    * sf0.1 for the p76 gate).
     *
     * Returns (doc_id, pos, fp): one row per distinct selected
     * (position, gram hash). Docs with fewer than `k` tokens emit
     * nothing; docs with fewer than `w` grams winnow their single short
     * window. */
   def winnowingSelect(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4): DataFrame = {
-    require(k >= 1 && w >= 1, s"k and w must be positive (got k=$k, w=$w)")
-    val toks = split(col(textCol), " ")
-    val base = df.select(col(idCol).as("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= k)
-    val grams = transform(sequence(lit(1), size(col("t")) - (k - 1)),
-      p => struct(md5(array_join(slice(col("t"), p, lit(k)), " ")).as("h"),
-        p.as("pos")))
-    val withG = base.select(col("doc_id"), grams.as("g"))
-    val nw = greatest(size(col("g")) - (w - 1), lit(1))
-    val sel = array_distinct(transform(sequence(lit(1), nw), s =>
-      aggregate(slice(col("g"), s, lit(w)),
-        struct(lit("g").as("h"), lit(0).as("pos")),
-        (acc, x) => when(x("h") < acc("h") ||
-            (x("h") === acc("h") && x("pos") > acc("pos")), x)
-          .otherwise(acc))))
-    withG.select(col("doc_id"), explode(sel).as("s"))
+      k: Int = 5, w: Int = 4): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.native.winnow_fps(col(textCol), k, w))
+          .as("s"))
       .select(col("doc_id"), col("s")("pos").as("pos"),
-        col("s")("h").as("fp"))
-  }
+        col("s")("fp").as("fp"))
 }

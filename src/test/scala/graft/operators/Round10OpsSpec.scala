@@ -257,7 +257,7 @@ class Round10OpsSpec extends AnyFunSuite {
       (1L, s"p1 p2 p3 $shared s1 s2"),
       (2L, s"x1 $shared y1 y2 y3 y4"))
     val sel = winnow(rows).select("doc_id", "fp")
-      .as[(Long, String)].collect()
+      .as[(Long, Long)].collect()
     val common = sel.filter(_._1 == 1L).map(_._2).toSet
       .intersect(sel.filter(_._1 == 2L).map(_._2).toSet)
     assert(common.nonEmpty, "guarantee violated: no shared selection")
@@ -287,12 +287,12 @@ class Round10OpsSpec extends AnyFunSuite {
     val rows = (1L to 50L).map(i =>
       (i, (1 to 30).map(j => s"w${(i * 31 + j * 17) % 101}").mkString(" ")))
     val a = winnow(rows).collect().map(r =>
-      (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val b = DedupOps.winnowingSelect(
         rows.toDF("doc_id", "text").repartition(13, col("doc_id")),
         "doc_id", "text", 5, 4)
       .collect().map(r =>
-        (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(a == b)
     assert(winnow(Seq((9L, "one two three four"))).count() == 0L,
       "doc shorter than k tokens selects nothing")
