@@ -71,7 +71,8 @@ object Bench {
     "p69_setsim_join", "p70_token_budget", "p71_blocklist",
     "p72_kmeans_semdedup", "p73_random_projection", "p74_cdc_chunks",
     "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing",
-    "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim")
+    "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim",
+    "p78_unseen_mass")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above
@@ -126,7 +127,8 @@ object Bench {
     // citizens); p73–p77 get their one round of scale history
     "p72_kmeans_semdedup", "p73_random_projection", "p74_cdc_chunks",
     "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing",
-    "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim")
+    "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim",
+    "p78_unseen_mass")
 
   private def fmtJsonNum(v: Double): String = {
     // fixed decimal, no scientific notation (driver-side json parsers)

@@ -330,6 +330,17 @@ object PipelineQueries {
       LmOps.vocabCoverage(docs(s, dir), "text", k = 20)
         .orderBy(col("rank"))),
 
+    // Good-Turing UNSEEN-MASS card (p78, round 10): per-source V1/N —
+    // the leading simple-Good-Turing term for the mass on unseen
+    // tokens — plus type/token ratio and the V2 term. High p_unseen =
+    // the source still yields new vocabulary per crawled token; the
+    // tokenizer-sizing and crawl-prioritization signal next to p47's
+    // coverage curve. Rational form (counts + one exact-int division),
+    // one (source, token) counting shuffle, O(types) aggregate.
+    "p78_unseen_mass" -> ((s, dir) =>
+      LmOps.unseenMass(docs(s, dir), "source", "text")
+        .orderBy(col("source"))),
+
     // Corpus snapshot diff: two releases of the corpus (old drops
     // id%17=3, new drops id%17=7 and revises id%11=0 docs), every doc
     // classified added/removed/changed/unchanged by the dedup
@@ -3263,6 +3274,23 @@ object PipelineQueries {
 
     // the curve is count arithmetic with deterministic tie-breaks, so
     // the oracle rebuilds it row-for-row
+    "p78_unseen_mass" ->
+      """WITH tok AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS tok
+        | FROM documents),
+        |c AS (SELECT source, tok, count(*) AS c
+        |      FROM tok GROUP BY source, tok)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | count(*) AS v_types,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS v1_singletons,
+        | CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS v2_doubletons,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(c) AS BIGINT) AS p_unseen,
+        | CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS ttr
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
     "p47_vocab_coverage" ->
       """WITH tok AS (
         | SELECT unnest(string_split(text, ' ')) AS t FROM documents),

@@ -288,4 +288,37 @@ object LmOps {
       t => weightOf(t).cast("double") / m.toDouble - 0.5)
     aggregate(ws, lit(0.0), (acc, x) => acc + x)
   }
+
+  /** Good-Turing UNSEEN-MASS + lexical-diversity card per source — the
+    * signal tokenizer sizing and corpus-coverage decisions start from:
+    * the Good-Turing estimate of the probability mass on tokens NOT
+    * yet seen is `V1/N` (singleton types over total tokens; Gale &
+    * Sampson's simple Good-Turing keeps exactly this leading term), so
+    * a source with high `p_unseen` still yields new vocabulary per
+    * crawled token while one near zero is lexically saturated.
+    * Type/token ratio rides along as the standard diversity number,
+    * and V2 enables the next GT term downstream.
+    *
+    * Emitted in RATIONAL form (counts + one division of exact
+    * integers) — no libm, bit-exact in any ANSI engine.
+    *
+    * Scale shape: ONE (source, token) counting shuffle (map-side
+    * combine collapses each task to its distinct tokens first), then
+    * an O(types) per-source aggregate — the p22/p47 budget; nothing
+    * reaches the driver. */
+  def unseenMass(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("v1_singletons"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("v2_doubletons"))
+      .withColumn("p_unseen",
+        col("v1_singletons").cast("double") / col("n_tokens"))
+      .withColumn("ttr", col("v_types").cast("double") / col("n_tokens"))
+  }
 }

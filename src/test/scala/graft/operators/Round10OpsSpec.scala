@@ -335,6 +335,33 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(k1.nonEmpty && k2.nonEmpty)
   }
 
+  // ---- Good-Turing unseen mass (p78) ----
+
+  test("unseenMass: exact counts on a hand corpus, rational division") {
+    val df = Seq(
+      ("a", "x x y z"),     // a: N=7, types {x:3,y:2,z:1,w:1}
+      ("a", "x y w"),
+      ("b", "q q q q")      // b: N=4, one type, no singletons
+    ).toDF("src", "text")
+    val m = LmOps.unseenMass(df, "src", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("a").getLong(1) == 7L && m("a").getLong(2) == 4L)
+    assert(m("a").getLong(3) == 2L && m("a").getLong(4) == 1L)
+    assert(m("a").getDouble(5) == 2.0 / 7)
+    assert(m("a").getDouble(6) == 4.0 / 7)
+    assert(m("b").getLong(3) == 0L && m("b").getDouble(5) == 0.0)
+  }
+
+  test("unseenMass is partition-invariant") {
+    val df = (1L to 200L).map(i =>
+      (s"s${i % 3}", (1 to 20).map(j => s"t${(i * j) % 37}").mkString(" ")))
+      .toDF("src", "text")
+    val a = LmOps.unseenMass(df, "src", "text").collect().toSet
+    val b = LmOps.unseenMass(df.repartition(11), "src", "text")
+      .collect().toSet
+    assert(a == b)
+  }
+
   test("annealingMixture: one shared totals aggregate rides a single " +
       "broadcast join (no per-phase corpus re-scan)") {
     val phases = Seq((1, Map("src0" -> 0.5), 2000L),
