@@ -72,7 +72,7 @@ object Bench {
     "p72_kmeans_semdedup", "p73_random_projection", "p74_cdc_chunks",
     "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing",
     "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim",
-    "p78_unseen_mass")
+    "p78_unseen_mass", "p79_threshold_sweep")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above
@@ -128,7 +128,7 @@ object Bench {
     "p72_kmeans_semdedup", "p73_random_projection", "p74_cdc_chunks",
     "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing",
     "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim",
-    "p78_unseen_mass")
+    "p78_unseen_mass", "p79_threshold_sweep")
 
   private def fmtJsonNum(v: Double): String = {
     // fixed decimal, no scientific notation (driver-side json parsers)

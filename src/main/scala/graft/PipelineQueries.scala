@@ -765,6 +765,33 @@ object PipelineQueries {
       DedupOps.setSimJoinExact(docs(s, dir), "doc_id", "text", tau = 0.65)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // DEDUP THRESHOLD SWEEP (p79, round 10): pairs and docs affected
+    // at each candidate τ — the sensitivity audit run BEFORE
+    // committing a dedup threshold (too loose deletes distinct
+    // content, too tight leaves near-dups in the training set). ONE
+    // exact set-similarity join at the LOOSEST τ (p69's PPJoin
+    // machinery — zero false negatives above it), then every
+    // threshold aggregates from the same pair set: the sweep costs one
+    // join, not |τ| joins, at any corpus size.
+    "p79_threshold_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = DedupOps.setSimJoinExact(
+        docs(s, dir), "doc_id", "text", tau = 0.6)
+      val taus = Seq(0.6, 0.7, 0.8, 0.9).toDF("tau")
+      val hit = pairs.join(broadcast(taus), col("jaccard") >= col("tau"))
+      val nPairs = hit.groupBy(col("tau"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = hit.select(col("tau"),
+          explode(array(col("id_a"), col("id_b"))).as("d"))
+        .distinct()
+        .groupBy(col("tau")).agg(count(lit(1)).as("n_docs_affected"))
+      taus.join(nPairs, Seq("tau"), "left").join(nDocs, Seq("tau"), "left")
+        .select(col("tau"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+        .orderBy(col("tau"))
+    }),
+
     // Token-budget corpus selection (p70, round 9): the "train on the
     // best 10k tokens" cut — docs in (quality DESC, doc_id) order
     // until the token budget is exhausted, each with its global token
@@ -2292,6 +2319,33 @@ object PipelineQueries {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.65
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // sweep replay: the p69 exact-join spelling at the loosest τ, then
+    // per-τ aggregates from the same pair set
+    "p79_threshold_sweep" ->
+      """WITH t AS (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        | FROM t a JOIN t b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |taus AS (SELECT unnest(
+        |  CAST([0.6, 0.7, 0.8, 0.9] AS DOUBLE[])) AS tau),
+        |hit AS (SELECT tau, id_a, id_b FROM pairs JOIN taus ON j >= tau),
+        |np AS (SELECT tau, count(*) AS n_pairs FROM hit GROUP BY tau),
+        |nd AS (SELECT tau, count(*) AS n_docs_affected FROM (
+        |  SELECT DISTINCT tau, d FROM (
+        |   SELECT tau, unnest([id_a, id_b]) AS d FROM hit))
+        | GROUP BY tau)
+        |SELECT taus.tau, coalesce(n_pairs, 0) AS n_pairs,
+        | coalesce(n_docs_affected, 0) AS n_docs_affected
+        |FROM taus LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
+        |ORDER BY tau""".stripMargin,
 
     // p70: the one-partition window spelling IS the oracle; the Spark
     // side must reproduce it with the distributed two-phase scan

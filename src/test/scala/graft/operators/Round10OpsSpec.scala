@@ -335,6 +335,21 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(k1.nonEmpty && k2.nonEmpty)
   }
 
+  // ---- dedup threshold sweep (p79) ----
+
+  test("threshold sweep equals an independent exact join per tau") {
+    val dir = "/root/testdata/sf0.001"
+    val sweep = graft.SparkEntry.queries("p79_threshold_sweep")(spark, dir)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables.table(spark, dir, "documents")
+    Seq(0.7, 0.9).foreach { tau =>
+      val direct = DedupOps.setSimJoinExact(docs, "doc_id", "text", tau)
+        .count()
+      assert(sweep(tau) == direct,
+        s"tau=$tau: sweep=${sweep(tau)} direct=$direct")
+    }
+  }
+
   // ---- Good-Turing unseen mass (p78) ----
 
   test("unseenMass: exact counts on a hand corpus, rational division") {
