@@ -124,11 +124,34 @@ object Bench {
     // citizen); p70/p71 get their one round of scale history
     "p69_setsim_join", "p70_token_budget", "p71_blocklist",
     // round-10: p72 and m15 shuffle candidate pairs (permanent
-    // citizens); p73–p77 get their one round of scale history
+    // citizens); p73–p79/m16/m17 get their one round of scale history
     "p72_kmeans_semdedup", "p73_random_projection", "p74_cdc_chunks",
     "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing",
     "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim",
-    "p78_unseen_mass", "p79_threshold_sweep")
+    "p78_unseen_mass", "p79_threshold_sweep",
+    // round-10 protocol change: these two were count()-ELIMINATED in
+    // every prior round's bench (their numbers measured a parquet
+    // count); now that the action executes the full plan they get
+    // their first real scale history (focused sf1: both ~1.0x flat)
+    "p36_repeated_spans", "p42_span_removal")
+
+  /** Execute a gate's FULL plan (round-10 PROTOCOL CHANGE — the bench
+    * action). The previous action, `df.count()`, let Catalyst prove
+    * for some gate shapes that the pipeline cannot change the row
+    * count and ELIMINATE it: a left join on unique aggregate keys
+    * preserves cardinality, so p36/p42/q14/p79-shaped tails collapsed
+    * to a bare corpus count — those gates' recorded numbers measured a
+    * parquet count, not the operator (found by the round-10 TuneP79
+    * stage-listener audit: p79's "count" ran 3 trivial stages while
+    * the same operator computed bare took 4.4 s). `toRdd.count()`
+    * executes the DataFrame's own physical plan — every projection,
+    * join, and the final sort — i.e. the cost of actually PRODUCING
+    * the result rows a consumer would read. Side effect on unaffected
+    * gates: the final orderBy (previously elided under count) is now
+    * timed too; output row sets are small, so the shift is bounded —
+    * the round-10 SCALE.md row carries the before/after. */
+  private def execFull(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
 
   private def fmtJsonNum(v: Double): String = {
     // fixed decimal, no scientific notation (driver-side json parsers)
@@ -179,7 +202,7 @@ object Bench {
         val t0 = System.nanoTime()
         // a failed query must be VISIBLE, not a fast fake timing
         val r =
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try { execFull(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
           catch {
             case e: Throwable =>
               errors += s"$tag$name: ${e.getClass.getSimpleName}"
@@ -378,7 +401,7 @@ object Bench {
       // reset leaked confs here too (q28/r06 set theirs during execution):
       // warmup must compile the SAME plans the timed loop compiles
       SparkEntry.resetSessionConfs(spark)
-      try SparkEntry.queries(name)(spark, warmDir).count()
+      try execFull(SparkEntry.queries(name)(spark, warmDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: $e") }
     }
@@ -511,7 +534,7 @@ object Bench {
     // from the head. Big diagnostic payloads ("times", "sf1") go FIRST;
     // the headline summary ("queries" medians, "value" total) goes LAST,
     // so tail-capture of any length keeps the most important fields.
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"times":${timesJson(results)}$sf1Json$commonJson,"failed":$failedJson,"errors":$errJson,"queries":${queriesJson(ok)},"value":${fmtJsonNum(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","action":"toRdd.count","sf":"$sfDir","reps":$reps,"times":${timesJson(results)}$sf1Json$commonJson,"failed":$failedJson,"errors":$errJson,"queries":${queriesJson(ok)},"value":${fmtJsonNum(total)}}"""
     // ... and the whole artifact also lands in a file the driver (or a
     // human) can pick up intact regardless of stdout capture limits.
     // The forked sf1 child must NOT clobber the round artifact with
