@@ -778,17 +778,19 @@ object PipelineQueries {
       val pairs = DedupOps.setSimJoinExact(
         docs(s, dir), "doc_id", "text", tau = 0.6)
       val taus = Seq(0.6, 0.7, 0.8, 0.9).toDF("tau")
-      val hit = pairs.join(broadcast(taus), col("jaccard") >= col("tau"))
-      val nPairs = hit.groupBy(col("tau"))
-        .agg(count(lit(1)).as("n_pairs"))
-      val nDocs = hit.select(col("tau"),
-          explode(array(col("id_a"), col("id_b"))).as("d"))
-        .distinct()
-        .groupBy(col("tau")).agg(count(lit(1)).as("n_docs_affected"))
-      taus.join(nPairs, Seq("tau"), "left").join(nDocs, Seq("tau"), "left")
-        .select(col("tau"),
-          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-          coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+      // ONE pass over the pair set: each qualifying (pair, τ) explodes
+      // to its two doc ids, and a single groupBy yields both metrics —
+      // n_pairs = rows/2 (every pair contributes exactly two),
+      // n_docs = distinct ids. (The first cut computed the pair join
+      // once per metric branch and tailed with taus-left-joins — twice
+      // the work, and a cardinality-preserving tail the old bench
+      // action's count() ELIMINATED outright; see Bench.execFull.)
+      // τ values with zero pairs emit no row.
+      pairs.join(broadcast(taus), col("jaccard") >= col("tau"))
+        .select(col("tau"), explode(array(col("id_a"), col("id_b"))).as("d"))
+        .groupBy(col("tau"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+          countDistinct(col("d")).as("n_docs_affected"))
         .orderBy(col("tau"))
     }),
 
@@ -2336,16 +2338,11 @@ object PipelineQueries {
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
         |taus AS (SELECT unnest(
         |  CAST([0.6, 0.7, 0.8, 0.9] AS DOUBLE[])) AS tau),
-        |hit AS (SELECT tau, id_a, id_b FROM pairs JOIN taus ON j >= tau),
-        |np AS (SELECT tau, count(*) AS n_pairs FROM hit GROUP BY tau),
-        |nd AS (SELECT tau, count(*) AS n_docs_affected FROM (
-        |  SELECT DISTINCT tau, d FROM (
-        |   SELECT tau, unnest([id_a, id_b]) AS d FROM hit))
-        | GROUP BY tau)
-        |SELECT taus.tau, coalesce(n_pairs, 0) AS n_pairs,
-        | coalesce(n_docs_affected, 0) AS n_docs_affected
-        |FROM taus LEFT JOIN np USING (tau) LEFT JOIN nd USING (tau)
-        |ORDER BY tau""".stripMargin,
+        |hit AS (SELECT tau, unnest([id_a, id_b]) AS d
+        |        FROM pairs JOIN taus ON j >= tau)
+        |SELECT tau, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+        | count(DISTINCT d) AS n_docs_affected
+        |FROM hit GROUP BY tau ORDER BY tau""".stripMargin,
 
     // p70: the one-partition window spelling IS the oracle; the Spark
     // side must reproduce it with the distributed two-phase scan
@@ -3051,9 +3048,26 @@ object PipelineQueries {
     "p36_repeated_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
+        |h AS (SELECT doc_id, toks,
+        |  list_transform(toks, tk ->
+        |   CASE WHEN tk = '' THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tk, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 2147483647) END) AS th1,
+        |  list_transform(toks, tk ->
+        |   CASE WHEN tk = '' THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tk, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 37 + x) % 2147483647) END) AS th2
+        | FROM t),
         |w AS (SELECT doc_id,
-        |  md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS wfp
-        | FROM t, UNNEST(range(1, len(toks) - 9 + 1)) AS r(i)
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), th1[i:i+9]),
+        |    (a, x) -> (a * 1000003 + x) % 2147483647) * 2147483647
+        |  + list_reduce(list_prepend(CAST(0 AS BIGINT), th2[i:i+9]),
+        |    (a, x) -> (a * 1000033 + x) % 2147483647) AS wfp
+        | FROM h, UNNEST(range(1, len(toks) - 9 + 1)) AS r(i)
         | WHERE len(toks) >= 10),
         |flagged AS (SELECT wfp FROM w GROUP BY wfp
         |            HAVING count(DISTINCT doc_id) >= 2),
@@ -3075,9 +3089,26 @@ object PipelineQueries {
     "p42_span_removal" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
+        |h AS (SELECT doc_id, toks,
+        |  list_transform(toks, tk ->
+        |   CASE WHEN tk = '' THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tk, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 31 + x) % 2147483647) END) AS th1,
+        |  list_transform(toks, tk ->
+        |   CASE WHEN tk = '' THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tk, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 37 + x) % 2147483647) END) AS th2
+        | FROM t),
         |w AS (SELECT doc_id, i,
-        |  md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS wfp
-        | FROM t, UNNEST(range(1, len(toks) - 9 + 1)) AS r(i)
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), th1[i:i+9]),
+        |    (a, x) -> (a * 1000003 + x) % 2147483647) * 2147483647
+        |  + list_reduce(list_prepend(CAST(0 AS BIGINT), th2[i:i+9]),
+        |    (a, x) -> (a * 1000033 + x) % 2147483647) AS wfp
+        | FROM h, UNNEST(range(1, len(toks) - 9 + 1)) AS r(i)
         | WHERE len(toks) >= 10),
         |flagged AS (SELECT wfp FROM w GROUP BY wfp
         |            HAVING count(DISTINCT doc_id) >= 2),

@@ -1212,11 +1212,94 @@ case class WinnowFps(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** ALL k-token gram fingerprints of a text, one 62-bit long per
+  * position (1-based position = array index + 1) — the bulk spelling
+  * of [[WinnowFps]]'s hash for operators that need EVERY window
+  * (p36/p42's cross-document span matching). Two independent poly
+  * folds (token ·31/·37, window ·1000003/·1000033, both mod 2³¹−1)
+  * pack injectively into one long (h1·M + h2 < 2⁶²), so the collision
+  * odds are ~n²/2⁶² where the single 31-bit poly would collide at
+  * corpus scale (birthday at ~2¹⁶ windows). Replaces the original
+  * md5-hex spelling: a 32-char string built, compared, and SHUFFLED
+  * per window — the fingerprint exchange rides 8-byte longs instead,
+  * 4× less exchange payload at any scale. SQL-replayable via two p74
+  * list_reduce folds. */
+case class GramFps(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  require(k >= 1, "k must be positive")
+
+  private val Mod = 2147483647L
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramFps", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_fps needs string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    val nGrams = n - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    val th1 = new Array[Long](n)
+    val th2 = new Array[Long](n)
+    var t = 0
+    while (t < n) {
+      val tok = toks(t)
+      var h1 = 0L
+      var h2 = 0L
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        h1 = (h1 * 31 + cp) % Mod
+        h2 = (h2 * 37 + cp) % Mod
+        i += Character.charCount(cp)
+      }
+      th1(t) = h1; th2(t) = h2
+      t += 1
+    }
+    val out = new Array[Any](nGrams)
+    var p = 0
+    while (p < nGrams) {
+      var g1 = 0L
+      var g2 = 0L
+      var q = p
+      while (q < p + k) {
+        g1 = (g1 * 1000003L + th1(q)) % Mod
+        g2 = (g2 * 1000033L + th2(q)) % Mod
+        q += 1
+      }
+      out(p) = g1 * Mod + g2
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramFps =
+    copy(child = newChild)
+}
+
 object native {
   def cdc_chunks(text: Column, window: Int, divisor: Int): Column =
     Bridge.column(CdcChunks(Bridge.expression(text), window, divisor))
   def winnow_fps(text: Column, k: Int, w: Int): Column =
     Bridge.column(WinnowFps(Bridge.expression(text), k, w))
+  def gram_fps(text: Column, k: Int): Column =
+    Bridge.column(GramFps(Bridge.expression(text), k))
   def multi_contains(text: Column, patterns: Seq[String]): Column =
     Bridge.column(MultiContains(Bridge.expression(text), patterns))
   def shingle_set(tokens: Column, n: Int): Column =

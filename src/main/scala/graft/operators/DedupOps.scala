@@ -453,12 +453,10 @@ object DedupOps {
       df: DataFrame, idCol: String, textCol: String,
       window: Int = 10, minDocs: Int = 2): DataFrame = {
     val toks = split(col(textCol), " ")
-    val starts = when(size(toks) >= window,
-      sequence(lit(1), size(toks) - window + 1)).otherwise(array())
     val wins = df.select(col(idCol).as("doc_id"),
-      explode(transform(starts, i => struct(i.as("start"),
-        md5(array_join(slice(toks, i, lit(window)), " ")).as("wfp")))).as("w"))
-      .select(col("doc_id"), col("w.start").as("start"), col("w.wfp").as("wfp"))
+        posexplode(graft.functions.native.gram_fps(col(textCol), window))
+          .as(Seq("p0", "wfp")))
+      .select(col("doc_id"), (col("p0") + 1).as("start"), col("wfp"))
     val flagged = wins.groupBy(col("wfp"))
       .agg(count_distinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -508,19 +506,19 @@ object DedupOps {
           .otherwise(0.0).as("rep_ratio"))
   }
 
-  /** (doc_id, wfp) for every stride-th `window`-token window. Docs
-    * shorter than `window` tokens emit nothing (the sequence guard
-    * matters: Spark's `sequence(1, n)` with n < 1 counts DOWN). */
+  /** (doc_id, wfp) for every stride-th `window`-token window, wfp a
+    * 62-bit dual-poly long (native [[graft.functions.GramFps]] — one
+    * pass per row; replaces the md5-hex spelling whose 32-char strings
+    * were built per window and shuffled — the fingerprint exchange now
+    * rides 8-byte longs, 4× less payload at any scale). Docs shorter
+    * than `window` tokens emit nothing. */
   private def spanWindows(df: DataFrame, idCol: String, textCol: String,
-      window: Int, stride: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val starts = when(size(toks) >= window,
-      sequence(lit(1), size(toks) - window + 1, lit(stride)))
-      .otherwise(array())
+      window: Int, stride: Int): DataFrame =
     df.select(col(idCol).as("doc_id"),
-      explode(transform(starts,
-        i => md5(array_join(slice(toks, i, lit(window)), " ")))).as("wfp"))
-  }
+        posexplode(graft.functions.native.gram_fps(col(textCol), window))
+          .as(Seq("p0", "wfp")))
+      .filter(col("p0") % stride === 0)
+      .select(col("doc_id"), col("wfp"))
 
   /** Second independent polynomial family — the other 62 bits of
     * [[simhashWidePairs]]'s 124-bit signature. */

@@ -319,7 +319,12 @@ object VectorOps {
   def quantizeInt8(vec: Column): (Column, Column) = {
     val ma = array_max(transform(vec, x => abs(x.cast("double"))))
     val scale = when(ma === 0, 0.0).otherwise(lit(127.0) / ma)
-    val q = transform(vec, x => round(x.cast("double") * scale).cast("int"))
+    // bind the per-row scale ONCE through a 1-element HOF: inlining
+    // `scale` into the per-element lambda re-evaluates the array_max
+    // for EVERY element — O(dim²) per row (measured at sf0.1: p23
+    // 3.4 s with the inlined spelling, sub-second with the binding)
+    val q = flatten(transform(array(scale), s =>
+      transform(vec, x => round(x.cast("double") * s).cast("int"))))
     (scale, q)
   }
 

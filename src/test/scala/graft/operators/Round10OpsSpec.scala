@@ -345,8 +345,8 @@ class Round10OpsSpec extends AnyFunSuite {
     Seq(0.7, 0.9).foreach { tau =>
       val direct = DedupOps.setSimJoinExact(docs, "doc_id", "text", tau)
         .count()
-      assert(sweep(tau) == direct,
-        s"tau=$tau: sweep=${sweep(tau)} direct=$direct")
+      assert(sweep.getOrElse(tau, 0L) == direct,
+        s"tau=$tau: sweep=${sweep.get(tau)} direct=$direct")
     }
   }
 
