@@ -1662,6 +1662,20 @@ object PipelineQueries {
       MultimodalOps.trimSilence(MultimodalOps.silenceTrimAssets(s, dir))
         .toDF().orderBy(col("asset_id"))),
 
+    // VIDEO letterbox screen (m18, round 10): the m16 edge walk on
+    // EVERY decoded frame, aggregated per video as per-edge minima —
+    // the crop decision must hold on every frame, so the planted
+    // title-card frame (doc_id%5==0's bar-free frame 0) zeroes the
+    // minimum and flips `boxed` off while frames_boxed still counts
+    // the other 7. Per-asset sequential decode loop: no shuffle, no
+    // frame materialization; oracle rebuilds all 8 frames from text
+    // (the videoAssetsUniform rotation) and replays walk + minima.
+    "m18_video_letterbox" -> ((s, dir) =>
+      MultimodalOps.detectVideoLetterbox(
+          MultimodalOps.letterboxVideoAssets(s, dir, nFrames = 8,
+            w = 16, h = 8), w = 16, h = 8)
+        .toDF().orderBy(col("asset_id"))),
+
     // audio QUALITY screen over the same real-decoded clips: clipping
     // and silence counts against thresholds + exact Σ s² energy, and
     // the mostly-clipped / mostly-silent drop flag — the audio
@@ -4190,6 +4204,79 @@ object PipelineQueries {
         | CAST(h AS INT) AS height, expected_tag, actual_tag,
         | expected_tag = actual_tag AS matched
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // video-letterbox replay: rebuild all 8 frames' pixel strings from
+    // text (rotation offset f·384 % L, planted bars), run the m16 edge
+    // walk per frame, aggregate per-edge minima + the per-frame boxed
+    // count — the same crop-consistency semantics the Scala loop runs
+    "m18_video_letterbox" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+        |fr AS (
+        | SELECT doc_id, text, L, f,
+        |  CASE WHEN doc_id % 5 = 0 AND f = 0 THEN 0
+        |   ELSE doc_id % 3 END AS nb,
+        |  CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS np,
+        |  (f * 384) % L AS off
+        | FROM d, UNNEST(range(0, 8)) AS z(f)),
+        |p AS (
+        | SELECT doc_id, f,
+        |  array_to_string(list_transform(range(1, 9), r ->
+        |   CASE WHEN r - 1 < nb OR r - 1 >= 8 - nb
+        |    THEN repeat(chr(16), 48)
+        |    ELSE repeat(chr(16), CAST(3 * np AS INT)) ||
+        |     array_to_string(list_transform(
+        |       range((r - 1) * 48 + 3 * np, r * 48 - 3 * np), q ->
+        |         substring(text, CAST((off + q) % L AS INT) + 1, 1)), '')
+        |     || repeat(chr(16), CAST(3 * np AS INT))
+        |   END), '') AS px
+        | FROM fr),
+        |rw AS (
+        | SELECT doc_id, f,
+        |  list_transform(range(1, 9), r ->
+        |    substring(px, (r - 1) * 48 + 1, 48)) AS rows,
+        |  list_transform(range(1, 17), x -> array_to_string(
+        |    list_transform(range(1, 9), r ->
+        |      substring(px, (r - 1) * 48 + (x - 1) * 3 + 1, 3)), '')) AS cols
+        | FROM p),
+        |e AS (
+        | SELECT doc_id, f,
+        |  list_filter(range(1, 9), r -> NOT (
+        |    rows[r] = repeat(substring(rows[r], 1, 3), 16) AND
+        |    substring(rows[r], 1, 3) = substring(rows[1], 1, 3))) AS badt,
+        |  list_filter(range(1, 9), r -> NOT (
+        |    rows[9 - r] = repeat(substring(rows[9 - r], 1, 3), 16) AND
+        |    substring(rows[9 - r], 1, 3) = substring(rows[8], 1, 3)))
+        |   AS badb,
+        |  list_filter(range(1, 17), x -> NOT (
+        |    cols[x] = repeat(substring(cols[x], 1, 3), 8) AND
+        |    substring(cols[x], 1, 3) = substring(cols[1], 1, 3))) AS badl,
+        |  list_filter(range(1, 17), x -> NOT (
+        |    cols[17 - x] = repeat(substring(cols[17 - x], 1, 3), 8) AND
+        |    substring(cols[17 - x], 1, 3) = substring(cols[16], 1, 3)))
+        |   AS badr
+        | FROM rw),
+        |g AS (
+        | SELECT doc_id, f,
+        |  CASE WHEN len(badt) = 0 THEN 8 ELSE badt[1] - 1 END AS tp,
+        |  CASE WHEN len(badb) = 0 THEN 8 ELSE badb[1] - 1 END AS btraw,
+        |  CASE WHEN len(badl) = 0 THEN 16 ELSE badl[1] - 1 END AS lb,
+        |  CASE WHEN len(badr) = 0 THEN 16 ELSE badr[1] - 1 END AS rbraw
+        | FROM e),
+        |fb AS (
+        | SELECT doc_id, f, tp, least(btraw, 8 - tp) AS bt,
+        |  lb, least(rbraw, 16 - lb) AS rb
+        | FROM g)
+        |SELECT doc_id AS asset_id, CAST(count(*) AS INT) AS n_frames,
+        | CAST(min(tp) AS INT) AS top_bars,
+        | CAST(min(bt) AS INT) AS bottom_bars,
+        | CAST(min(lb) AS INT) AS left_bars,
+        | CAST(min(rb) AS INT) AS right_bars,
+        | CAST(sum(CASE WHEN tp + bt + lb + rb > 0 AND 8 - tp - bt > 0
+        |  AND 16 - lb - rb > 0 THEN 1 ELSE 0 END) AS INT) AS frames_boxed,
+        | (CAST(sum(CASE WHEN tp + bt + lb + rb > 0 AND 8 - tp - bt > 0
+        |  AND 16 - lb - rb > 0 THEN 1 ELSE 0 END) AS INT) = count(*)
+        |  AND min(tp) + min(bt) + min(lb) + min(rb) > 0) AS boxed
+        |FROM fb GROUP BY doc_id ORDER BY asset_id""".stripMargin,
 
     // silence-trim replay: rebuild each 16-bit sample from the text
     // byte stream (pads at planted positions), then the same

@@ -1008,35 +1008,129 @@ object MultimodalOps {
     * is content-only (no metadata trusted, the m12 standing) and
     * per-row inside `mapPartitions` — embarrassingly parallel, no
     * shuffle, O(pixels) per asset at any corpus size. */
+  /** The uniform-edge walk shared by [[detectLetterbox]] (images) and
+    * [[detectVideoLetterbox]] (per frame): (top, bottom, left, right)
+    * bar widths, opposite edges capped. */
+  private def edgeWalk(w: Int, h: Int, rgb: Array[Byte]): (Int, Int, Int, Int) = {
+    def px(r: Int, x: Int, c: Int): Int = rgb((r * w + x) * 3 + c) & 0xFF
+    def samePix(r1: Int, x1: Int, r2: Int, x2: Int): Boolean =
+      px(r1, x1, 0) == px(r2, x2, 0) && px(r1, x1, 1) == px(r2, x2, 1) &&
+        px(r1, x1, 2) == px(r2, x2, 2)
+    def rowUniform(r: Int): Boolean =
+      (1 until w).forall(x => samePix(r, x, r, 0))
+    def colUniform(x: Int): Boolean =
+      (1 until h).forall(r => samePix(r, x, 0, x))
+    var top = 0
+    while (top < h && rowUniform(top) && samePix(top, 0, 0, 0)) top += 1
+    var bottom = 0
+    while (bottom < h - top && rowUniform(h - 1 - bottom) &&
+      samePix(h - 1 - bottom, 0, h - 1, 0)) bottom += 1
+    var left = 0
+    while (left < w && colUniform(left) && samePix(0, left, 0, 0)) left += 1
+    var right = 0
+    while (right < w - left && colUniform(w - 1 - right) &&
+      samePix(0, w - 1 - right, 0, w - 1)) right += 1
+    (top, bottom, left, right)
+  }
+
   def detectLetterbox(assets: Dataset[MediaAsset]): Dataset[LetterboxAudit] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
         val (w, h, rgb) = decodeRgb(a.payload)
-        def px(r: Int, x: Int, c: Int): Int = rgb((r * w + x) * 3 + c) & 0xFF
-        def samePix(r1: Int, x1: Int, r2: Int, x2: Int): Boolean =
-          px(r1, x1, 0) == px(r2, x2, 0) && px(r1, x1, 1) == px(r2, x2, 1) &&
-            px(r1, x1, 2) == px(r2, x2, 2)
-        def rowUniform(r: Int): Boolean =
-          (1 until w).forall(x => samePix(r, x, r, 0))
-        def colUniform(x: Int): Boolean =
-          (1 until h).forall(r => samePix(r, x, 0, x))
-        var top = 0
-        while (top < h && rowUniform(top) && samePix(top, 0, 0, 0)) top += 1
-        var bottom = 0
-        while (bottom < h - top && rowUniform(h - 1 - bottom) &&
-          samePix(h - 1 - bottom, 0, h - 1, 0)) bottom += 1
-        var left = 0
-        while (left < w && colUniform(left) && samePix(0, left, 0, 0)) left += 1
-        var right = 0
-        while (right < w - left && colUniform(w - 1 - right) &&
-          samePix(0, w - 1 - right, 0, w - 1)) right += 1
+        val (top, bottom, left, right) = edgeWalk(w, h, rgb)
         val ch = h - top - bottom
         val cw = w - left - right
         LetterboxAudit(a.asset_id, w, h, top, bottom, left, right,
           (ch * cw).toDouble / (w * h),
           (top + bottom + left + right) > 0 && ch > 0 && cw > 0)
+      }
+    }
+  }
+
+  /** Documents rendered as real multi-frame BMP videos with PLANTED
+    * letterbox/pillarbox bars CONSISTENT across frames (`doc_id % 3`
+    * bar rows, a pillar column for doc_id % 4 == 0), except doc_id %
+    * 5 == 0 whose FIRST frame carries no letterbox rows (the
+    * title-card case a per-frame screen must not misclassify as a
+    * letterboxed video). Frame f's content keeps the cyclic text byte
+    * stream at offset `(f · frameLen) % L` (the videoAssetsUniform
+    * rotation), so the oracle rebuilds every frame from text alone. */
+  def letterboxVideoAssets(spark: SparkSession, dir: String,
+      nFrames: Int = 8, w: Int = 16, h: Int = 8): Dataset[MediaAsset] = {
+    import spark.implicits._
+    documentsAsAssets(spark, dir).mapPartitions(_.map { a =>
+      val L = a.payload.length
+      val frameLen = w * h * 3
+      val bos = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < nFrames) {
+        val nb = if (a.asset_id % 5 == 0 && f == 0) 0
+                 else (a.asset_id % 3).toInt
+        val np = if (a.asset_id % 4 == 0) 1 else 0
+        val off = (f * frameLen) % L
+        val seed = new Array[Byte](frameLen)
+        var q = 0
+        while (q < frameLen) {
+          val pix = q / 3
+          val r = pix / w
+          val x = pix % w
+          seed(q) =
+            if (r < nb || r >= h - nb || x < np || x >= w - np) 16
+            else a.payload((off + q) % L)
+          q += 1
+        }
+        bos.write(syntheticBmp(seed, w, h))
+        f += 1
+      }
+      a.copy(media_type = "video", payload = bos.toByteArray)
+    })
+  }
+
+  /** Per-video letterbox verdict: the edge walk runs on every frame,
+    * bars aggregate as the per-edge MINIMUM across frames (a real
+    * letterbox is consistent — one full-bleed title card zeroes the
+    * minimum and the video is NOT croppable), `frames_boxed` counts
+    * frames individually boxed, and `boxed` requires EVERY frame boxed
+    * with a positive consistent-bar total. */
+  final case class VideoLetterbox(
+      asset_id: Long, n_frames: Int, top_bars: Int, bottom_bars: Int,
+      left_bars: Int, right_bars: Int, frames_boxed: Int, boxed: Boolean)
+
+  /** LETTERBOX screen for VIDEO (m18) over REAL per-frame decode — the
+    * crop decision for a video must hold on every frame, so the
+    * per-frame m16 walk aggregates by minimum inside the same
+    * sequential per-asset decode loop as [[videoFrameHashes]]: no
+    * shuffle, no frame-list materialization, O(pixels·frames) per
+    * video at any corpus size. */
+  def detectVideoLetterbox(assets: Dataset[MediaAsset],
+      w: Int, h: Int): Dataset[VideoLetterbox] = {
+    import assets.sparkSession.implicits._
+    val frameBytes = 54 + ((w * 3 + 3) / 4) * 4 * h
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val nF = a.payload.length / frameBytes
+        var minT, minB, minL, minR = Int.MaxValue
+        var fb = 0
+        var f = 0
+        while (f < nF) {
+          val one = java.util.Arrays.copyOfRange(
+            a.payload, f * frameBytes, (f + 1) * frameBytes)
+          val (dw, dh, rgb) = decodeRgb(one)
+          val (t, b, l, r) = edgeWalk(dw, dh, rgb)
+          if (t < minT) minT = t
+          if (b < minB) minB = b
+          if (l < minL) minL = l
+          if (r < minR) minR = r
+          if ((t + b + l + r) > 0 && (dh - t - b) > 0 && (dw - l - r) > 0)
+            fb += 1
+          f += 1
+        }
+        if (nF == 0) { minT = 0; minB = 0; minL = 0; minR = 0 }
+        VideoLetterbox(a.asset_id, nF, minT, minB, minL, minR, fb,
+          fb == nF && nF > 0 && (minT + minB + minL + minR) > 0)
       }
     }
   }

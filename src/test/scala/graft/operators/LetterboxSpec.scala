@@ -83,6 +83,38 @@ class LetterboxSpec extends AnyFunSuite {
     assert(m.top_bars == 1, s"got ${m.top_bars}")
   }
 
+  private def video(id: Long, w: Int, h: Int)(
+      frames: ((Int, Int) => Byte)*): MediaAsset = {
+    val bos = new java.io.ByteArrayOutputStream()
+    frames.foreach(f =>
+      bos.write(MultimodalOps.syntheticBmp(pixels(w, h)(f), w, h)))
+    MediaAsset(id, "video", bos.toByteArray, "s")
+  }
+
+  test("video letterbox: consistent bars box the video, one full-bleed " +
+      "title card zeroes the minimum and unboxes it") {
+    import spark.implicits._
+    def barred(n: Int)(r: Int, x: Int): Byte =
+      if (r < n || r >= 8 - n) 16 else content(r, x)
+    val assets = Seq(
+      // consistent 2-row bars on all 3 frames
+      video(1L, 16, 8)(barred(2), barred(2), barred(2)),
+      // frame 0 full-bleed, frames 1-2 barred: NOT croppable
+      video(2L, 16, 8)(content, barred(1), barred(1)),
+      // no bars anywhere
+      video(3L, 16, 8)(content, content, content)).toDS()
+    val m = MultimodalOps.detectVideoLetterbox(assets, w = 16, h = 8)
+      .collect().map(a => a.asset_id -> a).toMap
+
+    assert(m(1L).n_frames == 3 && m(1L).top_bars == 2 &&
+      m(1L).bottom_bars == 2 && m(1L).frames_boxed == 3 && m(1L).boxed)
+
+    assert(m(2L).top_bars == 0 && m(2L).frames_boxed == 2 && !m(2L).boxed,
+      "title card must veto the crop")
+
+    assert(m(3L).frames_boxed == 0 && !m(3L).boxed)
+  }
+
   test("planted corpus fixture round-trips through a real BMP decode " +
       "with the exact planted bar counts") {
     val out = MultimodalOps.detectLetterbox(
