@@ -72,7 +72,8 @@ object Bench {
     "p72_kmeans_semdedup", "p73_random_projection", "p74_cdc_chunks",
     "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing",
     "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim",
-    "p78_unseen_mass", "p79_threshold_sweep", "m18_video_letterbox")
+    "p78_unseen_mass", "p79_threshold_sweep", "m18_video_letterbox",
+    "p80_quality_mixture")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above
@@ -129,6 +130,7 @@ object Bench {
     "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing",
     "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim",
     "p78_unseen_mass", "p79_threshold_sweep", "m18_video_letterbox",
+    "p80_quality_mixture",
     // round-10 protocol change: these two were count()-ELIMINATED in
     // every prior round's bench (their numbers measured a parquet
     // count); now that the action executes the full plan they get

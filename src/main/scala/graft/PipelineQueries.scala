@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.operators.{ClusterOps, DedupOps, DiffOps, GraphOps, LmOps, PackingOps, RetrievalOps, SampleOps, TextOps, UrlOps, VectorOps}
 import graft.multimodal.MultimodalOps
@@ -394,6 +394,43 @@ object PipelineQueries {
           budgetTokens = 100000L, defaultWeight = 0.005)
         .select(col("doc_id"), col("source"), col("n_tok"), col("rate"),
           col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // QUALITY-CALIBRATED mixture (p80, round 10): the mixture weights
+    // are DERIVED FROM THE DATA — per-source mean p03 quality (summed
+    // as a decimal image so the cross-row sum is engine-exact)
+    // normalizes into weights, then the p38 rate arithmetic applies
+    // them against a token budget. The source-level reweighting a
+    // curation run applies after the p64 calibration audit: higher-
+    // observed-quality sources get proportionally more of the budget.
+    // One corpus pass for scoring + ONE O(sources) aggregate; the
+    // weight table is derived entirely in-plan (no driver round-trip)
+    // and broadcasts back. Zero corpus shuffle.
+    "p80_quality_mixture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.qualityScore(col("text")).as("q"))
+      val agg = base.groupBy(col("source"))
+        .agg(sum(col("q").cast(DecimalType(20, 12))).as("qsum"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_s"))
+        .select(col("source").as("__mix_source"),
+          (col("qsum").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("mq"),
+          col("tok_s"))
+      val tot = agg.agg(
+        sum(col("mq").cast(DecimalType(20, 12))).as("mqsum"))
+      val rates = agg.crossJoin(broadcast(tot))
+        .select(col("__mix_source"),
+          least(lit(1.0),
+            col("mq") / col("mqsum").cast(DoubleType) * lit(8000.0)
+              / col("tok_s").cast(DoubleType)).as("rate"))
+      base.join(broadcast(rates), col("source") === col("__mix_source"))
+        .filter(SampleOps.hashBucket(col("doc_id")) <
+          floor(col("rate") * lit(SampleOps.P.toDouble)).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("rate"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3498,6 +3535,42 @@ object PipelineQueries {
          | FROM t JOIN r ON t.source = r.source)
          |SELECT doc_id, source, n_tok, rate, n_copies
          |FROM c WHERE n_copies > 0 ORDER BY doc_id""".stripMargin
+    },
+
+    "p80_quality_mixture" -> {
+      val b0 = SampleOps.hashBucketSql("q.doc_id", 0)
+      s"""WITH t AS (
+         | SELECT doc_id, source, string_split(text, ' ') AS toks
+         | FROM documents),
+         |q AS (
+         | SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tok,
+         |  ((CASE WHEN len(toks) BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+         |   + (CASE WHEN CAST(len(list_filter(toks, x -> x IN
+         |        ('the','a','and','of','to','in','is'))) AS DOUBLE)
+         |        / len(toks)
+         |      BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+         |   + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) / 3.0
+         |   AS q
+         | FROM t),
+         |a AS (
+         | SELECT source, sum(CAST(q AS DECIMAL(20,12))) AS qsum,
+         |  count(*) AS n_docs, sum(n_tok) AS tok_s
+         | FROM q GROUP BY source),
+         |m AS (
+         | SELECT source,
+         |  CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mq, tok_s
+         | FROM a),
+         |tot AS (SELECT sum(CAST(mq AS DECIMAL(20,12))) AS mqsum FROM m),
+         |r AS (
+         | SELECT source,
+         |  least(1.0, mq / CAST(mqsum AS DOUBLE) * 8000.0
+         |    / CAST(tok_s AS DOUBLE)) AS rate
+         | FROM m, tot)
+         |SELECT q.doc_id, q.source, q.n_tok, r.rate
+         |FROM q JOIN r USING (source)
+         |WHERE $b0 <
+         | CAST(floor(r.rate * ${SampleOps.P}.0) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "p77_annealing_mixture" -> {

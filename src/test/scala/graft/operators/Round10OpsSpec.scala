@@ -335,6 +335,34 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(k1.nonEmpty && k2.nonEmpty)
   }
 
+  // ---- quality-calibrated mixture (p80) ----
+
+  test("quality mixture: derived rates order by observed mean quality " +
+      "and the plan broadcasts the in-plan weight table") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("p80_quality_mixture")(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val rates = out.select("source", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    val meanQ = graft.Tables.table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(avg(TextOps.qualityScore(col("text"))).as("mq"))
+      .as[(String, Double)].collect().toMap
+    // uncapped rate = (mq/Σmq)·B/tok_s — so the rate ranking must
+    // match the mq/tok_s ranking exactly on every uncapped pair
+    val toks = graft.Tables.table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).as("t"))
+      .as[(String, Long)].collect().toMap
+    for {
+      (a, ra) <- rates; (b, rb) <- rates
+      if a != b && ra < 1.0 && rb < 1.0
+    } assert((meanQ(a) / toks(a) >= meanQ(b) / toks(b)) == (ra >= rb),
+      s"$a(q=${meanQ(a)}, t=${toks(a)}, r=$ra) vs " +
+        s"$b(q=${meanQ(b)}, t=${toks(b)}, r=$rb)")
+  }
+
   // ---- dedup threshold sweep (p79) ----
 
   test("threshold sweep equals an independent exact join per tau") {
