@@ -12,17 +12,43 @@ unmanagedBase := file("/opt/spark/jars")
 // jar is absent — a clean checkout still builds and runs.
 // Self-heal: lib/*.jar is gitignored (66 MB binary), so a `git clean`
 // silently drops the second backend AND its 9 gates. If the jar is
-// missing, re-vendor it from the local coursier cache by FILENAME
-// (wherever the cache mirrors it from) before wiring the classpath.
+// missing, re-vendor it from the local coursier cache — verified
+// against the pinned SHA-256 of the published Maven Central artifact,
+// so a stale or tampered cache file can never silently become part of
+// the build (and of the 11 DuckDB gates' results).
+val duckdbJarSha256 =
+  "e085f490c691b494a0df2d7b8eaabe00f164613cd83fa292ce5a447c88b16a53"
+def sha256Hex(f: File): String = {
+  val md = java.security.MessageDigest.getInstance("SHA-256")
+  val in = new java.io.FileInputStream(f)
+  try {
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+  } finally in.close()
+  md.digest().map("%02x".format(_)).mkString
+}
 Compile / unmanagedJars ++= {
+  val log = streams.value.log
   val f = baseDirectory.value / "lib" / "duckdb_jdbc-1.0.0.jar"
   if (!f.exists) {
     val cache = file(sys.props("user.home")) / ".cache" / "coursier"
     (cache ** "duckdb_jdbc-1.0.0.jar").get.headOption.foreach { src =>
-      sbt.IO.copyFile(src, f)
+      val got = sha256Hex(src)
+      if (got == duckdbJarSha256) {
+        log.info(s"vendoring duckdb_jdbc from $src (sha256 verified)")
+        sbt.IO.copyFile(src, f)
+      } else
+        log.warn(s"REFUSING to vendor $src: sha256 $got != pinned " +
+          s"$duckdbJarSha256 — DuckDB gates will self-disable")
     }
   }
-  if (f.exists) Seq(Attributed.blank(f)) else Seq.empty
+  // a pre-existing lib/ jar is verified too: a corrupt or swapped file
+  // is dropped from the classpath rather than trusted silently
+  if (f.exists && sha256Hex(f) != duckdbJarSha256) {
+    log.warn(s"$f fails the pinned sha256 — ignoring it")
+    Seq.empty
+  } else if (f.exists) Seq(Attributed.blank(f)) else Seq.empty
 }
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).

@@ -1710,7 +1710,7 @@ object PipelineQueries {
     "m18_video_letterbox" -> ((s, dir) =>
       MultimodalOps.detectVideoLetterbox(
           MultimodalOps.letterboxVideoAssets(s, dir, nFrames = 8,
-            w = 16, h = 8), w = 16, h = 8)
+            w = 16, h = 8))
         .toDF().orderBy(col("asset_id"))),
 
     // audio QUALITY screen over the same real-decoded clips: clipping
@@ -2581,10 +2581,12 @@ object PipelineQueries {
         |  + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tok
         |       BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
         |  + CAST(n_dis AS DOUBLE) / n_tok) / 3.0 AS score FROM sb),
-        |ha AS (SELECT CAST(floor(score * 20) AS INT) AS bin,
-        |        count(*) AS n_a FROM a GROUP BY 1),
-        |hb AS (SELECT CAST(floor(score * 20) AS INT) AS bin,
-        |        count(*) AS n_b FROM b GROUP BY 1),
+        |ha AS (SELECT CAST(least(greatest(floor(score * 20), 0), 19) AS INT)
+        |         AS bin, count(*) AS n_a FROM a WHERE score IS NOT NULL
+        |       GROUP BY 1),
+        |hb AS (SELECT CAST(least(greatest(floor(score * 20), 0), 19) AS INT)
+        |         AS bin, count(*) AS n_b FROM b WHERE score IS NOT NULL
+        |       GROUP BY 1),
         |j AS (SELECT coalesce(ha.bin, hb.bin) AS bin,
         |       coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
         |      FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
@@ -3136,7 +3138,9 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
 
     // removal oracle: covered = union of flagged windows' positions;
-    // cleaned text rebuilt from surviving 1-based positions in order
+    // cleaned text rebuilt from surviving 1-based positions in order.
+    // Matches on the 124-bit fingerprint PAIR (four poly families) —
+    // the destructive path must not cut text on a 62-bit collision.
     "p42_span_removal" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents),
@@ -3152,20 +3156,37 @@ object PipelineQueries {
         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(string_split(tk, ''),
         |        c -> CAST(unicode(c) AS BIGINT))),
-        |      (a, x) -> (a * 37 + x) % 2147483647) END) AS th2
+        |      (a, x) -> (a * 37 + x) % 2147483647) END) AS th2,
+        |  list_transform(toks, tk ->
+        |   CASE WHEN tk = '' THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tk, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 41 + x) % 2147483647) END) AS th3,
+        |  list_transform(toks, tk ->
+        |   CASE WHEN tk = '' THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tk, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (a, x) -> (a * 43 + x) % 2147483647) END) AS th4
         | FROM t),
         |w AS (SELECT doc_id, i,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), th1[i:i+9]),
         |    (a, x) -> (a * 1000003 + x) % 2147483647) * 2147483647
         |  + list_reduce(list_prepend(CAST(0 AS BIGINT), th2[i:i+9]),
-        |    (a, x) -> (a * 1000033 + x) % 2147483647) AS wfp
+        |    (a, x) -> (a * 1000033 + x) % 2147483647) AS wfp,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), th3[i:i+9]),
+        |    (a, x) -> (a * 1000037 + x) % 2147483647) * 2147483647
+        |  + list_reduce(list_prepend(CAST(0 AS BIGINT), th4[i:i+9]),
+        |    (a, x) -> (a * 1000039 + x) % 2147483647) AS wfp2
         | FROM h, UNNEST(range(1, len(toks) - 9 + 1)) AS r(i)
         | WHERE len(toks) >= 10),
-        |flagged AS (SELECT wfp FROM w GROUP BY wfp
+        |flagged AS (SELECT wfp, wfp2 FROM w GROUP BY wfp, wfp2
         |            HAVING count(DISTINCT doc_id) >= 2),
         |cov AS (SELECT DISTINCT doc_id, i + u AS pos
         |        FROM w, UNNEST(range(0, 10)) AS z(u)
-        |        WHERE wfp IN (SELECT wfp FROM flagged)),
+        |        WHERE EXISTS (SELECT 1 FROM flagged f
+        |                      WHERE f.wfp = w.wfp AND f.wfp2 = w.wfp2)),
         |cut AS (SELECT doc_id, list(pos) AS lp FROM cov GROUP BY doc_id)
         |SELECT t.doc_id,
         | CAST(len(toks) AS INT) AS n_tok,

@@ -93,7 +93,13 @@ object GraftFunctions {
     // winnow_fps(text, k, w)
     "winnow_fps" -> { exprs =>
       WinnowFps(exprs.head, intArg(exprs(1), "winnow_fps k"),
-        intArg(exprs(2), "winnow_fps w")) })
+        intArg(exprs(2), "winnow_fps w")) },
+    // gram_fps(text, k) / gram_fps_wide(text, k) — 62-/124-bit window
+    // fingerprints (wide = the destructive-consumer form, p42)
+    "gram_fps" -> { exprs =>
+      GramFps(exprs.head, intArg(exprs(1), "gram_fps k")) },
+    "gram_fps_wide" -> { exprs =>
+      GramFpsWide(exprs.head, intArg(exprs(1), "gram_fps_wide k")) })
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>

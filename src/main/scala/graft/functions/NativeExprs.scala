@@ -1293,6 +1293,94 @@ case class GramFps(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** 124-bit gram fingerprints — TWO independent 62-bit packs per
+  * window (four poly families total: token ·31/·37/·41/·43, window
+  * ·1000003/·1000033/·1000037/·1000039, all mod 2³¹−1). The single
+  * 62-bit [[GramFps]] long hits its birthday bound at ~2³¹ windows
+  * (~2e9) — fine for a screen whose false positive costs one wasted
+  * verify, fatal for a DESTRUCTIVE consumer (p42 span removal cuts
+  * real text on a collision). 124 bits pushes the bound to ~2⁶²
+  * windows, beyond any corpus. `f1` is bit-identical to [[GramFps]]'s
+  * value (same first two families), so the wide form strictly refines
+  * the narrow one. Returns array<struct<f1,f2>>, 1-based position =
+  * index + 1; 16 bytes/window on the exchange — still 2× less than
+  * the md5-hex spelling this family replaced. */
+case class GramFpsWide(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  require(k >= 1, "k must be positive")
+
+  private val Mod = 2147483647L
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramFpsWide", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("f1", LongType, nullable = false),
+    StructField("f2", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_fps_wide needs string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    val nGrams = n - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.empty[Any])
+    val th1 = new Array[Long](n)
+    val th2 = new Array[Long](n)
+    val th3 = new Array[Long](n)
+    val th4 = new Array[Long](n)
+    var t = 0
+    while (t < n) {
+      val tok = toks(t)
+      var h1 = 0L; var h2 = 0L; var h3 = 0L; var h4 = 0L
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        h1 = (h1 * 31 + cp) % Mod
+        h2 = (h2 * 37 + cp) % Mod
+        h3 = (h3 * 41 + cp) % Mod
+        h4 = (h4 * 43 + cp) % Mod
+        i += Character.charCount(cp)
+      }
+      th1(t) = h1; th2(t) = h2; th3(t) = h3; th4(t) = h4
+      t += 1
+    }
+    val out = new Array[Any](nGrams)
+    var p = 0
+    while (p < nGrams) {
+      var g1 = 0L; var g2 = 0L; var g3 = 0L; var g4 = 0L
+      var q = p
+      while (q < p + k) {
+        g1 = (g1 * 1000003L + th1(q)) % Mod
+        g2 = (g2 * 1000033L + th2(q)) % Mod
+        g3 = (g3 * 1000037L + th3(q)) % Mod
+        g4 = (g4 * 1000039L + th4(q)) % Mod
+        q += 1
+      }
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](g1 * Mod + g2, g3 * Mod + g4))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramFpsWide =
+    copy(child = newChild)
+}
+
 object native {
   def cdc_chunks(text: Column, window: Int, divisor: Int): Column =
     Bridge.column(CdcChunks(Bridge.expression(text), window, divisor))
@@ -1300,6 +1388,8 @@ object native {
     Bridge.column(WinnowFps(Bridge.expression(text), k, w))
   def gram_fps(text: Column, k: Int): Column =
     Bridge.column(GramFps(Bridge.expression(text), k))
+  def gram_fps_wide(text: Column, k: Int): Column =
+    Bridge.column(GramFpsWide(Bridge.expression(text), k))
   def multi_contains(text: Column, patterns: Seq[String]): Column =
     Bridge.column(MultiContains(Bridge.expression(text), patterns))
   def shingle_set(tokens: Column, n: Int): Column =

@@ -1103,21 +1103,32 @@ object MultimodalOps {
     * per-frame m16 walk aggregates by minimum inside the same
     * sequential per-asset decode loop as [[videoFrameHashes]]: no
     * shuffle, no frame-list materialization, O(pixels·frames) per
-    * video at any corpus size. */
-  def detectVideoLetterbox(assets: Dataset[MediaAsset],
-      w: Int, h: Int): Dataset[VideoLetterbox] = {
+    * video at any corpus size.
+    *
+    * Frame boundaries come from each frame's OWN BMP file-size header
+    * field (bytes 2–5, little-endian) rather than a caller-supplied
+    * (w,h) stride: a payload whose frames differ in dimensions parses
+    * correctly frame by frame, and trailing partial bytes (a truncated
+    * upload) raise instead of being silently dropped. */
+  def detectVideoLetterbox(assets: Dataset[MediaAsset]): Dataset[VideoLetterbox] = {
     import assets.sparkSession.implicits._
-    val frameBytes = 54 + ((w * 3 + 3) / 4) * 4 * h
     assets.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val nF = a.payload.length / frameBytes
         var minT, minB, minL, minR = Int.MaxValue
         var fb = 0
-        var f = 0
-        while (f < nF) {
-          val one = java.util.Arrays.copyOfRange(
-            a.payload, f * frameBytes, (f + 1) * frameBytes)
+        var nF = 0
+        var off = 0
+        val p = a.payload
+        while (off < p.length) {
+          require(off + 6 <= p.length && p(off) == 'B' && p(off + 1) == 'M',
+            s"asset ${a.asset_id}: no BMP header at byte $off")
+          val sz = (p(off + 2) & 0xFF) | ((p(off + 3) & 0xFF) << 8) |
+            ((p(off + 4) & 0xFF) << 16) | ((p(off + 5) & 0xFF) << 24)
+          require(sz > 0 && off + sz <= p.length,
+            s"asset ${a.asset_id}: frame at byte $off claims $sz bytes, " +
+              s"payload has ${p.length - off} left (truncated upload?)")
+          val one = java.util.Arrays.copyOfRange(p, off, off + sz)
           val (dw, dh, rgb) = decodeRgb(one)
           val (t, b, l, r) = edgeWalk(dw, dh, rgb)
           if (t < minT) minT = t
@@ -1126,7 +1137,8 @@ object MultimodalOps {
           if (r < minR) minR = r
           if ((t + b + l + r) > 0 && (dh - t - b) > 0 && (dw - l - r) > 0)
             fb += 1
-          f += 1
+          nF += 1
+          off += sz
         }
         if (nF == 0) { minT = 0; minB = 0; minL = 0; minR = 0 }
         VideoLetterbox(a.asset_id, nF, minT, minB, minL, minR, fb,

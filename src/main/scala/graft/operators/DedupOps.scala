@@ -448,20 +448,29 @@ object DedupOps {
     * cut set is bounded by the doc's own token count — the same
     * O(row) contract as holding the tokens. Stride is fixed at 1:
     * removal must not skip windows, or uncovered boilerplate tokens
-    * survive (stride is a DETECTION sampling lever, p36). */
+    * survive (stride is a DETECTION sampling lever, p36).
+    *
+    * Fingerprint width: this path is DESTRUCTIVE (a colliding window
+    * fingerprint falsely flags a unique span as repeated and cuts real
+    * text from a kept document), so it matches on the 124-bit
+    * [[graft.functions.GramFpsWide]] pair — birthday-safe to ~2⁶²
+    * windows — where the p36 SCREEN keeps the cheaper 62-bit single
+    * long (its false positive costs one over-counted stat row, not
+    * content). */
   def removeRepeatedSpans(
       df: DataFrame, idCol: String, textCol: String,
       window: Int = 10, minDocs: Int = 2): DataFrame = {
     val toks = split(col(textCol), " ")
     val wins = df.select(col(idCol).as("doc_id"),
-        posexplode(graft.functions.native.gram_fps(col(textCol), window))
-          .as(Seq("p0", "wfp")))
-      .select(col("doc_id"), (col("p0") + 1).as("start"), col("wfp"))
-    val flagged = wins.groupBy(col("wfp"))
+        posexplode(graft.functions.native.gram_fps_wide(col(textCol), window))
+          .as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("start"),
+        col("w.f1").as("wfp"), col("w.f2").as("wfp2"))
+    val flagged = wins.groupBy(col("wfp"), col("wfp2"))
       .agg(count_distinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select(col("wfp"))
-    val cut = wins.join(flagged, Seq("wfp"), "left_semi")
+      .select(col("wfp"), col("wfp2"))
+    val cut = wins.join(flagged, Seq("wfp", "wfp2"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(window - 1)))
           .as("pos"))

@@ -61,6 +61,12 @@ object DiffOps {
     * groupBy; a quantile binning would need a global rank.
     *
     * Inputs: each side is a DataFrame with a double `score` column.
+    * The score domain is [0, 1]: NULL scores are DROPPED before
+    * binning (a null bin on each side of the full_outer equi-join
+    * could never merge — two disjoint null-bin rows whose contrib
+    * double-counts), and out-of-range scores clamp into the edge bins
+    * (bin = clamp(floor(score·n), 0, n−1), which also folds the
+    * boundary score 1.0 into the top bin instead of minting bin n).
     * Returns per-bin (bin, n_a, n_b, p_a, p_b, contrib); the total
     * drift is `sum(contrib)`, left to the caller so the per-bin
     * evidence (WHICH score region moved) stays in the result. Scale:
@@ -71,7 +77,9 @@ object DiffOps {
       nBins: Int): DataFrame = {
     require(nBins >= 1, "nBins >= 1")
     def binned(df: DataFrame, n: String) = df
-      .select(floor(col("score") * nBins).cast("int").as("bin"))
+      .filter(col("score").isNotNull)
+      .select(least(greatest(floor(col("score") * nBins), lit(0L)),
+        lit(nBins - 1L)).cast("int").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as(n))
     val j = binned(a, "n_a").join(binned(b, "n_b"), Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),

@@ -23,6 +23,22 @@ class GateInventorySpec extends AnyFunSuite {
   private val floor =
     if (DuckQueries.available) 191 else 180
 
+  // The self-disable exists for a CLEAN checkout on a machine with no
+  // coursier cache; it must NOT mask a vendoring regression where the
+  // cache HAS the jar but build.sbt failed to wire it (round-10 ADVICE:
+  // the 180-floor branch would silently pass with all 11 DuckDB gates
+  // off). If the cache can supply the jar, availability is mandatory.
+  test("DuckDB gates may not self-disable when the coursier cache has the jar") {
+    val cache = new java.io.File(sys.props("user.home"), ".cache/coursier")
+    def hasJar(f: java.io.File): Boolean =
+      f.isFile && f.getName == "duckdb_jdbc-1.0.0.jar" ||
+        (f.isDirectory && Option(f.listFiles).exists(_.exists(hasJar)))
+    if (hasJar(cache))
+      assert(DuckQueries.available,
+        "coursier cache contains duckdb_jdbc-1.0.0.jar but DuckQueries " +
+          "self-disabled — the build.sbt vendoring step regressed")
+  }
+
   test(s"gate inventory never shrinks below $floor") {
     val n = SparkEntry.queries.size
     assert(n >= floor,

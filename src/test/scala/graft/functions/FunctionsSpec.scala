@@ -26,6 +26,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sh") == viaApi)
   }
 
+  test("gram_fps_wide: f1 is bit-identical to gram_fps (same first two " +
+      "poly families), f2 is an independent pack, positions align") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val row = spark.range(1)
+      .select(
+        native.gram_fps(lit(text), 3).as("narrow"),
+        native.gram_fps_wide(lit(text), 3).as("wide"))
+      .collect().head
+    val narrow = row.getSeq[Long](0)
+    val wide = row.getSeq[org.apache.spark.sql.Row](1)
+    assert(narrow.nonEmpty && narrow.length == wide.length)
+    narrow.indices.foreach { i =>
+      assert(wide(i).getLong(0) == narrow(i),
+        s"window $i: wide.f1 ${wide(i).getLong(0)} != narrow ${narrow(i)}")
+      // both packs are h·M + h' with h,h' < 2^31−1 → strictly < 2^62
+      assert(wide(i).getLong(0) >= 0 && wide(i).getLong(1) >= 0)
+    }
+    // the second family is genuinely independent: equal-f1 windows
+    // (here: the two identical "again"-anchored windows don't exist,
+    // so just pin f2 != f1 for at least one window — families differ)
+    assert(wide.exists(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("set-backed functions are callable from SQL with array literals") {
     GraftFunctions.register(spark)
     val row = spark.sql(

@@ -103,7 +103,7 @@ class LetterboxSpec extends AnyFunSuite {
       video(2L, 16, 8)(content, barred(1), barred(1)),
       // no bars anywhere
       video(3L, 16, 8)(content, content, content)).toDS()
-    val m = MultimodalOps.detectVideoLetterbox(assets, w = 16, h = 8)
+    val m = MultimodalOps.detectVideoLetterbox(assets)
       .collect().map(a => a.asset_id -> a).toMap
 
     assert(m(1L).n_frames == 3 && m(1L).top_bars == 2 &&
@@ -113,6 +113,31 @@ class LetterboxSpec extends AnyFunSuite {
       "title card must veto the crop")
 
     assert(m(3L).frames_boxed == 0 && !m(3L).boxed)
+  }
+
+  test("video letterbox walks frames by their OWN BMP size header: " +
+      "mixed-dimension frames parse, truncated payloads raise") {
+    import spark.implicits._
+    def barred(r: Int, x: Int): Byte = if (r < 2 || r >= 6) 16 else content(r, x)
+    // frame 0 is 16x8, frame 1 is 24x8 — a fixed (w,h) stride would
+    // misparse frame 1's header mid-pixel-data
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(MultimodalOps.syntheticBmp(pixels(16, 8)(barred), 16, 8))
+    bos.write(MultimodalOps.syntheticBmp(pixels(24, 8)(barred), 24, 8))
+    val mixed = MediaAsset(9L, "video", bos.toByteArray, "s")
+    val m = MultimodalOps.detectVideoLetterbox(Seq(mixed).toDS())
+      .collect().head
+    assert(m.n_frames == 2 && m.top_bars == 2 && m.bottom_bars == 2 && m.boxed,
+      s"mixed-dims video misparsed: $m")
+
+    // trailing partial frame must raise, not silently drop
+    val full = bos.toByteArray
+    val cut = MediaAsset(10L, "video", full.dropRight(10), "s")
+    val ex = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.detectVideoLetterbox(Seq(cut).toDS()).collect()
+    }
+    assert(ex.getMessage.contains("truncated") ||
+      Option(ex.getCause).exists(_.getMessage.contains("truncated")))
   }
 
   test("planted corpus fixture round-trips through a real BMP decode " +
