@@ -49,7 +49,12 @@ object DuckQueries {
     // (DATE/TIMESTAMP/DECIMAL/SMALLINT) — populated by remote SQL from
     // NATION, never through the connector write path
     "TYPED" -> ("CREATE TABLE TYPED (K INT, D DATE, TS TIMESTAMP, " +
-      "DC DECIMAL(12,3), UT UTINYINT, SM SMALLINT)"))
+      "DC DECIMAL(12,3), UT UTINYINT, SM SMALLINT)"),
+    // decimalmode fixture (r34): int128 — the one embedded-engine type
+    // wider than Spark's Decimal128 (the reference's Decimal256 space,
+    // schema.rs:100-105). Values are planted AT the clamp boundary:
+    // 38-digit magnitudes both signs, the widest DECIMAL(38,0) holds.
+    "HUGE" -> "CREATE TABLE HUGE (K INT, H HUGEINT)")
 
   /** Remote-side derivation of the TYPED fixture — runs INSIDE DuckDB
     * after NATION lands, so every value is a deterministic function of
@@ -63,6 +68,24 @@ object DuckQueries {
       | CAST(200 + N_REGIONKEY AS UTINYINT),
       | CAST(N_NATIONKEY * 100 AS SMALLINT)
       |FROM NATION""".stripMargin.replace("\n", " ")
+
+  /** HUGE derives remotely too (int128 is not writable from Spark):
+    * even keys count DOWN from +(10^38-1), odd keys count UP from
+    * −(10³⁸−1) — 38-digit magnitudes each side of zero, exactly the
+    * widest values DECIMAL(38,0) holds — plus one NULL row. */
+  private val hugeInsert: String =
+    """INSERT INTO HUGE
+      |SELECT N_NATIONKEY,
+      | CASE WHEN N_NATIONKEY % 2 = 0
+      |  THEN CAST('99999999999999999999999999999999999999' AS HUGEINT)
+      |   - CAST(N_NATIONKEY AS HUGEINT)
+      |     * CAST('1000000000000000000000000000000' AS HUGEINT)
+      |  ELSE CAST('-99999999999999999999999999999999999999' AS HUGEINT)
+      |   + CAST(N_NATIONKEY AS HUGEINT)
+      |     * CAST('1000000000000000000000000000000' AS HUGEINT)
+      | END
+      |FROM NATION
+      |UNION ALL SELECT -1, NULL""".stripMargin.replace("\n", " ")
 
   private def fixtureDf(spark: SparkSession, dir: String,
       table: String): DataFrame = table match {
@@ -103,6 +126,8 @@ object DuckQueries {
       t -> (if (t == "UPS") upsFinalCount(spark, dir)
             else if (t == "TYPED")
               Tables.table(spark, dir, "nation").count()
+            else if (t == "HUGE")
+              Tables.table(spark, dir, "nation").count() + 1
             else fixtureDf(spark, dir, t).count())).toMap
     val c = DriverManager.getConnection(url)
     // a fresh Statement per operation: DuckDB's JDBC driver CLOSES the
@@ -127,17 +152,19 @@ object DuckQueries {
     }
     c.close()
     if (!upToDate) {
-      ddl.keys.filterNot(_ == "TYPED").foreach { table =>
+      ddl.keys.filterNot(t => t == "TYPED" || t == "HUGE").foreach { table =>
         fixtureDf(spark, dir, table)
           .write.format("graft-remote")
           .option("url", url).option("dbtable", table)
           .mode("append").save()
       }
-      // TYPED derives remotely (UTINYINT is not writable from Spark)
+      // TYPED + HUGE derive remotely (UTINYINT/HUGEINT are not
+      // writable from Spark)
       val c2 = DriverManager.getConnection(url)
       try {
         val st = c2.createStatement()
-        try st.executeUpdate(typedInsert) finally st.close()
+        try { st.executeUpdate(typedInsert); st.executeUpdate(hugeInsert) }
+        finally st.close()
       } finally c2.close()
       // keyed upsert through the staged ON CONFLICT path: n%3 keys
       // update in place, n%5 keys insert as new (r28 reads the result)
@@ -320,6 +347,22 @@ object DuckQueries {
           |FROM graftduck.main.CTAS_MART ORDER BY region_key""".stripMargin)
     }),
 
+    // DECIMAL-BEYOND-128 modes (r34, round 11 — VERDICT r10 item 5):
+    // the same int128 column read BOTH ways in one plan. Default mode
+    // stringifies losslessly (the Decimal256 gap, schema.rs:100-105);
+    // decimalmode=clamp38 keeps numeric semantics as DECIMAL(38,0) —
+    // the fixture's 38-digit boundary magnitudes are the widest values
+    // that fit, and anything wider fails the scan loudly
+    // (DuckDbSourceSpec pins the 39-digit overflow throw).
+    "r34_duckdb_decimal_clamp" -> ((s, dir) => {
+      val url = ensure(s, dir)
+      val num = remote(s, url, "dbtable" -> "HUGE", "decimalmode" -> "clamp38")
+        .select(col("K").as("k"), col("H").as("h_num"))
+      val str = remote(s, url, "dbtable" -> "HUGE")
+        .select(col("K").as("k"), col("H").as("h_str"))
+      num.join(str, Seq("k")).orderBy(col("k"))
+    }),
+
     // r10 shape: TableCatalog mount over the second backend — DuckDB's
     // default schema is `main` where Derby's is `APP`, so the mount
     // exercises namespace discovery against a different catalog layout
@@ -382,6 +425,22 @@ object DuckQueries {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 1000.0 AND n_regionkey < 4
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "r34_duckdb_decimal_clamp" ->
+      """WITH h AS (
+        | SELECT n_nationkey AS k,
+        |  CASE WHEN n_nationkey % 2 = 0
+        |   THEN CAST('99999999999999999999999999999999999999' AS HUGEINT)
+        |    - CAST(n_nationkey AS HUGEINT)
+        |      * CAST('1000000000000000000000000000000' AS HUGEINT)
+        |   ELSE CAST('-99999999999999999999999999999999999999' AS HUGEINT)
+        |    + CAST(n_nationkey AS HUGEINT)
+        |      * CAST('1000000000000000000000000000000' AS HUGEINT)
+        |  END AS hv
+        | FROM nation
+        | UNION ALL SELECT -1, NULL)
+        |SELECT k, CAST(hv AS DECIMAL(38,0)) AS h_num,
+        | CAST(hv AS VARCHAR) AS h_str
+        |FROM h ORDER BY k""".stripMargin,
     "r31_duckdb_types" ->
       """SELECT n_nationkey AS k,
         | DATE '2020-01-01' + CAST(n_nationkey AS INT) AS d,

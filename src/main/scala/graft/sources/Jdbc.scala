@@ -341,8 +341,41 @@ object Jdbc {
       case Types.TIMESTAMP => RTimestampNtz
       case Types.TIMESTAMP_WITH_TIMEZONE => RTimestampTz
       case Types.ARRAY => RArray(RText) // element type unknowable via JDBC alone
+      // DuckDB int128 (HUGEINT/UHUGEINT): the driver reports
+      // JAVA_OBJECT with precision 0, but getBigDecimal reads the full
+      // 39-digit value exactly — the one embedded-engine type wider
+      // than Decimal128, i.e. the live decimalmode surface
+      case _ if typeName.equalsIgnoreCase("HUGEINT") ||
+        typeName.equalsIgnoreCase("UHUGEINT") => RDecimal(39, 0)
       case _ => RText // conservative: render as string
     }
+  }
+
+  /** Apply the decimalmode option to an inferred schema: under
+    * `clamp38`, remote decimals wider than Decimal128 trade the default
+    * lossless stringify for numeric semantics with loud overflow. */
+  private[sources] def applyDecimalMode(rs: RemoteSchema,
+      opts: RemoteOptions): RemoteSchema =
+    if (opts.decimalMode != "clamp38") rs
+    else RemoteSchema(rs.fields.map { f =>
+      f.tpe match {
+        case RemoteType.RDecimal(p, s) if p > DecimalType.MAX_PRECISION =>
+          f.copy(tpe = RemoteType.RDecimalClamp(p, s))
+        case _ => f
+      }
+    })
+
+  /** Shared clamp38 decode: exact when the rescaled value fits
+    * DECIMAL(38, clampedScale), ArithmeticException otherwise. */
+  private def clampDecode(v: java.math.BigDecimal, f: RemoteField,
+      s: Int): Decimal = {
+    val scaled = v.setScale(s, java.math.RoundingMode.HALF_UP)
+    if (scaled.precision > DecimalType.MAX_PRECISION)
+      throw new ArithmeticException(
+        s"decimalmode=clamp38: column ${f.name} (remote ${f.tpe.typeName}) " +
+          s"value ${v.toPlainString} does not fit DECIMAL(38,$s) — use the " +
+          "default decimalmode=string for lossless reads of this column")
+    Decimal(BigDecimal(scaled), DecimalType.MAX_PRECISION, s)
   }
 
   /** Infer the remote schema: system-catalog inference first for table
@@ -361,7 +394,7 @@ object Jdbc {
       }
       viaCatalog.getOrElse(probeSchema(c, opts))
     }
-    overlayStructCols(inferred, opts.structCols)
+    applyDecimalMode(overlayStructCols(inferred, opts.structCols), opts)
   }
 
   /** Re-type user-declared struct columns: the remote probe sees a
@@ -531,6 +564,10 @@ object Jdbc {
         val v = rs.getBigDecimal(i)
         if (v == null) null else UTF8String.fromString(v.toPlainString)
       }
+      case c @ RDecimalClamp(_, _) => (rs, i) => { // decimalmode=clamp38
+        val v = rs.getBigDecimal(i)
+        if (v == null) null else clampDecode(v, f, c.clampedScale)
+      }
       case RChar(_) | RVarchar(_) | RText | RJson | RXml => (rs, i) => {
         val v = rs.getString(i)
         if (v == null) null else UTF8String.fromString(v)
@@ -638,6 +675,12 @@ object Jdbc {
         val v = rs.getBigDecimal(i)
         if (v == null) vec.putNull(row) else putStr(vec, row, v.toPlainString)
       }
+      case c @ RDecimalClamp(_, _) => (rs, i, vec, row) => { // clamp38
+        val v = rs.getBigDecimal(i)
+        if (v == null) vec.putNull(row)
+        else vec.putDecimal(row, clampDecode(v, f, c.clampedScale),
+          DecimalType.MAX_PRECISION)
+      }
       case RChar(_) | RVarchar(_) | RText | RJson | RXml => (rs, i, vec, row) => {
         val v = rs.getString(i)
         if (v == null) vec.putNull(row) else putStr(vec, row, v)
@@ -692,6 +735,11 @@ object Jdbc {
         }
       case RDecimal(_, _) => (rs, i) => {
         val v = rs.getBigDecimal(i); if (v == null) null else v.toPlainString
+      }
+      case c @ RDecimalClamp(_, _) => (rs, i) => { // clamp38: external form
+        val v = rs.getBigDecimal(i)
+        if (v == null) null
+        else BigDecimal(clampDecode(v, f, c.clampedScale).toJavaBigDecimal)
       }
       case RChar(_) | RVarchar(_) | RText | RJson | RXml => (rs, i) => rs.getString(i)
       case RBinary | RFixedBinary(_) | RUuid | RGeometry => (rs, i) => rs.getBytes(i)

@@ -52,6 +52,16 @@ final case class RemoteOptions(map: Map[String, String]) extends Serializable {
   /** Rows per ColumnarBatch on the columnar read path. */
   def columnarBatchSize: Int = map.getOrElse("columnarbatchsize", "4096").toInt
   def literalInsert: Boolean = map.getOrElse("literalinsert", "false").toBoolean
+  /** Remote decimals wider than Decimal128: "string" (default — exact,
+    * loses numeric semantics) or "clamp38" (DECIMAL(38, min(s,38)) with
+    * a loud decode failure on overflow; reference schema.rs:100-105
+    * maps these to Decimal256, which Spark cannot hold). */
+  def decimalMode: String = {
+    val m = map.getOrElse("decimalmode", "string")
+    require(m == "string" || m == "clamp38",
+      s"decimalmode must be 'string' or 'clamp38': $m")
+    m
+  }
   /** Cap on concurrent write tasks (batch writes): Spark repartitions
     * the write stage to exactly N tasks via the sink's
     * RequiresDistributionAndOrdering contract. Unset = write with the

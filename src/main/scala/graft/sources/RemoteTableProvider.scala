@@ -40,7 +40,9 @@ class RemoteTableProvider extends TableProvider with DataSourceRegister {
       case Some(other) => throw new IllegalArgumentException(
         s"unknown command '$other' (supported: list_tables, pool_state)")
       case None =>
-        opts.transform.transformSchema(Jdbc.inferSchema(opts).toSpark)
+        val remote = Jdbc.inferSchema(opts)
+        opts.transform.transformSchema(remote.toSpark,
+          TransformContext(opts.dialect.name, remote.toSpark, remote))
     }
   }
 
@@ -96,10 +98,16 @@ class RemoteTableImpl(val opts: RemoteOptions, userSchema: Option[StructType],
     }
   }
 
+  /** Context handed to the user Transform (reference `transform.rs:17-21`:
+    * db_type + table_schema + remote_schema). */
+  lazy val transformContext: TransformContext =
+    TransformContext(opts.dialect.name, remoteSchema.toSpark, remoteSchema)
+
   /** Spark schema after the user Transform (reference
     * `transformed_table_schema`, `transform.rs:169-192`). */
   lazy val transformedSchema: StructType = userSchema.filter(_.nonEmpty)
-    .getOrElse(opts.transform.transformSchema(remoteSchema.toSpark))
+    .getOrElse(opts.transform.transformSchema(remoteSchema.toSpark,
+      transformContext))
 
   override def name(): String = opts.source match {
     case RemoteSource.TableRef(p) => p.mkString(".")
@@ -257,7 +265,9 @@ class RemoteScanBuilder(private var table: RemoteTableImpl)
   /** transformed name -> raw source column (identity without transform). */
   private def renameForPushdown(name: String): Option[String] = {
     val mapped =
-      if (hasTransform) opts.transform.filterRename(name) else Some(name)
+      if (hasTransform)
+        opts.transform.filterRename(name, table.transformContext)
+      else Some(name)
     // only push filters on columns that exist remotely
     mapped.filter(m => table.remoteSchema.fields.exists(_.name.equalsIgnoreCase(m)))
   }
@@ -1076,7 +1086,8 @@ class TransformRowReader(
   private val toCatalyst =
     CatalystTypeConverters.createToCatalystConverter(required)
   private val out: Iterator[InternalRow] =
-    opts.transform.transform(rawRows, rawSchema).map { row =>
+    opts.transform.transform(rawRows, rawSchema,
+      TransformContext(opts.dialect.name, rawSchema, remoteSchema)).map { row =>
       val vals = projIdx.map(row.get).toIndexedSeq
       toCatalyst(org.apache.spark.sql.Row.fromSeq(vals))
         .asInstanceOf[InternalRow]

@@ -36,10 +36,27 @@ object RemoteType {
   case object RFloat8 extends RemoteType { val toSpark = DoubleType; val typeName = "DOUBLE" }
   final case class RDecimal(precision: Int, scale: Int) extends RemoteType {
     // p <= 38 fits DecimalType (Arrow Decimal128); beyond that the
-    // reference uses Decimal256 which Spark cannot hold -> string.
+    // reference uses Decimal256 (schema.rs:100-105) which Spark cannot
+    // hold -> string by default. decimalmode=clamp38 opts into
+    // [[RDecimalClamp]] instead (numeric semantics, loud overflow).
     val toSpark: DataType =
       if (precision <= DecimalType.MAX_PRECISION) DecimalType(precision, scale)
       else StringType
+    val typeName = s"DECIMAL($precision,$scale)"
+  }
+  /** Opt-in numeric mode for remote decimals wider than Spark's
+    * Decimal128 (`decimalmode=clamp38`): a remote DECIMAL(p>38,s) —
+    * the reference maps p≤76 to Arrow Decimal256, schema.rs:100-105 —
+    * reads as Spark DECIMAL(38, min(s,38)). Values that FIT decode
+    * exactly and keep arithmetic usable; a value whose integer digits
+    * exceed the clamped precision fails the scan LOUDLY (an
+    * ArithmeticException naming column and value) rather than
+    * truncating silently. The default mode remains the lossless
+    * stringify ([[RDecimal]] p>38). `precision`/`scale` keep the
+    * remote-native declaration, so Transforms see the true width. */
+  final case class RDecimalClamp(precision: Int, scale: Int) extends RemoteType {
+    val clampedScale: Int = math.min(scale, DecimalType.MAX_PRECISION)
+    val toSpark: DataType = DecimalType(DecimalType.MAX_PRECISION, clampedScale)
     val typeName = s"DECIMAL($precision,$scale)"
   }
   final case class RChar(length: Int) extends RemoteType { val toSpark = StringType; val typeName = s"CHAR($length)" }

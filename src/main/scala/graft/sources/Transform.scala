@@ -33,12 +33,45 @@ import org.apache.spark.sql.types.StructType
   * Implementations must have a no-arg constructor (instantiated from
   * the option map on executors) and be pure row-level functions —
   * they run once per partition per task.
+  *
+  * CONTEXT: the reference hands its transform the database type, the
+  * Spark-side table schema AND the remote-native schema
+  * (`transform.rs:17-21` — `db_type`, `table_schema`, `remote_schema`);
+  * a transform that must branch on the remote-native type (TIME decoded
+  * as µs-long vs a plain long column, decimal>38 carried as string)
+  * cannot do so from the Spark schema alone. The ctx-taking overloads
+  * carry that parity; their defaults delegate to the legacy signatures
+  * so existing transforms keep working unchanged.
   */
 trait Transform extends Serializable {
   def transformSchema(schema: StructType): StructType
   def transform(rows: Iterator[Row], schema: StructType): Iterator[Row]
   def filterRename(transformedColumn: String): Option[String] = None
+
+  /** Context-aware overloads (reference `transform.rs:17-33`). The
+    * source calls THESE; the defaults forward to the legacy methods. */
+  def transformSchema(schema: StructType, ctx: TransformContext): StructType =
+    transformSchema(schema)
+  def transform(rows: Iterator[Row], schema: StructType,
+      ctx: TransformContext): Iterator[Row] =
+    transform(rows, schema)
+  def filterRename(transformedColumn: String,
+      ctx: TransformContext): Option[String] =
+    filterRename(transformedColumn)
 }
+
+/** What the source knows about the table it is transforming — the port
+  * of the reference's transform args (`transform.rs:17-21`):
+  * `dbType` = dialect name ("derby", "duckdb", "postgres", …),
+  * `tableSchema` = the raw Spark-side schema (pre-transform),
+  * `remoteSchema` = the remote-NATIVE column types, which distinguish
+  * cases the Spark schema collapses (TIME→long, unsigned widenings,
+  * decimal precision > 38 → string). Serializable: it rides into the
+  * per-partition reader task next to the transform itself. */
+final case class TransformContext(
+    dbType: String,
+    tableSchema: StructType,
+    remoteSchema: RemoteSchema) extends Serializable
 
 /** Default no-op transform (reference `DefaultTransform`): values pass
   * through untouched, so filter pushdown under the same name is sound. */

@@ -139,6 +139,60 @@ class DuckDbSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("decimalmode: int128 stringifies by default, clamp38 reads " +
+      "DECIMAL(38,0) exactly at the 38-digit boundary, 39 digits " +
+      "fail LOUDLY (reference Decimal256 space, schema.rs:100-105)") {
+    ifDriver {
+      fixture
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE OR REPLACE TABLE HS (ID INT, H HUGEINT)")
+        // 38 digits (the widest DECIMAL(38,0) value) + null + small
+        st.execute("INSERT INTO HS VALUES " +
+          "(1, CAST('99999999999999999999999999999999999999' AS HUGEINT))," +
+          "(2, CAST('-99999999999999999999999999999999999999' AS HUGEINT))," +
+          "(3, 42), (4, NULL)")
+        // 39 digits: int128 max, beyond Decimal128
+        st.execute("CREATE OR REPLACE TABLE HO (ID INT, H HUGEINT)")
+        st.execute("INSERT INTO HO VALUES " +
+          "(1, CAST('170141183460469231731687303715884105727' AS HUGEINT))")
+        st.close()
+      } finally c.close()
+
+      // default: lossless stringify, including the 39-digit value
+      val str = remote("dbtable" -> "HO").select(col("H")).collect()
+      assert(str.head.getString(0) ==
+        "170141183460469231731687303715884105727")
+      assert(remote("dbtable" -> "HS").schema("H").dataType ==
+        org.apache.spark.sql.types.StringType)
+
+      // clamp38: numeric semantics; boundary values decode exactly
+      val num = remote("dbtable" -> "HS", "decimalmode" -> "clamp38")
+      assert(num.schema("H").dataType ==
+        org.apache.spark.sql.types.DecimalType(38, 0))
+      val byId = num.collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+      assert(byId(1).toPlainString ==
+        "99999999999999999999999999999999999999")
+      assert(byId(2).toPlainString ==
+        "-99999999999999999999999999999999999999")
+      assert(byId(3).intValueExact == 42 && byId(4) == null)
+
+      // overflow is loud, names the column, and suggests the way out —
+      // on BOTH decode paths (columnar default + row reader)
+      Seq("true", "false").foreach { columnar =>
+        val ex = intercept[Exception] {
+          remote("dbtable" -> "HO", "decimalmode" -> "clamp38",
+            "columnarread" -> columnar).collect()
+        }
+        val msg = Iterator.iterate[Throwable](ex)(_.getCause)
+          .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+        assert(msg.contains("clamp38") && msg.contains("H") &&
+          msg.contains("decimalmode=string"), s"columnar=$columnar: $msg")
+      }
+    }
+  }
+
   test("filter + projection push into the remote SQL") {
     ifDriver {
       ScanSqlLog.clear()

@@ -35,6 +35,51 @@ class RenameTransform extends Transform {
   }
 }
 
+/** Context-aware transform (reference `transform.rs:17-21` hands
+  * db_type + table_schema + remote_schema): renders every column whose
+  * REMOTE-native type is TIME as an "HH:mm:ss" string. The branch is
+  * impossible from the Spark schema alone — TIME decodes to a µs-of-day
+  * LongType indistinguishable from the plain BIGINT sitting next to it
+  * in ALL_TYPES. The legacy no-ctx overloads throw, proving the source
+  * calls the ctx forms. */
+class TimeRenderTransform extends Transform {
+  private def boom = throw new IllegalStateException(
+    "source must call the ctx-taking overload")
+  override def transformSchema(schema: StructType): StructType = boom
+  override def transform(rows: Iterator[Row], schema: StructType): Iterator[Row] = boom
+
+  private def timeCols(ctx: TransformContext): Set[String] =
+    ctx.remoteSchema.fields
+      .filter(_.tpe == RemoteType.RTime).map(_.name).toSet
+
+  override def transformSchema(schema: StructType,
+      ctx: TransformContext): StructType = {
+    require(ctx.dbType == "derby", s"unexpected dbType ${ctx.dbType}")
+    require(ctx.tableSchema == schema, "tableSchema must be the raw schema")
+    val times = timeCols(ctx)
+    StructType(schema.fields.map(f =>
+      if (times(f.name)) f.copy(dataType = StringType) else f))
+  }
+  override def transform(rows: Iterator[Row], schema: StructType,
+      ctx: TransformContext): Iterator[Row] = {
+    val times = timeCols(ctx)
+    val idx = schema.fields.zipWithIndex
+      .collect { case (f, i) if times(f.name) => i }.toSet
+    rows.map { r =>
+      Row.fromSeq(r.toSeq.zipWithIndex.map {
+        case (v: Long, i) if idx(i) =>
+          val s = v / 1000000L
+          f"${s / 3600}%02d:${s % 3600 / 60}%02d:${s % 60}%02d"
+        case (v, _) => v
+      })
+    }
+  }
+  // values of TIME columns changed → veto their pushdown; everything
+  // else passes through by name (also a remote-type-driven branch)
+  override def filterRename(c: String, ctx: TransformContext): Option[String] =
+    if (timeCols(ctx)(c)) None else Some(c)
+}
+
 object DerbyFixture {
   System.setProperty("derby.stream.error.file", "/tmp/derby.log")
   val dbPath = s"/tmp/graft_derby_${System.nanoTime()}"
@@ -533,6 +578,26 @@ class RemoteSourceSpec extends AnyFunSuite {
     val row = filtered.collect().head
     assert(row.getAs[String]("name_up") == "BRAZIL")
     assert(row.getAs[Int]("name_len") == 6)
+  }
+
+  test("transform receives dialect + remote-native schema (reference " +
+      "transform.rs:17-21): branch on TIME-as-long vs plain BIGINT") {
+    val df = remote("dbtable" -> "ALL_TYPES",
+      "transformclass" -> "graft.sources.TimeRenderTransform")
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // both are LongType in the RAW Spark schema; only the remote schema
+    // tells them apart — C_TIME got rendered, C_BIGINT untouched
+    assert(byName("C_TIME") == StringType, s"schema: ${df.schema}")
+    assert(byName("C_BIGINT") == LongType)
+    val rows = df.select(col("C_TIME"), col("C_BIGINT"))
+      .collect().sortBy(r => Option(r.getAs[String](0)).getOrElse(""))
+    assert(rows.map(_.getAs[String]("C_TIME")).toSeq == Seq(null, "10:30:45"))
+    assert(rows(1).getAs[Long]("C_BIGINT") == 1234567890123L)
+    // pushdown: a filter on the rendered TIME column is vetoed (filter
+    // still applied by Spark), one on an untouched column pushes down
+    assert(df.filter(col("C_TIME") === "10:30:45").count() == 1)
+    val pushed = df.filter(col("C_INT") === 42)
+    assert(pushed.count() == 1)
   }
 
   test("filter on computed transform column is NOT pushed but still correct") {
