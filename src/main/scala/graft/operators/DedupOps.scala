@@ -282,9 +282,13 @@ object DedupOps {
     * Plan shape: one shuffle to count shingle document frequencies,
     * one equi-join to rank + one regroup to sort/slice each document's
     * prefix, then the shared [[LshJoin]] bucket machinery on prefix
-    * shingles (+ the PPJoin length filter) and an exact |∩|/|∪|
-    * verification attach. Candidate volume ∝ Σ_prefix-shingle
-    * bucket² — bounded by rare-shingle frequencies, in practice ≪ n².
+    * shingles (+ the PPJoin length AND positional filters) and an
+    * exact |∩|/|∪| verification attach. Candidate volume ∝
+    * Σ_prefix-shingle bucket² — bounded by rare-shingle frequencies,
+    * in practice ≪ n²; the positional filter then refutes candidates
+    * whose overlap upper bound cannot reach τ BEFORE the shingle-array
+    * attach (the expensive step), riding the same exchange the
+    * pair-dedup already paid.
     *
     * Scale caveat: the rare-prefix bound assumes the shingle universe
     * GROWS with the corpus (true of natural text — n-gram universes
@@ -297,7 +301,8 @@ object DedupOps {
     * (p05/p31) remains the first pass and this operator the exact
     * confirm stage on its survivors. */
   def setSimJoinExact(df: DataFrame, idCol: String, textCol: String,
-      tau: Double, ngram: Int = 3): DataFrame = {
+      tau: Double, ngram: Int = 3,
+      candObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(tau > 0 && tau < 1, s"tau must be in (0,1): $tau")
     // shingle IDENTITY only, never text: 8-byte hashed shingles
     // (native ShingleHashSet — no concatenated strings built) make the
@@ -331,22 +336,61 @@ object DedupOps {
     // capped size can only under-reject), and the float comparison
     // carries a 1e-6 slack so a boundary pair with min = tau·max
     // exactly can never be lost to double rounding.
+    // POSITIONAL FILTER (the third canonical PPJoin component, Xiao et
+    // al. WWW'08): each banded row also carries the matching prefix
+    // token's 1-based position in the document's frequency-sorted
+    // shingle list, packed with the size into the id's low 24 bits
+    // (id·2²⁴ + sz·2¹² + pos — ids must fit 39 bits; corpora with
+    // wider ids should pre-map to a surrogate row_number). Key fact:
+    // any SHARED token ordered before the m-th prefix match t_m sits
+    // at positions below (i_m, j_m) in both sorted lists — positions
+    // that are inside BOTH prefixes — so it is itself a prefix match.
+    // Shared-before-or-at t_m is therefore EXACTLY m, giving the tight
+    // per-match bound
+    //   |A∩B| ≤ m + min(|A|−i_m, |B|−j_m)
+    // valid for every m; the pair is refuted when the MINIMUM over its
+    // matches falls below the required overlap α = τ/(1+τ)·(|A|+|B|).
+    // Saturated sizes (sz = 4095) make positions inexact, so those
+    // pairs skip the positional test — it can only ever under-reject.
     val banded = prefix.join(sets.select(col("id"),
           least(size(col("sh")), lit(4095)).cast("long").as("sz")), "id")
-      .select((col("id") * 4096 + col("sz")).as("id"),
-        explode(col("pre")).as("t"))
+      .select((col("id") * 16777216L + col("sz") * 4096L).as("idsz"),
+        posexplode(col("pre")).as(Seq("p0", "t")))
+      .select((col("idsz") + least(col("p0") + 1, lit(4095))).as("id"),
+        col("t"))
     // maxBucket = MaxValue: prefix filtering is EXACT — dropping a hot
     // bucket would break the zero-false-negative contract, and the
     // prefix construction is itself the skew bound (see scaladoc)
-    val cands = LshJoin.candidatesRaw(banded, Seq("t"), maxBucket = Int.MaxValue)
-      .select((col("id_a") / 4096).cast("long").as("id_a"),
-        (col("id_a") % 4096).as("sz_a"),
-        (col("id_b") / 4096).cast("long").as("id_b"),
-        (col("id_b") % 4096).as("sz_b"))
+    val raw = LshJoin.candidatesRaw(banded, Seq("t"), maxBucket = Int.MaxValue)
+      .select((col("id_a") / 16777216L).cast("long").as("id_a"),
+        // `/` is DOUBLE division in Spark SQL: cast to long BEFORE the
+        // modulo or the size comes back fractional (pos/4096 leaks in)
+        // and perturbs the bound exactly at the tau boundary
+        ((col("id_a") / 4096).cast("long") % 4096).as("sz_a"),
+        (col("id_a") % 4096).as("pos_a"),
+        (col("id_b") / 16777216L).cast("long").as("id_b"),
+        ((col("id_b") / 4096).cast("long") % 4096).as("sz_b"),
+        (col("id_b") % 4096).as("pos_b"))
       .filter(least(col("sz_a"), col("sz_b")).cast("double")
         >= greatest(col("sz_a"), col("sz_b")) * tau - 1e-6)
+    val grouped = raw
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(array_sort(collect_list(struct(col("pos_a"), col("pos_b"))))
+          .as("ps"),
+        max(col("sz_a")).as("sz_a"), max(col("sz_b")).as("sz_b"))
+      .withColumn("ub", array_min(zip_with(
+        col("ps"), sequence(lit(1), size(col("ps"))),
+        (p, m) => m + least(col("sz_a") - p.getField("pos_a"),
+          col("sz_b") - p.getField("pos_b")))))
+      .withColumn("pos_keep",
+        col("sz_a") >= 4095 || col("sz_b") >= 4095 ||
+          col("ub").cast("double")
+            >= (col("sz_a") + col("sz_b")) * lit(tau / (1 + tau)) - 1e-6)
+    val watched = candObs.fold(grouped)(o => grouped.observe(o,
+      count(lit(1)).as("pairs_after_length"),
+      sum(when(col("pos_keep"), 1L).otherwise(0L)).as("pairs_after_positional")))
+    val cands = watched.filter(col("pos_keep"))
       .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
     LshJoin.attach(cands, sets, "sh")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= tau)

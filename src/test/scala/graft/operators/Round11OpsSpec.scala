@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Round-11 operator additions: the PPJoin POSITIONAL filter (Xiao et
+  * al. WWW'08) inside [[DedupOps.setSimJoinExact]].
+  */
+class Round11OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("positional filter refutes candidates before verification " +
+      "(observable reduction) without changing the result") {
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+    val obs = Observation("p69_pos")
+    val got = DedupOps.setSimJoinExact(docs, "doc_id", "text",
+      tau = 0.65, candObs = Some(obs))
+    val n = got.count()
+    val after = obs.get("pairs_after_positional").asInstanceOf[Long]
+    val before = obs.get("pairs_after_length").asInstanceOf[Long]
+    info(s"length-filtered candidates: $before, " +
+      s"after positional: $after (${before - after} refuted), " +
+      s"true pairs: $n")
+    assert(after <= before)
+    assert(after < before,
+      "positional filter refuted nothing on the fixture — wiring broken?")
+    assert(n > 0, "fixture must contain near-dup pairs")
+  }
+
+  test("positional filter keeps EXACTLY the tau-boundary pair the " +
+      "round-11 double-division bug dropped (J == tau, mixed sizes)") {
+    // |A|=5, |B|=2 shingle sets sharing 2 -> J = 2/5 = tau exactly;
+    // the fractional-size unpack refuted it (ub 2.000244 < alpha-eps)
+    val docs = Seq(
+      4L -> "d e b a a c d",
+      9L -> "e b a a").toDF("doc_id", "text")
+    val got = DedupOps.setSimJoinExact(docs, "doc_id", "text", tau = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((4L, 9L, 0.4)), s"got $got")
+  }
+}
