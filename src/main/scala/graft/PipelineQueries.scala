@@ -407,6 +407,20 @@ object PipelineQueries {
     // One corpus pass for scoring + ONE O(sources) aggregate; the
     // weight table is derived entirely in-plan (no driver round-trip)
     // and broadcasts back. Zero corpus shuffle.
+    // BPE-MERGE TOKENIZER TRAINING (p81, round 11 — VERDICT r10 item
+    // 6): 8 rounds of pair-count -> argmax -> greedy re-segmentation
+    // over the word-frequency table (state ∝ |distinct words|, never
+    // corpus rows; O(1) driver rows per round). The output IS the
+    // learned merge table — step 8 on the fixture merges a previously
+    // MERGED symbol ('p'+'ar'), so the oracle replay exercises the
+    // recursive structure, not just first-round pair counting. The
+    // DuckDB oracle unrolls the same 8 rounds (generated SQL), with
+    // the identical greedy left-to-right fold and (count desc, lsym,
+    // rsym) tie-break.
+    "p81_bpe_train" -> ((s, dir) =>
+      graft.operators.LmOps.bpeTrain(docs(s, dir), "text", nMerges = 8)
+        .orderBy(col("step"))),
+
     "p80_quality_mixture" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.select(col("doc_id"), col("source"),
@@ -1898,8 +1912,50 @@ object PipelineQueries {
        | FROM agg)""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.operators.LmOps.bpeTrain]]: the same
+    * `nMerges` rounds UNROLLED as generated CTE stages. Each stage
+    * counts adjacent pairs over the previous symbol state (list_zip of
+    * the two shifted slices), takes the argmax under the identical
+    * (count desc, lsym, rsym) tie-break, and re-segments with the same
+    * greedy left-to-right fold — spelled as a string fold over
+    * chr(1)-separated symbols because DuckDB's list_reduce accumulator
+    * must match the element type: merging appends the right symbol
+    * WITHOUT a separator (the merged symbol is literally lsym||rsym),
+    * and `regexp_extract(acc, '[^\x01]*$')` reads the current last
+    * symbol so a just-merged symbol participates in later matches
+    * exactly like the Spark fold's element_at(acc, -1). */
+  private def bpeOracleSql(nMerges: Int): String = {
+    def stage(k: Int): String =
+      s"""p$k AS (SELECT struct_extract(z, 1) AS l,
+         |    struct_extract(z, 2) AS r, sum(freq) AS c
+         |  FROM (SELECT freq,
+         |      unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z
+         |    FROM s${k - 1} WHERE len(syms) > 1)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |s$k AS (SELECT word, freq,
+         |  string_split(substr(list_reduce(list_prepend('', syms),
+         |    (acc, x) -> CASE WHEN x = b.r AND acc != ''
+         |        AND regexp_extract(acc, '[^\\x01]*$$') = b.l
+         |      THEN acc || x ELSE acc || chr(1) || x END), 2), chr(1)) AS syms
+         |  FROM s${k - 1}, b$k b)""".stripMargin
+    """WITH w0 AS (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word != '' AND regexp_matches(word, '^[a-z0-9]+$')
+      |  GROUP BY word),
+      |s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM w0),
+      |""".stripMargin +
+      (1 to nMerges).map(stage).mkString(",\n") + "\n" +
+      (1 to nMerges).map(k =>
+        s"SELECT $k AS step, l AS lsym, r AS rsym, c FROM b$k")
+        .mkString("\nUNION ALL ") +
+      "\nORDER BY step"
+  }
+
   /** DuckDB equivalents — every pipeline gate carries one. */
   val oracle: Map[String, String] = Map(
+    "p81_bpe_train" -> bpeOracleSql(8),
     // host derivation + suffix expansion + most-specific-first match,
     // rebuilt with list lambdas
     "p49_domain_block" ->

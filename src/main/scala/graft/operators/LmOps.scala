@@ -321,4 +321,92 @@ object LmOps {
         col("v1_singletons").cast("double") / col("n_tokens"))
       .withColumn("ttr", col("v_types").cast("double") / col("n_tokens"))
   }
+
+  /** DISTRIBUTED BPE-MERGE TOKENIZER TRAINING (Sennrich et al. 2016) —
+    * the missing standard LLM-pipeline operator (p13 counts with a
+    * FIXED pattern; p47/p78 size vocabularies but never learn merges).
+    * Returns the learned merge table: (step, lsym, rsym, c) — step's
+    * merged pair and its corpus-weighted adjacency count.
+    *
+    * The classic reduction: training state is the WORD-FREQUENCY table
+    * (word, freq, symbol list), never the corpus — one counting shuffle
+    * builds it, and every merge round operates on |distinct words| rows
+    * regardless of corpus size. Each round: adjacent symbol pairs
+    * explode with the word's freq as weight, ONE map-side-combined
+    * groupBy counts them, and the argmax pair (ties broken
+    * deterministically: highest count, then lexicographically smallest
+    * lsym, then rsym) comes to the driver — O(1) rows per round,
+    * O(nMerges) total driver traffic, the same bounded-collect contract
+    * as [[unigramProbs]]. The merge then applies per row as a greedy
+    * left-to-right fold (codegen'd `aggregate` HOF — a just-merged
+    * symbol never re-merges as the RIGHT side of the same pair, but
+    * participates in later rounds, the standard semantics), so
+    * re-segmentation is shuffle-free.
+    *
+    * Words are restricted to `^[a-z0-9]+$` so the char-level seeding is
+    * engine-exact (no grapheme-splitting ambiguity across engines).
+    * Partition-invariant: counts are exact integers and the tie-break
+    * is total. Scale: nMerges jobs over the persisted word table —
+    * at 100 TB the word table is ~10⁷ rows (Heaps' law), pennies per
+    * round next to the one corpus-counting shuffle. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 4096, s"nMerges in [1,4096]: $nMerges")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        // (?=.) splits before every char: no zero-width match at the
+        // end (no trailing empty symbol), and Java never emits the
+        // empty leading substring for a zero-width match at start
+        split(col("word"), "(?=.)").as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var step = 1
+      var exhausted = false
+      while (step <= nMerges && !exhausted) {
+        val best = state.filter(size(col("syms")) > 1)
+          .select(col("freq"), posexplode(slice(col("syms"), lit(1),
+            size(col("syms")) - 1)).as(Seq("p", "l")),
+            col("syms"))
+          .select(col("l"), element_at(col("syms"), col("p") + 2).as("r"),
+            col("freq"))
+          .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, c) = (best.head.getString(0), best.head.getString(1),
+            best.head.getLong(2))
+          merges += ((step, l, r, c))
+          // greedy left-to-right merge fold; literals are cheap to
+          // inline in the per-element lambda (the p23 rule)
+          val next = state.withColumn("syms",
+            aggregate(col("syms"),
+              array().cast(org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, containsNull = false)),
+              (acc, x) => when(
+                size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(element_at(acc, -1), x))))
+                .otherwise(concat(acc, array(x)))))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // materialize before unpersisting the parent (iterative-op
+          // discipline from ClusterOps: never free a live dependency)
+          next.count()
+          if (state ne words) state.unpersist(blocking = false)
+          state = next
+          step += 1
+        }
+      }
+    } finally {
+      if (state ne words) state.unpersist(blocking = false)
+      words.unpersist(blocking = false)
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lsym", "rsym", "c")
+  }
 }

@@ -31,6 +31,34 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(n > 0, "fixture must contain near-dup pairs")
   }
 
+  test("bpeTrain: merge order pinned on a hand corpus (deterministic " +
+      "tie-break, merged symbols participate in later rounds)") {
+    // freqs: 'aab' x3, 'ab' x2, 'bb' x2 -> pairs: (a,b) 5, (a,a) 3,
+    // (b,b) 2. Round 1 merges (a,b); round 2 sees 'a ab' x3, 'ab' x2,
+    // 'bb' x2 -> (a,ab) 3 beats (b,b) 2; round 3 merges (b,b).
+    val docs = Seq(
+      1L -> "aab aab ab bb",
+      2L -> "aab ab bb").toDF("doc_id", "text")
+    val got = LmOps.bpeTrain(docs, "text", nMerges = 3)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "a", "b", 5L), (2, "a", "ab", 3L),
+      (3, "b", "b", 2L)), s"got $got")
+  }
+
+  test("bpeTrain is partition-invariant and exhausts gracefully") {
+    val docs = Seq(1L -> "xy xy zw").toDF("doc_id", "text")
+    // only 2 mergeable pairs exist; asking for 8 stops at 2
+    val a = LmOps.bpeTrain(docs, "text", nMerges = 8)
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(a == Set((1, "x", "y", 2L), (2, "z", "w", 1L)))
+    val big = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val one = LmOps.bpeTrain(big.repartition(1), "text", 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val many = LmOps.bpeTrain(big.repartition(13), "text", 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(one == many, s"partitioning changed the merge table:\n$one\n$many")
+  }
+
   test("positional filter keeps EXACTLY the tau-boundary pair the " +
       "round-11 double-division bug dropped (J == tau, mixed sizes)") {
     // |A|=5, |B|=2 shingle sets sharing 2 -> J = 2/5 = tau exactly;
