@@ -1,0 +1,99 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-volume regression pins for the suite's heaviest gates
+  * (round-11, VERDICT r10 item 7): a future plan regression that
+  * re-shuffles payloads (shingle arrays, pixel rows, full vectors)
+  * where today only ids/fingerprints ride the exchange should fail
+  * `sbt test` — not wait for a bench read two rounds later.
+  *
+  * Each pin runs the REGISTERED gate at sf0.01 under the bench action
+  * (`toRdd.count`) with a task-metrics listener summing shuffle WRITE
+  * records and bytes across every job the gate runs (iterative gates
+  * like m13's connected components run several), then asserts an upper
+  * bound set at ~1.5x the round-11 measured volume. Shuffle-exchange
+  * count in the final plan rides along as a secondary structure pin.
+  */
+class ShuffleVolumeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  /** (shuffle records written, shuffle bytes written, #shuffle
+    * exchanges in the final plan) for one full gate execution. */
+  private def measure(name: String): (Long, Long, Int) = {
+    val sc = spark.sparkContext
+    val recs = new AtomicLong
+    val bytes = new AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    SparkEntry.resetSessionConfs(spark)
+    sc.addSparkListener(listener)
+    try {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.queryExecution.toRdd.count()
+      // the listener bus drains asynchronously: settle until three
+      // consecutive 100ms reads agree
+      var last = -1L
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val cur = recs.get + bytes.get
+        if (cur == last) same += 1 else { same = 0; last = cur }
+      }
+      val plan = df.queryExecution.executedPlan.toString
+      val nEx = "Exchange (hash|range|Single)".r.findAllIn(plan).size
+      info(f"$name: ${recs.get}%,d shuffle records, " +
+        f"${bytes.get}%,d bytes, $nEx shuffle exchanges")
+      (recs.get, bytes.get, nEx)
+    } finally sc.removeSparkListener(listener)
+  }
+
+  private def pin(name: String, maxRecords: Long, maxBytes: Long,
+      maxExchanges: Int): Unit = {
+    val (r, b, e) = measure(name)
+    assert(r <= maxRecords,
+      s"$name shuffle RECORDS regressed: $r > pinned $maxRecords")
+    assert(b <= maxBytes,
+      s"$name shuffle BYTES regressed: $b > pinned $maxBytes")
+    assert(e <= maxExchanges,
+      s"$name final-plan shuffle-exchange count regressed: $e > $maxExchanges")
+  }
+
+  // Bounds = round-11 measured volume x ~1.5 (records/exchanges) and
+  // x ~2 (bytes — codec/layout changes legitimately move bytes more
+  // than rows). Measured at sf0.01 on 2026-08-15:
+  //   p69: 25,765 recs / 756,281 B / 10 exchanges
+  //   p72:  3,243 recs /  51,904 B /  8 exchanges
+  //   p79: 27,182 recs / 785,690 B / 14 exchanges
+  //   m13:  6,001 recs / 101,732 B /  7 exchanges
+  test("p69_setsim_join shuffle volume stays pinned") {
+    pin("p69_setsim_join", maxRecords = 40000L, maxBytes = 1600000L,
+      maxExchanges = 12)
+  }
+
+  test("p72_kmeans_semdedup shuffle volume stays pinned") {
+    pin("p72_kmeans_semdedup", maxRecords = 5000L, maxBytes = 110000L,
+      maxExchanges = 10)
+  }
+
+  test("p79_threshold_sweep shuffle volume stays pinned") {
+    pin("p79_threshold_sweep", maxRecords = 42000L, maxBytes = 1600000L,
+      maxExchanges = 16)
+  }
+
+  test("m13_image_dedup_cluster shuffle volume stays pinned") {
+    pin("m13_image_dedup_cluster", maxRecords = 9000L, maxBytes = 220000L,
+      maxExchanges = 9)
+  }
+}
