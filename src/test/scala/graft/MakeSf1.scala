@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   * Run: `sbt "Test/runMain graft.MakeSf1"` → /root/repo/sf1
   * (gitignored; graft.Bench auto-detects it for the per-round sf1
   * stress pass, falling back to the older /tmp/graft_sf1 location).
+  *
+  * Round-11 decade stress: `sbt "Test/runMain graft.MakeSf1 100
+  * /root/repo/sf10"` builds the 100× fixture (≈sf10) with the same
+  * cross-copy-dissimilar construction — copy suffixes/sign-flips are
+  * per-k, so 100 copies stay pairwise dissimilar exactly like 10 do.
   */
 object MakeSf1 {
-  val copies = 10
+  var copies = 10
   val src = "/root/testdata/sf0.1"
-  val out = "/root/repo/sf1"
+  var out = "/root/repo/sf1"
 
   def main(args: Array[String]): Unit = {
+    if (args.length >= 1) copies = args(0).toInt
+    if (args.length >= 2) out = args(1)
     val spark = SparkTestSession.spark
     def t(n: String): DataFrame = Tables.table(spark, src, n)
     def maxOf(df: DataFrame, c: String): Long =

@@ -31,6 +31,17 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(n > 0, "fixture must contain near-dup pairs")
   }
 
+  test("CacheRegistry releases setSimJoinExact's internal persist " +
+      "when composing twice in one job") {
+    CacheRegistry.releaseAll() // clean slate
+    val docs = Seq(1L -> "a b c d e", 2L -> "a b c d e").toDF("doc_id", "text")
+    DedupOps.setSimJoinExact(docs, "doc_id", "text", 0.5).count()
+    DedupOps.setSimJoinExact(docs, "doc_id", "text", 0.8).count()
+    assert(CacheRegistry.pending == 2)
+    CacheRegistry.releaseAll()
+    assert(CacheRegistry.pending == 0)
+  }
+
   test("bpeTrain: merge order pinned on a hand corpus (deterministic " +
       "tie-break, merged symbols participate in later rounds)") {
     // freqs: 'aab' x3, 'ab' x2, 'bb' x2 -> pairs: (a,b) 5, (a,a) 3,
