@@ -274,6 +274,95 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest eval-set member by cosine — the scale spelling of the p56
+  * semantic-decontamination screen. The first cut folded one cosine
+  * COLUMN per eval vector into a single projection; at ~500 evals that
+  * compiles, at ~5k (the sf10 decade stress) the expression tree and
+  * its per-eval array literals blow past codegen limits and the query
+  * dies at compile time. Here the whole eval matrix rides as ONE
+  * reference object (k·dim floats, never inlined into generated
+  * source), and one JVM loop per row computes every cosine — plan
+  * stays scan → project → filter at ANY k, and the arithmetic is
+  * bit-identical to the folded form: index-order double accumulation
+  * for dots and norms, cos = dot/(normRow·normEval), FIRST maximum
+  * wins (ties toward the smallest eval id — evals ride in ascending-id
+  * order), NaN ordered largest like Spark's array_max.
+  *
+  * Returns struct(nearest_eval: long, max_cos: double); null on a
+  * null input vector; errors loudly on a dimension mismatch. */
+case class NearestEval(child: Expression, ids: Seq[Long],
+    evals: Seq[Seq[Float]])
+  extends UnaryExpression {
+
+  require(ids.nonEmpty && ids.length == evals.length,
+    s"${ids.length} ids vs ${evals.length} eval vectors")
+
+  @transient private lazy val evalArr: Array[Array[Float]] =
+    evals.map(_.toArray).toArray
+  @transient private lazy val evalNorm: Array[Double] =
+    evalArr.map { v =>
+      var n2 = 0.0
+      var i = 0
+      while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(n2)
+    }
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestEval", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("nearest_eval", LongType, nullable = false),
+    StructField("max_cos", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_eval needs array<float>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val row = new Array[Double](n)
+    var n2 = 0.0
+    var i = 0
+    while (i < n) {
+      row(i) = x.getFloat(i).toDouble
+      n2 += row(i) * row(i)
+      i += 1
+    }
+    val normRow = math.sqrt(n2)
+    var best = Double.NegativeInfinity
+    var bestIdx = 0
+    var e = 0
+    while (e < evalArr.length) {
+      val v = evalArr(e)
+      if (v.length != n) throw new IllegalArgumentException(
+        s"nearest_eval: row dim $n vs eval dim ${v.length}")
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += row(j) * v(j).toDouble; j += 1 }
+      val cos = dot / (normRow * evalNorm(e))
+      // Double.compare orders NaN largest (Spark's array_max order);
+      // strict > keeps the FIRST maximum = smallest eval id on ties
+      if (java.lang.Double.compare(cos, best) > 0) { best = cos; bestIdx = e }
+      e += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](idArr(bestIdx), best))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestEval =
+    copy(child = newChild)
+}
+
 /** Sign-LSH projections: one pass over the vector computing all
   * nPlanes·nTables dot products against a deterministic splitmix
   * plane matrix, returning the per-table bucket ids. */
@@ -1419,6 +1508,9 @@ object native {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(
       Bridge.expression(a), Bridge.expression(b)))
+  def nearest_eval(vec: Column, ids: Seq[Long],
+      evals: Seq[Seq[Float]]): Column =
+    Bridge.column(NearestEval(Bridge.expression(vec), ids, evals))
   def lsh_buckets(c: Column, nPlanes: Int, nTables: Int): Column =
     Bridge.column(LshBuckets(Bridge.expression(c), nPlanes, nTables))
   def nearest_centroids(c: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =

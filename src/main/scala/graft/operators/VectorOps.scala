@@ -391,20 +391,21 @@ object VectorOps {
     val evals = evalSet.select(col("id"), col("vec")).orderBy(col("id"))
       .collect()
     require(evals.nonEmpty, "empty eval set")
-    val ids = evals.map(_.getLong(0))
-    val cosCols: Seq[Column] = evals.toSeq.map { r =>
-      val v = r.getSeq[Float](1).toArray
-      // driver-side norm: index-order double accumulation, the same
-      // order the SQL oracle's list_sum uses — bit-identical
-      var n2 = 0.0
-      v.foreach(x => n2 += x.toDouble * x.toDouble)
-      dot(col("vec"), lit(v)) / (norm(col("vec")) * lit(math.sqrt(n2)))
-    }
-    val cosArr = array(cosCols: _*)
-    corpus.select(col("id"),
-        element_at(lit(ids), array_position(cosArr, array_max(cosArr))
-          .cast(org.apache.spark.sql.types.IntegerType)).as("nearest_eval"),
-        array_max(cosArr).as("max_cos"))
+    // The eval matrix rides as ONE reference object inside the native
+    // NearestEval expression (round 11): the first cut folded one
+    // cosine COLUMN per eval into the projection, which compiled at
+    // ~500 evals and blew past codegen limits at ~5k (caught by the
+    // sf10 decade stress — the "linear corpus×evals" law held, but its
+    // SPELLING capped k). Arithmetic is bit-identical (index-order
+    // double accumulation, first-maximum tie toward the smallest eval
+    // id), so gate hashes are unchanged; the plan remains scan →
+    // project → filter at any k.
+    val ids = evals.map(_.getLong(0)).toSeq
+    val vecs = evals.toSeq.map(_.getSeq[Float](1))
+    val ne = graft.functions.native.nearest_eval(col("vec"), ids, vecs)
+    corpus.select(col("id"), ne.as("ne"))
+      .select(col("id"), col("ne.nearest_eval").as("nearest_eval"),
+        col("ne.max_cos").as("max_cos"))
       .filter(col("max_cos") >= tau)
   }
 
