@@ -73,7 +73,7 @@ object Bench {
     "p75_quality_drift", "m15_crossmodal_dup", "p76_winnowing",
     "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim",
     "p78_unseen_mass", "p79_threshold_sweep", "m18_video_letterbox",
-    "p80_quality_mixture", "p81_bpe_train")
+    "p80_quality_mixture", "p81_bpe_train", "p82_bpe_segment")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above
@@ -131,9 +131,9 @@ object Bench {
     "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim",
     "p78_unseen_mass", "p79_threshold_sweep", "m18_video_letterbox",
     "p80_quality_mixture",
-    // round-11: BPE training is iterative (8 argmax jobs over the word
-    // table) — one round of scale history
-    "p81_bpe_train",
+    // round-11: BPE training/application are iterative (8 argmax jobs
+    // over the word table) — one round of scale history
+    "p81_bpe_train", "p82_bpe_segment",
     // round-10 protocol change: these two were count()-ELIMINATED in
     // every prior round's bench (their numbers measured a parquet
     // count); now that the action executes the full plan they get

@@ -432,6 +432,17 @@ object PipelineQueries {
       graft.operators.LmOps.bpeTrain(docs(s, dir), "text", nMerges = 8)
         .orderBy(col("step"))),
 
+    // BPE APPLICATION (p82): segment the corpus with p81's learned
+    // merges and emit the post-BPE token histogram — the unit
+    // distribution the trained tokenizer actually produces (top 200 by
+    // frequency, ties by token, so the gate output is bounded and
+    // deterministic at any corpus size). One exploded groupBy over the
+    // final |distinct words| state; corpus rows never re-enter.
+    "p82_bpe_segment" -> ((s, dir) =>
+      graft.operators.LmOps.bpeSegment(docs(s, dir), "text", nMerges = 8)
+        .orderBy(col("n").desc, col("token")).limit(200)
+        .orderBy(col("n").desc, col("token"))),
+
     "p80_quality_mixture" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.select(col("doc_id"), col("source"),
@@ -1935,7 +1946,27 @@ object PipelineQueries {
     * and `regexp_extract(acc, '[^\x01]*$')` reads the current last
     * symbol so a just-merged symbol participates in later matches
     * exactly like the Spark fold's element_at(acc, -1). */
-  private def bpeOracleSql(nMerges: Int): String = {
+  /** DuckDB replay of [[graft.operators.LmOps.bpeSegment]]: the same
+    * unrolled training stages, with the final SELECT flipped from the
+    * merge table to the token histogram over the last state. */
+  private def bpeSegmentOracleSql(nMerges: Int): String =
+    bpeStagesSql(nMerges) + "\n" +
+      s"""SELECT token, n FROM (
+         |  SELECT t AS token, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, unnest(syms) AS t FROM s$nMerges)
+         |  GROUP BY t ORDER BY n DESC, token LIMIT 200)
+         |ORDER BY n DESC, token""".stripMargin
+
+  private def bpeOracleSql(nMerges: Int): String =
+    bpeStagesSql(nMerges) + "\n" +
+      (1 to nMerges).map(k =>
+        s"SELECT $k AS step, l AS lsym, r AS rsym, c FROM b$k")
+        .mkString("\nUNION ALL ") +
+      "\nORDER BY step"
+
+  /** The shared WITH-clause: w0/s0 seeding + `nMerges` unrolled
+    * pair-count → argmax → greedy-fold stages. */
+  private def bpeStagesSql(nMerges: Int): String = {
     def stage(k: Int): String =
       s"""p$k AS (SELECT struct_extract(z, 1) AS l,
          |    struct_extract(z, 2) AS r, sum(freq) AS c
@@ -1957,16 +1988,13 @@ object PipelineQueries {
       |  GROUP BY word),
       |s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM w0),
       |""".stripMargin +
-      (1 to nMerges).map(stage).mkString(",\n") + "\n" +
-      (1 to nMerges).map(k =>
-        s"SELECT $k AS step, l AS lsym, r AS rsym, c FROM b$k")
-        .mkString("\nUNION ALL ") +
-      "\nORDER BY step"
+      (1 to nMerges).map(stage).mkString(",\n")
   }
 
   /** DuckDB equivalents — every pipeline gate carries one. */
   val oracle: Map[String, String] = Map(
     "p81_bpe_train" -> bpeOracleSql(8),
+    "p82_bpe_segment" -> bpeSegmentOracleSql(8),
     // host derivation + suffix expansion + most-specific-first match,
     // rebuilt with list lambdas
     "p49_domain_block" ->

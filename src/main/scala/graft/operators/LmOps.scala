@@ -350,6 +350,34 @@ object LmOps {
     * at 100 TB the word table is ~10⁷ rows (Heaps' law), pennies per
     * round next to the one corpus-counting shuffle. */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val (table, state) = bpeRun(df, textCol, nMerges)
+    // the merge table is driver-built — the final state has no
+    // remaining consumer here
+    state.unpersist(blocking = false)
+    table
+  }
+
+  /** BPE APPLICATION: segment the corpus with the merges learned by
+    * the same `nMerges` training rounds and return the corpus TOKEN
+    * HISTOGRAM (token, n) — the unit distribution a tokenizer trained
+    * on this corpus actually emits, frequency-weighted. The natural
+    * consumer of [[bpeTrain]]'s merge table: p47/p78 size vocabularies
+    * from raw words; this sizes the POST-BPE distribution. Same
+    * distributed shape as training — the histogram is one exploded
+    * groupBy over the final \|distinct words\| state weighted by word
+    * frequency; corpus rows never re-enter. The final state's persist
+    * is registered with [[CacheRegistry]] (in-job composition hook). */
+  def bpeSegment(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val (_, state) = bpeRun(df, textCol, nMerges)
+    CacheRegistry.register(state)
+    state.select(explode(col("syms")).as("token"), col("freq"))
+      .groupBy(col("token")).agg(sum(col("freq")).as("n"))
+  }
+
+  /** Shared BPE training loop: (merge table, final segmented word
+    * state (word, freq, syms) — persisted; the caller owns release). */
+  private def bpeRun(df: DataFrame, textCol: String,
+      nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 4096, s"nMerges in [1,4096]: $nMerges")
     val spark = df.sparkSession
     val words = df
@@ -364,7 +392,7 @@ object LmOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var state = words
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    try {
+    locally {
       var step = 1
       var exhausted = false
       while (step <= nMerges && !exhausted) {
@@ -402,11 +430,11 @@ object LmOps {
           step += 1
         }
       }
-    } finally {
-      if (state ne words) state.unpersist(blocking = false)
-      words.unpersist(blocking = false)
     }
+    // the FINAL state survives for bpeSegment's histogram (and is the
+    // caller's to release); intermediate generations were freed above
+    if (state ne words) words.unpersist(blocking = false)
     import spark.implicits._
-    merges.toSeq.toDF("step", "lsym", "rsym", "c")
+    (merges.toSeq.toDF("step", "lsym", "rsym", "c"), state)
   }
 }

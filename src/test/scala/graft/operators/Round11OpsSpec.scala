@@ -56,6 +56,19 @@ class Round11OpsSpec extends AnyFunSuite {
       (3, "b", "b", 2L)), s"got $got")
   }
 
+  test("bpeSegment: histogram equals the hand-traced segmentation " +
+      "under the learned merges") {
+    // merges on this corpus: (a,b), (a,ab), (b,b) — so 'aab' -> [aab],
+    // 'ab' -> [ab], 'bb' -> [bb]
+    val docs = Seq(
+      1L -> "aab aab ab bb",
+      2L -> "aab ab bb").toDF("doc_id", "text")
+    val got = LmOps.bpeSegment(docs, "text", nMerges = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("aab" -> 3L, "ab" -> 2L, "bb" -> 2L), s"got $got")
+    CacheRegistry.releaseAll()
+  }
+
   test("bpeTrain is partition-invariant and exhausts gracefully") {
     val docs = Seq(1L -> "xy xy zw").toDF("doc_id", "text")
     // only 2 mergeable pairs exist; asking for 8 stops at 2
