@@ -443,6 +443,29 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("token")).limit(200)
         .orderBy(col("n").desc, col("token"))),
 
+    // EXACT CONTAINMENT join (p83, round 11): Broder's C(A,B) =
+    // |A∩B|/|A| — the excerpt/quote detector resemblance misses (a
+    // 50-token excerpt of a 5000-token page is Jaccard ~0.01 but
+    // containment ~1.0). Excerpts are planted in-plan: every
+    // doc_id < 40 contributes a first-half-tokens derivative whose
+    // shingles are a strict subset of its source's, so each MUST pair
+    // (containment 1.0) at tau = 0.9 — zero false negatives is the
+    // gate's contract, like p69. Only the contained side prefixes
+    // (rarest shingles); the container side indexes all shingles —
+    // the asymmetric candidate shape containment inherently needs.
+    "p83_containment_join" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = split(col("text"), " ")
+      val base = d.select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            array_join(slice(toks, lit(1),
+              greatest(ceil(size(toks).cast("double") / 2.0), lit(3))
+                .cast("int")), " ").as("text")))
+      DedupOps.containmentJoin(base, "doc_id", "text", tau = 0.9)
+        .orderBy(col("contained"), col("container"))
+    }),
+
     "p80_quality_mixture" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.select(col("doc_id"), col("source"),
@@ -1995,6 +2018,32 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "p81_bpe_train" -> bpeOracleSql(8),
     "p82_bpe_segment" -> bpeSegmentOracleSql(8),
+
+    // quadratic exact containment over the same planted-excerpt
+    // construction (the p69 oracle precedent: string shingles stand in
+    // for the injective hashed relabeling)
+    "p83_containment_join" ->
+      """WITH base AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 2000000 AS doc_id,
+        |  array_to_string(s[1:greatest(CAST(ceil(len(s)/2.0) AS INT), 3)],
+        |    ' ') AS text
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+        | WHERE doc_id < 40),
+        |t AS (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM base)),
+        |f AS (SELECT * FROM t WHERE len(sh) >= 5)
+        |SELECT a.doc_id AS contained, b.doc_id AS container,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |   AS containment
+        |FROM f a, f b
+        |WHERE a.doc_id != b.doc_id
+        | AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |   >= 0.9
+        |ORDER BY contained, container""".stripMargin,
     // host derivation + suffix expansion + most-specific-first match,
     // rebuilt with list lambdas
     "p49_domain_block" ->

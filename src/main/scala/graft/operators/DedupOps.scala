@@ -398,6 +398,75 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT set-CONTAINMENT join (Broder's containment C(A,B) =
+    * |A∩B|/|A| — the asymmetric sibling of Jaccard resemblance): every
+    * DIRECTED pair where at least `tau` of the contained document's
+    * shingles appear in the container. This is the excerpt/quote/
+    * page-within-site detector that resemblance structurally misses: a
+    * 50-token excerpt of a 5000-token page has containment ~1.0 and
+    * Jaccard ~0.01, so p69 never pairs them while training dedup very
+    * much wants to (the excerpt adds no new content).
+    *
+    * Prefix filter, containment form: |A∩B| ≥ ⌈tau·|A|⌉ forces a shared
+    * shingle inside A's rarest |A|−⌈tau·|A|⌉+1 — so only the CONTAINED
+    * side prefixes. The container side must index ALL its shingles
+    * (an excerpt's rare shingle can sit anywhere in B — there is no
+    * sound container-side reduction for containment), so candidate
+    * volume is Σ_{t ∈ prefixes} df(t): still rare-shingle-dominated
+    * (prefixes hold each doc's rarest shingles), but unlike p69 a
+    * corpus-hot shingle CAN land in a short doc's prefix and fan out
+    * by its full document frequency — the inherent cost of exact
+    * containment, and why `minShingles` (drop trivially short shingle
+    * sets) is load-bearing at scale. Length filter: |B| ≥ tau·|A|
+    * drops cross-size impossibilities before deduplication.
+    *
+    * Returns directed (contained, container, containment ≥ tau) rows;
+    * mutual near-dups emit both directions. */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, ngram: Int = 3, minShingles: Int = 5): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    val sets = CacheRegistry.register(
+      df.select(col(idCol).as("id"),
+          graft.functions.native.shingle_hash_set(
+            split(col(textCol), " "), ngram).as("sh"))
+        .filter(size(col("sh")) >= minShingles)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val toks = sets.select(col("id"), explode(col("sh")).as("t"))
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val prefix = toks.join(freq, "t")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("t")))).as("ts"))
+      .select(col("id"), transform(
+          slice(col("ts"), lit(1),
+            (size(col("ts")) - ceil(size(col("ts")) * tau) + 1).cast("int")),
+          s => s.getField("t")).as("pre"))
+    val szOf = sets.select(col("id"),
+      least(size(col("sh")), lit(4095)).cast("long").as("sz"))
+    val probeA = prefix.join(szOf, "id")
+      .select((col("id") * 4096 + col("sz")).as("ida"), explode(col("pre")).as("t"))
+    val indexB = toks.join(szOf, "id")
+      .select((col("id") * 4096 + col("sz")).as("idb"), col("t"))
+    val cands = probeA.join(indexB, "t")
+      .select((col("ida") / 4096).cast("long").as("contained"),
+        (col("ida") % 4096).as("sz_a"),
+        (col("idb") / 4096).cast("long").as("container"),
+        (col("idb") % 4096).as("sz_b"))
+      .filter(col("contained") =!= col("container"))
+      // |A∩B| <= min(|A|,|B|) and containment needs >= tau*|A|;
+      // saturated sizes (4095) only under-reject
+      .filter(col("sz_b").cast("double") >= col("sz_a") * tau - 1e-6)
+      .select(col("contained"), col("container"))
+      .dropDuplicates("contained", "container")
+    val a = sets.toDF("contained", "sh_a")
+    val b = sets.toDF("container", "sh_b")
+    cands.join(a, "contained").join(b, "container")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")))
+      .filter(col("containment") >= tau)
+      .select(col("contained"), col("container"), col("containment"))
+  }
+
   /** 64-bit SimHash of a token array via the native
     * [[graft.functions.SimHash64]] expression (sign of per-bit ±1 sums
     * of token hashes) — one JVM loop per row, no shuffle, no UDF. */

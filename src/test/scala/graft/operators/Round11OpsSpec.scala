@@ -31,6 +31,64 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(n > 0, "fixture must contain near-dup pairs")
   }
 
+  private def bruteContainment(docs: Seq[(Long, String)], tau: Double,
+      ngram: Int = 3, minShingles: Int = 5): Set[(Long, Long)] = {
+    def sh(t: String): Set[Seq[String]] = {
+      val toks = t.split(" ").toSeq
+      (0 to toks.length - ngram).map(i => toks.slice(i, i + ngram)).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> sh(t) }
+      .filter(_._2.size >= minShingles)
+    (for {
+      (ia, a) <- sets; (ib, b) <- sets if ia != ib
+      if a.intersect(b).size.toDouble / a.size >= tau
+    } yield (ia, ib)).toSet
+  }
+
+  test("containmentJoin == brute force on seeded word-soup corpora " +
+      "(zero false negatives for the asymmetric predicate)") {
+    var state = 0xC0DEL
+    def nextInt(n: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % n).toInt + n) % n
+    }
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    for (trial <- 1 to 3) {
+      val base = (1L to 20L).map { i =>
+        val len = 8 + nextInt(10)
+        i -> Vector.fill(len)(vocab(nextInt(vocab.size))).mkString(" ")
+      }
+      // plant real excerpts: prefix halves of docs 1-5
+      val docs = base ++ (1L to 5L).map { i =>
+        val toks = base(i.toInt - 1)._2.split(" ")
+        (i + 100) -> toks.take(math.max(toks.length / 2, 3)).mkString(" ")
+      }
+      for (tau <- Seq(0.7, 0.9)) {
+        val got = DedupOps.containmentJoin(
+            docs.toDF("doc_id", "text"), "doc_id", "text", tau)
+          .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+        assert(got == bruteContainment(docs, tau), s"trial=$trial tau=$tau")
+      }
+    }
+    CacheRegistry.releaseAll()
+  }
+
+  test("containmentJoin pairs the excerpt with its source where " +
+      "Jaccard-resemblance dedup cannot") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(1L -> long, 2L -> excerpt).toDF("doc_id", "text")
+    val cont = DedupOps.containmentJoin(docs, "doc_id", "text", tau = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(cont.toSeq == Seq((2L, 1L, 1.0)),
+      s"excerpt must be contained in source: ${cont.toSeq}")
+    // resemblance at the same strictness finds nothing (J = 6/58)
+    val res = DedupOps.setSimJoinExact(docs, "doc_id", "text", tau = 0.9)
+      .collect()
+    assert(res.isEmpty, "Jaccard must miss the excerpt pair")
+    CacheRegistry.releaseAll()
+  }
+
   test("CacheRegistry releases setSimJoinExact's internal persist " +
       "when composing twice in one job") {
     CacheRegistry.releaseAll() // clean slate
