@@ -96,4 +96,10 @@ class ShuffleVolumeSpec extends AnyFunSuite {
     pin("m13_image_dedup_cluster", maxRecords = 9000L, maxBytes = 220000L,
       maxExchanges = 9)
   }
+
+  // p83: 17,924 recs / 610,937 B / 8 exchanges (measured 2026-08-15)
+  test("p83_containment_join shuffle volume stays pinned") {
+    pin("p83_containment_join", maxRecords = 27000L, maxBytes = 1250000L,
+      maxExchanges = 10)
+  }
 }
