@@ -74,7 +74,7 @@ object Bench {
     "p77_annealing_mixture", "m16_letterbox", "m17_silence_trim",
     "p78_unseen_mass", "p79_threshold_sweep", "m18_video_letterbox",
     "p80_quality_mixture", "p81_bpe_train", "p82_bpe_segment",
-    "p83_containment_join")
+    "p83_containment_join", "p84_bpe_fertility")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above
@@ -136,8 +136,8 @@ object Bench {
     // over the word table) — one round of scale history
     "p81_bpe_train", "p82_bpe_segment",
     // round-11: containment join shuffles candidate pairs — permanent
-    // heavy-set citizen like p69/p72
-    "p83_containment_join",
+    // heavy-set citizen like p69/p72; fertility gets one round
+    "p83_containment_join", "p84_bpe_fertility",
     // round-10 protocol change: these two were count()-ELIMINATED in
     // every prior round's bench (their numbers measured a parquet
     // count); now that the action executes the full plan they get

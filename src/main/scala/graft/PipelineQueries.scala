@@ -443,6 +443,15 @@ object PipelineQueries {
         .orderBy(col("n").desc, col("token")).limit(200)
         .orderBy(col("n").desc, col("token"))),
 
+    // TOKENIZER FERTILITY per source (p84, round 11): post-BPE units
+    // per word under the corpus-trained merges — the tokenizer-quality
+    // audit of a multilingual mix (a high-fertility source burns
+    // sequence length). Rational output (one exact int division).
+    "p84_bpe_fertility" -> ((s, dir) =>
+      graft.operators.LmOps.bpeFertility(docs(s, dir), "source", "text",
+          nMerges = 8)
+        .orderBy(col("source"))),
+
     // EXACT CONTAINMENT join (p83, round 11): Broder's C(A,B) =
     // |A∩B|/|A| — the excerpt/quote detector resemblance misses (a
     // 50-token excerpt of a 5000-token page is Jaccard ~0.01 but
@@ -2018,6 +2027,21 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "p81_bpe_train" -> bpeOracleSql(8),
     "p82_bpe_segment" -> bpeSegmentOracleSql(8),
+
+    // per-source word counts joined against the unrolled stages' final
+    // segmented state; fertility = one exact integer division
+    "p84_bpe_fertility" -> (bpeStagesSql(8) + "\n" +
+      """, sw AS (
+        | SELECT source, word, count(*) AS f FROM (
+        |   SELECT source, unnest(string_split(text, ' ')) AS word
+        |   FROM documents)
+        | WHERE word != '' AND regexp_matches(word, '^[a-z0-9]+$')
+        | GROUP BY source, word)
+        |SELECT sw.source, CAST(sum(sw.f) AS BIGINT) AS n_words,
+        | CAST(sum(sw.f * len(s.syms)) AS BIGINT) AS n_units,
+        | CAST(sum(sw.f * len(s.syms)) AS DOUBLE) / sum(sw.f) AS fertility
+        |FROM sw JOIN s8 s USING (word)
+        |GROUP BY sw.source ORDER BY sw.source""".stripMargin),
 
     // quadratic exact containment over the same planted-excerpt
     // construction (the p69 oracle precedent: string shingles stand in

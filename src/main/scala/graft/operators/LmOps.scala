@@ -374,6 +374,35 @@ object LmOps {
       .groupBy(col("token")).agg(sum(col("freq")).as("n"))
   }
 
+  /** TOKENIZER FERTILITY per source (post-BPE units per word — the
+    * standard tokenizer-quality metric; high-fertility sources consume
+    * disproportionate sequence length per word and skew loss masses):
+    * merges learn on the WHOLE corpus (one tokenizer, like production),
+    * then each source's word frequencies join the globally-segmented
+    * state. Emitted in rational form: (source, n_words, n_units,
+    * fertility = n_units/n_words) — one exact integer division, so the
+    * audit is hash-exact in any engine.
+    *
+    * Scale shape: one (source, word) counting shuffle with map-side
+    * combine + one word-keyed equi-join against the \|distinct words\|
+    * state + an O(sources) aggregate — the p22/p47 budget on top of
+    * training's bounded loop. */
+  def bpeFertility(df: DataFrame, sourceCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val (_, state) = bpeRun(df, textCol, nMerges)
+    CacheRegistry.register(state)
+    val sw = df.select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("f"))
+    sw.join(state.select(col("word"), size(col("syms")).as("units")), "word")
+      .groupBy(col("source"))
+      .agg(sum(col("f")).as("n_words"),
+        sum(col("f") * col("units")).as("n_units"))
+      .withColumn("fertility",
+        col("n_units").cast("double") / col("n_words"))
+  }
+
   /** Shared BPE training loop: (merge table, final segmented word
     * state (word, freq, syms) — persisted; the caller owns release). */
   private def bpeRun(df: DataFrame, textCol: String,

@@ -20,9 +20,9 @@ class GateInventorySpec extends AnyFunSuite {
   // gates self-disable without the vendored jar (which build.sbt now
   // re-vendors from the coursier cache, so they are present wherever
   // the build itself runs).
-  // 195 = round-11 inventory (60 q + 34 r + 83 p + 18 m)
+  // 196 = round-11 inventory (60 q + 34 r + 84 p + 18 m)
   private val floor =
-    if (DuckQueries.available) 195 else 183
+    if (DuckQueries.available) 196 else 184
 
   // The self-disable exists for a CLEAN checkout on a machine with no
   // coursier cache; it must NOT mask a vendoring regression where the

@@ -127,6 +127,21 @@ class Round11OpsSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("bpeFertility: hand-traced per-source units/word under one " +
+      "corpus-trained merge") {
+    // corpus word freqs: aab:3, ab:2, bb:2 -> 1 merge = (a,b);
+    // segmented units: aab=[a,ab]->2, ab=[ab]->1, bb=[b,b]->2
+    val docs = Seq(
+      (1L, "s1", "aab aab ab bb"),
+      (2L, "s2", "aab ab bb")).toDF("doc_id", "source", "text")
+    val got = LmOps.bpeFertility(docs, "source", "text", nMerges = 1)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("s1") == ((4L, 7L, 1.75)), s"s1: ${got("s1")}")
+    assert(got("s2") == ((3L, 5L, 5.0 / 3.0)), s"s2: ${got("s2")}")
+    CacheRegistry.releaseAll()
+  }
+
   test("bpeTrain is partition-invariant and exhausts gracefully") {
     val docs = Seq(1L -> "xy xy zw").toDF("doc_id", "text")
     // only 2 mergeable pairs exist; asking for 8 stops at 2
