@@ -350,10 +350,10 @@ object LmOps {
     * at 100 TB the word table is ~10⁷ rows (Heaps' law), pennies per
     * round next to the one corpus-counting shuffle. */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    val (table, state) = bpeRun(df, textCol, nMerges)
-    // the merge table is driver-built — the final state has no
+    val (table, _, words) = bpeRun(df, textCol, nMerges)
+    // the merge table is driver-built — the word table has no
     // remaining consumer here
-    state.unpersist(blocking = false)
+    words.unpersist(blocking = false)
     table
   }
 
@@ -368,8 +368,8 @@ object LmOps {
     * frequency; corpus rows never re-enter. The final state's persist
     * is registered with [[CacheRegistry]] (in-job composition hook). */
   def bpeSegment(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    val (_, state) = bpeRun(df, textCol, nMerges)
-    CacheRegistry.register(state)
+    val (_, state, words) = bpeRun(df, textCol, nMerges)
+    CacheRegistry.register(words)
     state.select(explode(col("syms")).as("token"), col("freq"))
       .groupBy(col("token")).agg(sum(col("freq")).as("n"))
   }
@@ -389,8 +389,8 @@ object LmOps {
     * training's bounded loop. */
   def bpeFertility(df: DataFrame, sourceCol: String, textCol: String,
       nMerges: Int): DataFrame = {
-    val (_, state) = bpeRun(df, textCol, nMerges)
-    CacheRegistry.register(state)
+    val (_, state, words) = bpeRun(df, textCol, nMerges)
+    CacheRegistry.register(words)
     val sw = df.select(col(sourceCol).as("source"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
@@ -406,7 +406,7 @@ object LmOps {
   /** Shared BPE training loop: (merge table, final segmented word
     * state (word, freq, syms) — persisted; the caller owns release). */
   private def bpeRun(df: DataFrame, textCol: String,
-      nMerges: Int): (DataFrame, DataFrame) = {
+      nMerges: Int): (DataFrame, DataFrame, DataFrame) = {
     require(nMerges >= 1 && nMerges <= 4096, s"nMerges in [1,4096]: $nMerges")
     val spark = df.sparkSession
     val words = df
@@ -419,12 +419,29 @@ object LmOps {
         // empty leading substring for a zero-width match at start
         split(col("word"), "(?=.)").as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // greedy left-to-right merge fold; literals are cheap to inline in
+    // the per-element lambda (the p23 rule)
+    def mergeFold(d: DataFrame, l: String, r: String): DataFrame =
+      d.withColumn("syms",
+        aggregate(col("syms"),
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull = false)),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(element_at(acc, -1), x))))
+            .otherwise(concat(acc, array(x)))))
     var state = words
+    var prevGen: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     locally {
       var step = 1
       var exhausted = false
       while (step <= nMerges && !exhausted) {
+        // the argmax collect IS the action that materializes this
+        // generation's persist — no separate count() job per round
+        // (round 11: the extra materialization jobs were half of
+        // p81/p82's suite cost)
         val best = state.filter(size(col("syms")) > 1)
           .select(col("freq"), posexplode(slice(col("syms"), lit(1),
             size(col("syms")) - 1)).as(Seq("p", "l")),
@@ -434,36 +451,33 @@ object LmOps {
           .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
           .orderBy(col("c").desc, col("l"), col("r"))
           .limit(1).collect()
+        // `state` is now cached: its parent generation can go
+        // (iterative-op discipline: never free a live dependency —
+        // the dependency is dead only AFTER the child materialized)
+        if (prevGen != null) { prevGen.unpersist(blocking = false); prevGen = null }
         if (best.isEmpty) exhausted = true
         else {
           val (l, r, c) = (best.head.getString(0), best.head.getString(1),
             best.head.getLong(2))
           merges += ((step, l, r, c))
-          // greedy left-to-right merge fold; literals are cheap to
-          // inline in the per-element lambda (the p23 rule)
-          val next = state.withColumn("syms",
-            aggregate(col("syms"),
-              array().cast(org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.StringType, containsNull = false)),
-              (acc, x) => when(
-                size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(concat(element_at(acc, -1), x))))
-                .otherwise(concat(acc, array(x)))))
+          val next = mergeFold(state, l, r)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // materialize before unpersisting the parent (iterative-op
-          // discipline from ClusterOps: never free a live dependency)
-          next.count()
-          if (state ne words) state.unpersist(blocking = false)
+          if (state ne words) prevGen = state
           state = next
           step += 1
         }
       }
     }
-    // the FINAL state survives for bpeSegment's histogram (and is the
-    // caller's to release); intermediate generations were freed above
-    if (state ne words) words.unpersist(blocking = false)
+    // the loop's generations are no longer needed: the final
+    // segmentation rebuilds as ONE chained-fold projection over the
+    // persisted `words` (all merges are known — a single codegen pass,
+    // no persistence chain for the caller to manage beyond `words`)
+    if (state ne words) state.unpersist(blocking = false)
+    if (prevGen != null) prevGen.unpersist(blocking = false)
+    val finalState = merges.foldLeft(words: DataFrame) {
+      case (d, (_, l, r, _)) => mergeFold(d, l, r)
+    }
     import spark.implicits._
-    (merges.toSeq.toDF("step", "lsym", "rsym", "c"), state)
+    (merges.toSeq.toDF("step", "lsym", "rsym", "c"), finalState, words)
   }
 }
