@@ -354,10 +354,16 @@ object DuckQueries {
     // the fixture's 38-digit boundary magnitudes are the widest values
     // that fit, and anything wider fails the scan loudly
     // (DuckDbSourceSpec pins the 39-digit overflow throw).
+    // The HASHED surface is representation-stable (round-11 verdict):
+    // a raw DECIMAL(38,0) is int128-backed in DuckDB and outside the
+    // driver hasher's exact domain, so the numeric clamp38 decode is
+    // exercised in-plan and then cast to VARCHAR for the hash; the
+    // typed DECIMAL(38,0) value assertions live in DuckDbSourceSpec.
     "r34_duckdb_decimal_clamp" -> ((s, dir) => {
       val url = ensure(s, dir)
       val num = remote(s, url, "dbtable" -> "HUGE", "decimalmode" -> "clamp38")
-        .select(col("K").as("k"), col("H").as("h_num"))
+        .select(col("K").as("k"),
+          col("H").cast("string").as("h_num_str"))
       val str = remote(s, url, "dbtable" -> "HUGE")
         .select(col("K").as("k"), col("H").as("h_str"))
       num.join(str, Seq("k")).orderBy(col("k"))
@@ -438,7 +444,7 @@ object DuckQueries {
         |  END AS hv
         | FROM nation
         | UNION ALL SELECT -1, NULL)
-        |SELECT k, CAST(hv AS DECIMAL(38,0)) AS h_num,
+        |SELECT k, CAST(hv AS VARCHAR) AS h_num_str,
         | CAST(hv AS VARCHAR) AS h_str
         |FROM h ORDER BY k""".stripMargin,
     "r31_duckdb_types" ->

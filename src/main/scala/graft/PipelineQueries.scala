@@ -1989,10 +1989,15 @@ object PipelineQueries {
          |  GROUP BY t ORDER BY n DESC, token LIMIT 200)
          |ORDER BY n DESC, token""".stripMargin
 
+  // `c` MUST be cast: DuckDB sum(BIGINT) is HUGEINT/int128, which the
+  // driver's hash canonicalizer treats as a distinct type from Spark's
+  // int64 even when values agree (the round-11 p81 red; p84 was green
+  // because it already cast). Gate-authoring rule: no oracle output
+  // column may be HUGEINT or DECIMAL(p>18) — OracleOutputTypeSpec lints.
   private def bpeOracleSql(nMerges: Int): String =
     bpeStagesSql(nMerges) + "\n" +
       (1 to nMerges).map(k =>
-        s"SELECT $k AS step, l AS lsym, r AS rsym, c FROM b$k")
+        s"SELECT $k AS step, l AS lsym, r AS rsym, CAST(c AS BIGINT) AS c FROM b$k")
         .mkString("\nUNION ALL ") +
       "\nORDER BY step"
 
@@ -2012,7 +2017,12 @@ object PipelineQueries {
          |    (acc, x) -> CASE WHEN x = b.r AND acc != ''
          |        AND regexp_extract(acc, '[^\\x01]*$$') = b.l
          |      THEN acc || x ELSE acc || chr(1) || x END), 2), chr(1)) AS syms
-         |  FROM s${k - 1}, b$k b)""".stripMargin
+         |  FROM s${k - 1} LEFT JOIN b$k b ON TRUE)""".stripMargin
+    // LEFT JOIN (not cross join): if merges exhaust before nMerges, b_k
+    // is EMPTY — a cross join would zero out every later state while the
+    // Spark loop just stops merging. With b NULL the fold's CASE
+    // predicate is NULL → ELSE on every element, reproducing syms
+    // unchanged, which is exactly LmOps' exhausted-loop behavior.
     """WITH w0 AS (
       |  SELECT word, count(*) AS freq FROM (
       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
