@@ -363,14 +363,16 @@ object DedupOps {
     // bucket would break the zero-false-negative contract, and the
     // prefix construction is itself the skew bound (see scaladoc)
     val raw = LshJoin.candidatesRaw(banded, Seq("t"), maxBucket = Int.MaxValue)
-      .select((col("id_a") / 16777216L).cast("long").as("id_a"),
-        // `/` is DOUBLE division in Spark SQL: cast to long BEFORE the
-        // modulo or the size comes back fractional (pos/4096 leaks in)
-        // and perturbs the bound exactly at the tau boundary
-        ((col("id_a") / 4096).cast("long") % 4096).as("sz_a"),
+      // unpack with INTEGRAL bit arithmetic only — Spark `/` is double
+      // division, and a packed long above the 53-bit mantissa (doc ids
+      // past ~2^29) would round a saturated low part into the NEXT id,
+      // silently dropping/misattributing candidates. shiftright + `%`
+      // (integral on longs) keep the full 39-bit id domain exact.
+      .select(shiftright(col("id_a"), 24).as("id_a"),
+        (shiftright(col("id_a"), 12) % 4096).as("sz_a"),
         (col("id_a") % 4096).as("pos_a"),
-        (col("id_b") / 16777216L).cast("long").as("id_b"),
-        ((col("id_b") / 4096).cast("long") % 4096).as("sz_b"),
+        shiftright(col("id_b"), 24).as("id_b"),
+        (shiftright(col("id_b"), 12) % 4096).as("sz_b"),
         (col("id_b") % 4096).as("pos_b"))
       .filter(least(col("sz_a"), col("sz_b")).cast("double")
         >= greatest(col("sz_a"), col("sz_b")) * tau - 1e-6)
@@ -447,9 +449,10 @@ object DedupOps {
     val indexB = toks.join(szOf, "id")
       .select((col("id") * 4096 + col("sz")).as("idb"), col("t"))
     val cands = probeA.join(indexB, "t")
-      .select((col("ida") / 4096).cast("long").as("contained"),
+      // integral unpack (shiftright, never `/` — see setSimJoinExact)
+      .select(shiftright(col("ida"), 12).as("contained"),
         (col("ida") % 4096).as("sz_a"),
-        (col("idb") / 4096).cast("long").as("container"),
+        shiftright(col("idb"), 12).as("container"),
         (col("idb") % 4096).as("sz_b"))
       .filter(col("contained") =!= col("container"))
       // |A∩B| <= min(|A|,|B|) and containment needs >= tau*|A|;
