@@ -159,8 +159,16 @@ object Bench {
     * gates: the final orderBy (previously elided under count) is now
     * timed too; output row sets are small, so the shift is bounded —
     * the round-10 SCALE.md row carries the before/after. */
-  private def execFull(df: org.apache.spark.sql.DataFrame): Long =
-    df.queryExecution.toRdd.count()
+  private def execFull(df: org.apache.spark.sql.DataFrame): Long = {
+    val t0 = System.nanoTime()
+    val n = df.queryExecution.toRdd.count()
+    // toRdd.count bypasses Dataset.withAction, so QueryExecution-
+    // listeners (Observation completion) must fire explicitly or
+    // ObsRegistry.drain() below comes back empty (round-12 fix)
+    org.apache.spark.sql.graftbridge.Bridge.fireObservations(
+      df, "benchCount", System.nanoTime() - t0)
+    n
+  }
 
   private def fmtJsonNum(v: Double): String = {
     // fixed decimal, no scientific notation (driver-side json parsers)

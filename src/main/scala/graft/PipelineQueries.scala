@@ -471,7 +471,13 @@ object PipelineQueries {
             array_join(slice(toks, lit(1),
               greatest(ceil(size(toks).cast("double") / 2.0), lit(3))
                 .cast("int")), " ").as("text")))
-      DedupOps.containmentJoin(base, "doc_id", "text", tau = 0.9)
+      // observed candidate counts (after length filter / after dedup)
+      // drain to the round artifact's stderr via ObsRegistry — the
+      // hot-shingle fan-out story measured per run, not argued
+      val obs = org.apache.spark.sql.Observation()
+      graft.ObsRegistry.register("p83_containment_join", obs)
+      DedupOps.containmentJoin(base, "doc_id", "text", tau = 0.9,
+          candObs = Some(obs))
         .orderBy(col("contained"), col("container"))
     }),
 

@@ -425,7 +425,8 @@ object DedupOps {
     * Returns directed (contained, container, containment ≥ tau) rows;
     * mutual near-dups emit both directions. */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
-      tau: Double, ngram: Int = 3, minShingles: Int = 5): DataFrame = {
+      tau: Double, ngram: Int = 3, minShingles: Int = 5,
+      candObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
     val sets = CacheRegistry.register(
       df.select(col(idCol).as("id"),
@@ -458,11 +459,20 @@ object DedupOps {
       // |A∩B| <= min(|A|,|B|) and containment needs >= tau*|A|;
       // saturated sizes (4095) only under-reject
       .filter(col("sz_b").cast("double") >= col("sz_a") * tau - 1e-6)
-      .select(col("contained"), col("container"))
-      .dropDuplicates("contained", "container")
+      // dedup spelled as groupBy+count so ONE observe point yields both
+      // the pre-dedup fan-out (sum of per-pair match multiplicities —
+      // the hot-shingle candidate volume this operator's scaladoc
+      // argues about) and the post-dedup pair count; same exchange as
+      // dropDuplicates (ShuffleVolumeSpec pins the observed counts)
+      .groupBy(col("contained"), col("container"))
+      .agg(count(lit(1)).as("nmatch"))
+    val watched = candObs.fold(cands)(o => cands.observe(o,
+      sum(col("nmatch")).as("cands_after_length"),
+      count(lit(1)).as("cands_after_dedup")))
+    val pairs = watched.select(col("contained"), col("container"))
     val a = sets.toDF("contained", "sh_a")
     val b = sets.toDF("container", "sh_b")
-    cands.join(a, "contained").join(b, "container")
+    pairs.join(a, "contained").join(b, "container")
       .withColumn("containment",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(col("sh_a")))

@@ -39,6 +39,26 @@ object Bridge {
       .map(r => r.schema.fieldNames.zip(r.toSeq).toMap)
       .getOrElse(Map.empty)
 
+  /** Fire QueryExecutionListeners (Observation completion among them)
+    * for a query executed OUTSIDE `Dataset.withAction` — the bench
+    * protocol runs `queryExecution.toRdd.count()`, which executes the
+    * physical plan (CollectMetrics accumulators included) but never
+    * invokes `listenerManager.onSuccess` (private[sql]), so observed
+    * metrics silently never completed under Bench (round 12 find:
+    * m14's skew evidence was reaching stderr only from `.count()`
+    * harnesses like TuneFocus, never from the round artifact). */
+  def fireObservations(df: org.apache.spark.sql.DataFrame,
+      name: String, durationNs: Long): Unit = {
+    val qe = df.queryExecution
+    // synchronous: invoke each registered QueryExecutionListener
+    // directly (the session's ObservationManager listener among them —
+    // its onSuccess calls tryComplete(qe), which reads the CollectMetrics
+    // accumulators the toRdd.count already populated), so a drain
+    // immediately after sees completed metrics with no bus race
+    df.sparkSession.listenerManager.listListeners()
+      .foreach(_.onSuccess(name, qe, durationNs))
+  }
+
   /** Broadcast ids with live blocks in the local block store. Driver-GC
     * -driven ContextCleaner cleanup is nondeterministic in a tight query
     * loop (the round-5 p27 lesson: broadcast relations + per-stage task

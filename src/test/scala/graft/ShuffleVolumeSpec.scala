@@ -42,6 +42,8 @@ class ShuffleVolumeSpec extends AnyFunSuite {
     try {
       val df = SparkEntry.queries(name)(spark, dir)
       df.queryExecution.toRdd.count()
+      // fire Observation completion (toRdd.count bypasses withAction)
+      org.apache.spark.sql.graftbridge.Bridge.fireObservations(df, "pin", 0L)
       // the listener bus drains asynchronously: settle until three
       // consecutive 100ms reads agree
       var last = -1L
@@ -99,7 +101,28 @@ class ShuffleVolumeSpec extends AnyFunSuite {
 
   // p83: 17,924 recs / 610,937 B / 8 exchanges (measured 2026-08-15)
   test("p83_containment_join shuffle volume stays pinned") {
+    ObsRegistry.drain() // earlier gates' leftovers must not alias ours
     pin("p83_containment_join", maxRecords = 27000L, maxBytes = 1250000L,
       maxExchanges = 10)
+    // candidate-volume pin (round-12, VERDICT r11 item 4): the gate
+    // registers a containmentJoin Observation; the counts bound the
+    // container-side fan-out (Σ df over contained prefixes) at ~1.5x
+    // the measured sf0.01 values — hot-shingle growth now fails here,
+    // not in a bench read. Measured 2026-08-15: 780 after the length
+    // filter, 184 after dedup (90 true pairs survive verification).
+    val obs = ObsRegistry.drain().collect {
+      case ("p83_containment_join", m) => m
+    }
+    assert(obs.nonEmpty, "p83 gate no longer registers its Observation")
+    val m = obs.head
+    val afterLen = m("cands_after_length").toString.toLong
+    val afterDedup = m("cands_after_dedup").toString.toLong
+    info(s"p83 candidates: $afterLen after length filter, " +
+      s"$afterDedup after dedup")
+    assert(afterLen > 0 && afterDedup > 0 && afterDedup <= afterLen)
+    assert(afterLen <= 1200L,
+      s"p83 pre-dedup candidate volume regressed: $afterLen > 1200")
+    assert(afterDedup <= 280L,
+      s"p83 post-dedup candidate count regressed: $afterDedup > 280")
   }
 }
