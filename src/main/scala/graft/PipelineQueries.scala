@@ -481,6 +481,41 @@ object PipelineQueries {
         .orderBy(col("contained"), col("container"))
     }),
 
+    // APPROXIMATE containment screen (p85, round 12 — VERDICT r11
+    // item 3): the p05↔p69 pattern for p83. k=16 minhash argmin
+    // shingles per contained doc probe the container index; pairs
+    // matching ≥ 8 seeds pass to exact verification. Same planted
+    // excerpts as p83 (containment 1.0 ⇒ screen recall exactly 1 on
+    // them). The oracle replays the SCREEN itself (poly base hash,
+    // affine seed rehash, binary tie-break), not just the verified
+    // output — so screen misses are part of the hard signal.
+    "p85_containment_screen" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = split(col("text"), " ")
+      val base = d.select(col("doc_id"), col("text"))
+        .unionAll(d.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            array_join(slice(toks, lit(1),
+              greatest(ceil(size(toks).cast("double") / 2.0), lit(3))
+                .cast("int")), " ").as("text")))
+      val obs = org.apache.spark.sql.Observation()
+      graft.ObsRegistry.register("p85_containment_screen", obs)
+      DedupOps.containmentScreen(base, "doc_id", "text", tau = 0.9,
+          candObs = Some(obs))
+        .orderBy(col("contained"), col("container"))
+    }),
+
+    // BATCHED BPE training (p86, round 12): same 8 merges as p81 but
+    // learned in ~2 rounds of 4 via the non-conflicting-prefix batch —
+    // the scheduling-floor fix for production merge counts. The oracle
+    // is the SEQUENTIAL unrolled replay (bpeOracleSql, identical to
+    // p81's): the gate IS the proof that batching reproduced
+    // sequential training on this corpus, merge order, counts and all.
+    "p86_bpe_batched" -> ((s, dir) =>
+      graft.operators.LmOps.bpeTrainBatched(docs(s, dir), "text",
+          nMerges = 8, batch = 4)
+        .orderBy(col("step"))),
+
     "p80_quality_mixture" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.select(col("doc_id"), col("source"),
@@ -2042,6 +2077,9 @@ object PipelineQueries {
   /** DuckDB equivalents — every pipeline gate carries one. */
   val oracle: Map[String, String] = Map(
     "p81_bpe_train" -> bpeOracleSql(8),
+    // batched training must equal SEQUENTIAL training on the fixture —
+    // same oracle as p81, by design
+    "p86_bpe_batched" -> bpeOracleSql(8),
     "p82_bpe_segment" -> bpeSegmentOracleSql(8),
 
     // per-source word counts joined against the unrolled stages' final
@@ -2082,6 +2120,60 @@ object PipelineQueries {
         |FROM f a, f b
         |WHERE a.doc_id != b.doc_id
         | AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |   >= 0.9
+        |ORDER BY contained, container""".stripMargin,
+
+    // full replay of the minhash containment SCREEN: per-shingle poly
+    // base hash (31 mod 2³¹−1 over code points), 16 affine seed
+    // rehashes, argmin winner per (doc, seed) with binary string
+    // tie-break, winner⋈index membership count m, length filter,
+    // m ≥ 8 screen, then exact containment on survivors — the same
+    // five stages the Spark operator runs, misses and all
+    "p85_containment_screen" ->
+      """WITH base AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 2000000 AS doc_id,
+        |  array_to_string(s[1:greatest(CAST(ceil(len(s)/2.0) AS INT), 3)],
+        |    ' ') AS text
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+        | WHERE doc_id < 40),
+        |t AS (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM base)),
+        |f AS (SELECT * FROM t WHERE len(sh) >= 5),
+        |u AS (SELECT doc_id, unnest(sh) AS s FROM f),
+        |ph AS (
+        | SELECT doc_id, s,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+        | FROM u),
+        |wn AS (
+        | SELECT doc_id, i, s FROM (
+        |  SELECT doc_id, r.i AS i, s,
+        |   row_number() OVER (PARTITION BY doc_id, r.i
+        |    ORDER BY ((2*r.i + 1) * h + 40503*r.i) % 2147483647, s) AS rn
+        |  FROM ph, range(0, 16) r(i))
+        | WHERE rn = 1),
+        |sz AS (SELECT doc_id, least(len(sh), 4095) AS z FROM f),
+        |m AS (
+        | SELECT w.doc_id AS contained, x.doc_id AS container,
+        |  count(*) AS nm
+        | FROM wn w JOIN u x ON w.s = x.s AND w.doc_id != x.doc_id
+        | JOIN sz za ON za.doc_id = w.doc_id
+        | JOIN sz zb ON zb.doc_id = x.doc_id
+        | WHERE CAST(zb.z AS DOUBLE) >= za.z * 0.9 - 0.000001
+        | GROUP BY 1, 2
+        | HAVING count(*) >= 8)
+        |SELECT m.contained, m.container,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |   AS containment
+        |FROM m JOIN f a ON a.doc_id = m.contained
+        | JOIN f b ON b.doc_id = m.container
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
         |   >= 0.9
         |ORDER BY contained, container""".stripMargin,
     // host derivation + suffix expansion + most-specific-first match,

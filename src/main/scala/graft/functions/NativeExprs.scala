@@ -536,6 +536,158 @@ case class ShingleHashSet(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Apply an ORDERED BPE merge table to a symbol array: for each
+  * (l, r) merge in sequence, one greedy left-to-right pass replaces
+  * every adjacent (l, r) with the concatenated symbol — bit-identical
+  * to chaining one `aggregate` HOF fold per merge (a just-merged
+  * symbol never re-merges as the RIGHT side in the same pass, but
+  * participates in later passes and later merges), which is the
+  * standard Sennrich et al. 2016 semantics. One reference-object
+  * expression regardless of merge count — the nMerges-nested HOF
+  * spelling blows up the analyzer/codegen exactly like the folded
+  * NearestEval did at ~4.9k terms (round-11), which capped usable
+  * merge counts far below the documented 4096. O(nMerges · len) per
+  * row, no shuffle. */
+case class BpeApply(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeApply", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_apply needs array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var syms = new Array[String](n)
+    var i = 0
+    while (i < n) { syms(i) = arr.getUTF8String(i).toString; i += 1 }
+    merges.foreach { case (l, r) =>
+      if (syms.length > 1) {
+        val out = new Array[String](syms.length)
+        var len = 0
+        var j = 0
+        while (j < syms.length) {
+          val x = syms(j)
+          if (len > 0 && out(len - 1) == l && x == r) out(len - 1) = l + r
+          else { out(len) = x; len += 1 }
+          j += 1
+        }
+        syms = java.util.Arrays.copyOf(out, len)
+      }
+    }
+    new GenericArrayData(syms.map(s =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s): AnyRef))
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeApply =
+    copy(child = c)
+}
+
+/** k seed-wise MinHash WINNING SHINGLES of a distinct-shingle string
+  * array — the contained-side probe of the approximate containment
+  * screen (reference: the dedup family it extends is p83's exact
+  * containment join). Broder's identity: for a random hash h,
+  * P(argmin over A of h ∈ B) = \|A∩B\|/\|A\| — the containment itself —
+  * so k independent argmins give a Binomial(k, C) membership-match
+  * count, estimating C(A,B) from k fixed-size probes instead of A's
+  * full prefix. Engine-independent by construction: the base hash is
+  * the 31 / 2³¹−1 polynomial over code points (the p74/p76 family)
+  * computed ONCE per shingle, and seed i rehashes affinely
+  * hᵢ = ((2i+1)·h + 40503·i) mod 2³¹−1 — both replayable in SQL.
+  * Winner per seed is min by (hᵢ, shingle) with BINARY string
+  * tie-break (UTF8String byte order = code-point order = DuckDB's
+  * default collation), so an oracle reproduces winners even on hash
+  * ties. Returns the k winners in seed order; empty input → empty
+  * array. One JVM loop per row: O(\|A\| · k) multiplies after the
+  * O(\|A\| · len) base pass — no shuffle, no UDF. */
+case class ContainmentMinHash(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  require(k >= 1 && k <= 512, s"seed count k in [1,512]: $k")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("containmentMinHash", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"containment_minhash needs array<string>, got $other")
+    }
+
+  private val Mod = 2147483647L
+
+  private def polyHash(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = u.toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    val base = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = arr.getUTF8String(i)
+      base(i) = polyHash(toks(i))
+      i += 1
+    }
+    val out = new Array[AnyRef](k)
+    var s = 0
+    while (s < k) {
+      // (2s+1)·base + 40503·s stays far below 2⁶³ (≤ 33·2³¹ + 40503·512)
+      val a = 2L * s + 1L
+      val b = 40503L * s
+      var bi = 0
+      var bh = (a * base(0) + b) % Mod
+      var j = 1
+      while (j < m) {
+        val h = (a * base(j) + b) % Mod
+        if (h < bh || (h == bh && toks(j).compareTo(toks(bi)) < 0)) {
+          bh = h
+          bi = j
+        }
+        j += 1
+      }
+      out(s) = toks(bi)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ContainmentMinHash =
+    copy(child = c)
+}
+
 /** Count of array elements present in a fixed string set that rides
   * the plan (decontamination screens, stopword lists, blocklists). The
   * set is hashed ONCE per expression instance — `array_intersect`
@@ -1485,6 +1637,10 @@ object native {
     Bridge.column(ShingleSet(Bridge.expression(tokens), n))
   def shingle_hash_set(tokens: Column, n: Int): Column =
     Bridge.column(ShingleHashSet(Bridge.expression(tokens), n))
+  def containment_minhash(shingles: Column, k: Int): Column =
+    Bridge.column(ContainmentMinHash(Bridge.expression(shingles), k))
+  def bpe_apply(syms: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeApply(Bridge.expression(syms), merges))
   def max_ngram_freq(tokens: Column, n: Int): Column =
     Bridge.column(MaxNgramFreq(Bridge.expression(tokens), n))
   def in_set_count(tokens: Column, elements: Seq[String]): Column =

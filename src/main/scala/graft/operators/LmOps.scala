@@ -419,18 +419,13 @@ object LmOps {
         // empty leading substring for a zero-width match at start
         split(col("word"), "(?=.)").as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // greedy left-to-right merge fold; literals are cheap to inline in
-    // the per-element lambda (the p23 rule)
+    // greedy left-to-right merge pass — ONE reference-object native
+    // expression per generation ([[graft.functions.BpeApply]]; the
+    // nested-`aggregate`-HOF spelling blew up analyzer/codegen far
+    // below the 4096 cap, the NearestEval failure mode)
     def mergeFold(d: DataFrame, l: String, r: String): DataFrame =
       d.withColumn("syms",
-        aggregate(col("syms"),
-          array().cast(org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.StringType, containsNull = false)),
-          (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1),
-              array(concat(element_at(acc, -1), x))))
-            .otherwise(concat(acc, array(x)))))
+        graft.functions.native.bpe_apply(col("syms"), Seq((l, r))))
     var state = words
     var prevGen: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -469,15 +464,103 @@ object LmOps {
       }
     }
     // the loop's generations are no longer needed: the final
-    // segmentation rebuilds as ONE chained-fold projection over the
-    // persisted `words` (all merges are known — a single codegen pass,
-    // no persistence chain for the caller to manage beyond `words`)
+    // segmentation rebuilds as ONE native BpeApply projection over the
+    // persisted `words` (all merges are known — a single expression
+    // regardless of merge count, no persistence chain for the caller
+    // to manage beyond `words`)
     if (state ne words) state.unpersist(blocking = false)
     if (prevGen != null) prevGen.unpersist(blocking = false)
-    val finalState = merges.foldLeft(words: DataFrame) {
-      case (d, (_, l, r, _)) => mergeFold(d, l, r)
-    }
+    val finalState = words.withColumn("syms",
+      graft.functions.native.bpe_apply(col("syms"),
+        merges.toSeq.map { case (_, l, r, _) => (l, r) }))
     import spark.implicits._
     (merges.toSeq.toDF("step", "lsym", "rsym", "c"), finalState, words)
+  }
+
+  /** BATCHED BPE training (round-12, VERDICT r11 item 5): production
+    * vocabularies need ~32k merges, and [[bpeTrain]]'s one-job-per-
+    * merge loop hits the scheduler floor (~120 ms/job ⇒ hours of pure
+    * scheduling at 32k rounds) long before any data-size limit. Each
+    * round here collects the TOP ranked pairs once (one job), admits
+    * the maximal mutually-non-conflicting PREFIX of the ranking —
+    * stopping at the first pair that shares a symbol (or merged
+    * output) with an earlier admission, because skipping past a
+    * conflict could reorder against the sequential argmax — and
+    * applies the whole batch in one native fold. Rounds shrink by ~the
+    * batch factor; driver traffic stays O(batch) rows per round.
+    *
+    * Faithfulness: pairs in a non-conflicting prefix keep their exact
+    * counts under each other's application (merging (a,b) only touches
+    * pairs containing a or b), so the admitted sequence and its counts
+    * match sequential training UNLESS a merge-created pair (x, l||r)
+    * overtakes a later admission between rounds — possible in
+    * principle (its count is bounded by the creating pair's, not the
+    * next admission's), rare in Zipf-shaped corpora, and p86 gates
+    * equality against the SEQUENTIAL oracle on the fixture. Callers
+    * who need guaranteed sequential semantics use batch = 1 ==
+    * [[bpeTrain]]. */
+  def bpeTrainBatched(df: DataFrame, textCol: String, nMerges: Int,
+      batch: Int = 4): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 65536,
+      s"nMerges in [1,65536]: $nMerges")
+    require(batch >= 1 && batch <= 256, s"batch in [1,256]: $batch")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        split(col("word"), "(?=.)").as("syms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var state = words
+    var prevGen: DataFrame = null
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - merges.size)
+      // over-collect: conflicts consume ranking slots before the stop
+      val top = state.filter(size(col("syms")) > 1)
+        .select(col("freq"), posexplode(slice(col("syms"), lit(1),
+          size(col("syms")) - 1)).as(Seq("p", "l")),
+          col("syms"))
+        .select(col("l"), element_at(col("syms"), col("p") + 2).as("r"),
+          col("freq"))
+        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(want * 4 + 8).collect()
+      if (prevGen != null) { prevGen.unpersist(blocking = false); prevGen = null }
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val admitted =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stop = false
+        top.iterator.takeWhile(_ => !stop && admitted.size < want)
+          .foreach { row =>
+            val (l, r, c) =
+              (row.getString(0), row.getString(1), row.getLong(2))
+            if (used(l) || used(r) || used(l + r)) stop = true
+            else {
+              admitted += ((l, r, c))
+              used += l; used += r; used += (l + r)
+            }
+          }
+        admitted.foreach { case (l, r, c) =>
+          merges += ((merges.size + 1, l, r, c))
+        }
+        val next = state.withColumn("syms",
+            graft.functions.native.bpe_apply(col("syms"),
+              admitted.toSeq.map { case (l, r, _) => (l, r) }))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (state ne words) prevGen = state
+        state = next
+      }
+    }
+    if (state ne words) state.unpersist(blocking = false)
+    if (prevGen != null) prevGen.unpersist(blocking = false)
+    words.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lsym", "rsym", "c")
   }
 }

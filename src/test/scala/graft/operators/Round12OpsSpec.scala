@@ -28,6 +28,95 @@ class Round12OpsSpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("containmentScreen finds every planted excerpt (containment " +
+      "1.0 => screen recall exactly 1) and emits no pair the exact " +
+      "join would reject") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq(1L -> long, 2L -> excerpt, 3L -> other)
+      .toDF("doc_id", "text")
+    val screened = DedupOps.containmentScreen(docs, "doc_id", "text",
+      tau = 0.9).as[(Long, Long, Double)].collect().toSet
+    val exact = DedupOps.containmentJoin(docs, "doc_id", "text",
+      tau = 0.9).as[(Long, Long, Double)].collect().toSet
+    assert(screened == Set((2L, 1L, 1.0)), s"screened $screened")
+    assert(screened.subsetOf(exact),
+      "screen must never emit a pair exact verification rejects")
+    CacheRegistry.releaseAll()
+  }
+
+  test("containmentScreen maxBucket caps hot shingles (documented " +
+      "recall trade the exact join cannot make) and observes counts") {
+    // 21 docs share one viral boilerplate shingle (df 21 > cap 5), so
+    // the cap drops it from the container index; the true excerpt pair
+    // survives on its own shingles
+    val boiler = (900 to 902).map(i => s"b$i").mkString(" ")
+    val docs = (
+      Seq(1L -> ((1 to 60).map(i => s"w$i").mkString(" ") + " " + boiler),
+        2L -> (1 to 8).map(i => s"w$i").mkString(" ")) ++
+        (10L to 29L).map(i =>
+          i -> ((1 to 40).map(j => s"x${i}_$j").mkString(" ") + " " + boiler))
+      ).toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation()
+    val capped = DedupOps.containmentScreen(docs, "doc_id", "text",
+        tau = 0.9, maxBucket = 5L, candObs = Some(obs))
+      .as[(Long, Long, Double)].collect()
+    assert(capped.map(r => (r._1, r._2)).toSet == Set((2L, 1L)),
+      s"capped screen lost the real pair: ${capped.toSeq}")
+    // .collect() fires the execution listeners asynchronously; settle
+    val deadline = System.nanoTime() + 5_000_000_000L
+    var m = org.apache.spark.sql.graftbridge.Bridge.observationMetrics(obs)
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      m = org.apache.spark.sql.graftbridge.Bridge.observationMetrics(obs)
+    }
+    assert(m.nonEmpty, "screen observation never completed")
+    assert(m("cands_after_screen").toString.toLong >= 1L)
+    CacheRegistry.releaseAll()
+  }
+
+  test("bpeTrainBatched == bpeTrain merge-for-merge (order and " +
+      "counts) on the fixture corpus and on a hand corpus") {
+    val hand = Seq(1L -> "aab aab ab bb", 2L -> "aab ab bb")
+      .toDF("doc_id", "text")
+    val seqHand = LmOps.bpeTrain(hand, "text", nMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val batHand = LmOps.bpeTrainBatched(hand, "text", nMerges = 3, batch = 2)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(batHand == seqHand, s"hand corpus:\n$seqHand\n$batHand")
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val seqT = LmOps.bpeTrain(docs, "text", nMerges = 8)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val batT = LmOps.bpeTrainBatched(docs, "text", nMerges = 8, batch = 4)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(batT == seqT, s"fixture corpus:\n$seqT\n$batT")
+    // batch=1 degenerates to sequential BY CONSTRUCTION
+    val bat1 = LmOps.bpeTrainBatched(docs, "text", nMerges = 4, batch = 1)
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(bat1 == seqT.take(4), s"batch=1:\n${seqT.take(4)}\n$bat1")
+  }
+
+  test("BpeApply native expression applies an ordered merge table " +
+      "identically to chained greedy folds, at merge counts the " +
+      "nested-HOF spelling could not reach") {
+    // 500 chained merges building one long symbol: a+b->ab, ab+b->abb…
+    // (each merge's left side is the previous merge's output) — order
+    // sensitivity and just-merged-participates semantics in one chain
+    val merges = (1 to 500).map(i => ("a" + "b" * (i - 1), "b"))
+    val df = Seq(Tuple1(("a" + "b" * 500).split("(?=.)").toSeq))
+      .toDF("syms")
+      .select(graft.functions.native.bpe_apply(col("syms"), merges)
+        .as("out"))
+    val out = df.as[Seq[String]].collect().head
+    assert(out == Seq("a" + "b" * 500), s"got ${out.take(3)}... len ${out.size}")
+    // same-pass semantics: (a,a) over "a a a" merges left-greedily
+    val df2 = Seq(Tuple1(Seq("a", "a", "a"))).toDF("syms")
+      .select(graft.functions.native.bpe_apply(col("syms"),
+        Seq(("a", "a"))).as("out"))
+    assert(df2.as[Seq[String]].collect().head == Seq("aa", "a"))
+  }
+
   test("containmentJoin keeps directed pairs with ids beyond the " +
       "double mantissa (integral unpack of id*4096+sz)") {
     val long = (1 to 80).map(i => s"w$i").mkString(" ")
