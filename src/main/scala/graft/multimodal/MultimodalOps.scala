@@ -1123,12 +1123,43 @@ object MultimodalOps {
         while (off < p.length) {
           require(off + 6 <= p.length && p(off) == 'B' && p(off + 1) == 'M',
             s"asset ${a.asset_id}: no BMP header at byte $off")
-          val sz = (p(off + 2) & 0xFF) | ((p(off + 3) & 0xFF) << 8) |
+          val hdrSz = (p(off + 2) & 0xFF) | ((p(off + 3) & 0xFF) << 8) |
             ((p(off + 4) & 0xFF) << 16) | ((p(off + 5) & 0xFF) << 24)
+          // bfSize (bytes 2-5) is unreliable per the BMP spec — some
+          // encoders legally write 0. Fall back to the DIB header:
+          // bfOffBits + 4-byte-padded row stride × |height| (exact for
+          // the uncompressed BI_RGB frames this walk supports). A
+          // NEGATIVE bfSize is still a hard parse error.
+          val sz = if (hdrSz != 0) hdrSz else {
+            require(off + 30 <= p.length,
+              s"asset ${a.asset_id}: frame at byte $off: bfSize 0 and " +
+                "payload too short for a DIB header fallback")
+            def le32(i: Int): Int = (p(off + i) & 0xFF) |
+              ((p(off + i + 1) & 0xFF) << 8) |
+              ((p(off + i + 2) & 0xFF) << 16) |
+              ((p(off + i + 3) & 0xFF) << 24)
+            val offBits = le32(10)
+            val w = le32(18)
+            val h = math.abs(le32(22))
+            val bpp = (p(off + 28) & 0xFF) | ((p(off + 29) & 0xFF) << 8)
+            require(offBits > 0 && w > 0 && h > 0 && bpp > 0,
+              s"asset ${a.asset_id}: frame at byte $off: bfSize 0 and " +
+                s"implausible DIB header (offBits=$offBits w=$w h=$h bpp=$bpp)")
+            offBits + ((w.toLong * bpp + 31) / 32).toInt * 4 * h
+          }
           require(sz > 0 && off + sz <= p.length,
             s"asset ${a.asset_id}: frame at byte $off claims $sz bytes, " +
               s"payload has ${p.length - off} left (truncated upload?)")
           val one = java.util.Arrays.copyOfRange(p, off, off + sz)
+          if (hdrSz == 0) {
+            // the JDK BMP reader also derives BI_RGB image size from
+            // bfSize when the DIB's biSizeImage is 0 — patch the
+            // reconstructed size into the copied frame before decode
+            one(2) = (sz & 0xFF).toByte
+            one(3) = ((sz >> 8) & 0xFF).toByte
+            one(4) = ((sz >> 16) & 0xFF).toByte
+            one(5) = ((sz >> 24) & 0xFF).toByte
+          }
           val (dw, dh, rgb) = decodeRgb(one)
           val (t, b, l, r) = edgeWalk(dw, dh, rgb)
           if (t < minT) minT = t

@@ -365,16 +365,24 @@ object Jdbc {
       }
     })
 
-  /** Shared clamp38 decode: exact when the rescaled value fits
-    * DECIMAL(38, clampedScale), ArithmeticException otherwise. */
+  /** Shared clamp38 decode: exact when the value fits
+    * DECIMAL(38, clampedScale), ArithmeticException otherwise. LOUD on
+    * BOTH loss directions (round-12 ADVICE — the old HALF_UP setScale
+    * silently rounded away fractional digits when the remote scale
+    * exceeded the clamped scale, contradicting RDecimalClamp's
+    * loud-failure contract): integer-digit overflow AND fractional
+    * precision loss each throw with the decimalmode=string way out. */
   private def clampDecode(v: java.math.BigDecimal, f: RemoteField,
       s: Int): Decimal = {
-    val scaled = v.setScale(s, java.math.RoundingMode.HALF_UP)
+    def loud(what: String): Nothing = throw new ArithmeticException(
+      s"decimalmode=clamp38: column ${f.name} (remote ${f.tpe.typeName}) " +
+        s"value ${v.toPlainString} $what DECIMAL(38,$s) — use the " +
+        "default decimalmode=string for lossless reads of this column")
+    if (v.stripTrailingZeros.scale > s)
+      loud("has fractional digits that do not fit")
+    val scaled = v.setScale(s, java.math.RoundingMode.UNNECESSARY)
     if (scaled.precision > DecimalType.MAX_PRECISION)
-      throw new ArithmeticException(
-        s"decimalmode=clamp38: column ${f.name} (remote ${f.tpe.typeName}) " +
-          s"value ${v.toPlainString} does not fit DECIMAL(38,$s) — use the " +
-          "default decimalmode=string for lossless reads of this column")
+      loud("does not fit")
     Decimal(BigDecimal(scaled), DecimalType.MAX_PRECISION, s)
   }
 

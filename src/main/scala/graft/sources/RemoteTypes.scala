@@ -48,10 +48,11 @@ object RemoteType {
     * Decimal128 (`decimalmode=clamp38`): a remote DECIMAL(p>38,s) —
     * the reference maps p≤76 to Arrow Decimal256, schema.rs:100-105 —
     * reads as Spark DECIMAL(38, min(s,38)). Values that FIT decode
-    * exactly and keep arithmetic usable; a value whose integer digits
-    * exceed the clamped precision fails the scan LOUDLY (an
+    * exactly and keep arithmetic usable; a value that does NOT fit —
+    * integer digits beyond the clamped precision OR fractional digits
+    * beyond the clamped scale — fails the scan LOUDLY (an
     * ArithmeticException naming column and value) rather than
-    * truncating silently. The default mode remains the lossless
+    * truncating or rounding silently. The default mode remains the lossless
     * stringify ([[RDecimal]] p>38). `precision`/`scale` keep the
     * remote-native declaration, so Transforms see the true width. */
   final case class RDecimalClamp(precision: Int, scale: Int) extends RemoteType {

@@ -138,6 +138,23 @@ class LetterboxSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("truncated") ||
       Option(ex.getCause).exists(_.getMessage.contains("truncated")))
+
+    // bfSize = 0 is LEGAL per the BMP spec (the field is unreliable) —
+    // the walk must fall back to the DIB header's geometry instead of
+    // hard-failing the partition (round-12 ADVICE)
+    val zeroed = full.clone()
+    var off = 0
+    while (off < zeroed.length) {
+      val sz = (zeroed(off + 2) & 0xFF) | ((zeroed(off + 3) & 0xFF) << 8) |
+        ((zeroed(off + 4) & 0xFF) << 16) | ((zeroed(off + 5) & 0xFF) << 24)
+      zeroed(off + 2) = 0; zeroed(off + 3) = 0
+      zeroed(off + 4) = 0; zeroed(off + 5) = 0
+      off += sz
+    }
+    val z = MultimodalOps.detectVideoLetterbox(
+      Seq(MediaAsset(11L, "video", zeroed, "s")).toDS()).collect().head
+    assert(z.n_frames == 2 && z.top_bars == 2 && z.bottom_bars == 2 && z.boxed,
+      s"bfSize=0 frames misparsed: $z")
   }
 
   test("planted corpus fixture round-trips through a real BMP decode " +
