@@ -426,17 +426,27 @@ object LmOps {
     def mergeFold(d: DataFrame, l: String, r: String): DataFrame =
       d.withColumn("syms",
         graft.functions.native.bpe_apply(col("syms"), Seq((l, r))))
+    // `state` is the QUERY view of the current generation — a flat
+    // LogicalRDD over a lineage-truncated, cached RDD
+    // (Bridge.cutLineageCached): without the cut, generation k nests
+    // all k prior projections — O(k²) analyzer cost, AQE plan-string
+    // OOM near 64 merges, and task-deserialization StackOverflow on
+    // the RDD chain (all found by TuneBpe, round 12 — the deeper form
+    // of the nested-HOF ADVICE). `stateRdd` is the cached handle;
+    // `prevRdd` the parent's, freed only AFTER the child materializes
+    // (iterative-op discipline).
     var state = words
-    var prevGen: DataFrame = null
+    var stateRdd: org.apache.spark.rdd.RDD[_] = null
+    var prevRdd: org.apache.spark.rdd.RDD[_] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     locally {
       var step = 1
       var exhausted = false
       while (step <= nMerges && !exhausted) {
-        // the argmax collect IS the action that materializes this
-        // generation's persist — no separate count() job per round
-        // (round 11: the extra materialization jobs were half of
-        // p81/p82's suite cost)
+        // the argmax collect IS the action that materializes (and
+        // truncates) this generation's checkpoint — no separate
+        // count() job per round (round 11: the extra materialization
+        // jobs were half of p81/p82's suite cost)
         val best = state.filter(size(col("syms")) > 1)
           .select(col("freq"), posexplode(slice(col("syms"), lit(1),
             size(col("syms")) - 1)).as(Seq("p", "l")),
@@ -447,17 +457,16 @@ object LmOps {
           .orderBy(col("c").desc, col("l"), col("r"))
           .limit(1).collect()
         // `state` is now cached: its parent generation can go
-        // (iterative-op discipline: never free a live dependency —
-        // the dependency is dead only AFTER the child materialized)
-        if (prevGen != null) { prevGen.unpersist(blocking = false); prevGen = null }
+        if (prevRdd != null) { prevRdd.unpersist(blocking = false); prevRdd = null }
         if (best.isEmpty) exhausted = true
         else {
           val (l, r, c) = (best.head.getString(0), best.head.getString(1),
             best.head.getLong(2))
           merges += ((step, l, r, c))
-          val next = mergeFold(state, l, r)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          if (state ne words) prevGen = state
+          val (next, nextRdd) = org.apache.spark.sql.graftbridge.Bridge
+            .cutLineageCached(mergeFold(state, l, r))
+          prevRdd = stateRdd
+          stateRdd = nextRdd
           state = next
           step += 1
         }
@@ -468,8 +477,8 @@ object LmOps {
     // persisted `words` (all merges are known — a single expression
     // regardless of merge count, no persistence chain for the caller
     // to manage beyond `words`)
-    if (state ne words) state.unpersist(blocking = false)
-    if (prevGen != null) prevGen.unpersist(blocking = false)
+    if (stateRdd != null) stateRdd.unpersist(blocking = false)
+    if (prevRdd != null) prevRdd.unpersist(blocking = false)
     val finalState = words.withColumn("syms",
       graft.functions.native.bpe_apply(col("syms"),
         merges.toSeq.map { case (_, l, r, _) => (l, r) }))
@@ -492,13 +501,19 @@ object LmOps {
     * Faithfulness: pairs in a non-conflicting prefix keep their exact
     * counts under each other's application (merging (a,b) only touches
     * pairs containing a or b), so the admitted sequence and its counts
-    * match sequential training UNLESS a merge-created pair (x, l||r)
-    * overtakes a later admission between rounds — possible in
-    * principle (its count is bounded by the creating pair's, not the
-    * next admission's), rare in Zipf-shaped corpora, and p86 gates
-    * equality against the SEQUENTIAL oracle on the fixture. Callers
-    * who need guaranteed sequential semantics use batch = 1 ==
-    * [[bpeTrain]]. */
+    * match sequential training UNLESS a merge-CREATED pair overtakes a
+    * later admission between rounds: a pair involving a just-merged
+    * symbol does not exist in the round's stale ranking at all, and no
+    * admission rule can rank what it cannot see (its count is bounded
+    * by the creating pair's, not the next admission's, so no sound
+    * cut-off exists either — this is the standard greedy-batch
+    * approximation). Measured on the sf0.1 fixture (TuneBpe): batch 16
+    * first diverges at merge 23 of 64, where sequential's (c,o)→co
+    * enabled (co,lu) mid-batch; batch 4 over 8 merges — the p86 gate
+    * config — is exact, and the gate proves it against the SEQUENTIAL
+    * oracle every round. Callers who need guaranteed sequential
+    * semantics at production merge counts use batch = 1 ==
+    * [[bpeTrain]] and pay the per-round floor. */
   def bpeTrainBatched(df: DataFrame, textCol: String, nMerges: Int,
       batch: Int = 4): DataFrame = {
     require(nMerges >= 1 && nMerges <= 65536,
@@ -512,8 +527,10 @@ object LmOps {
       .select(col("word"), col("freq"),
         split(col("word"), "(?=.)").as("syms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same lineage-cut view / cached-RDD-handle split as [[bpeRun]]
     var state = words
-    var prevGen: DataFrame = null
+    var stateRdd: org.apache.spark.rdd.RDD[_] = null
+    var prevRdd: org.apache.spark.rdd.RDD[_] = null
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
@@ -529,7 +546,7 @@ object LmOps {
         .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(want * 4 + 8).collect()
-      if (prevGen != null) { prevGen.unpersist(blocking = false); prevGen = null }
+      if (prevRdd != null) { prevRdd.unpersist(blocking = false); prevRdd = null }
       if (top.isEmpty) exhausted = true
       else {
         val used = scala.collection.mutable.Set.empty[String]
@@ -549,16 +566,17 @@ object LmOps {
         admitted.foreach { case (l, r, c) =>
           merges += ((merges.size + 1, l, r, c))
         }
-        val next = state.withColumn("syms",
+        val (next, nextRdd) = org.apache.spark.sql.graftbridge.Bridge
+          .cutLineageCached(state.withColumn("syms",
             graft.functions.native.bpe_apply(col("syms"),
-              admitted.toSeq.map { case (l, r, _) => (l, r) }))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (state ne words) prevGen = state
+              admitted.toSeq.map { case (l, r, _) => (l, r) })))
+        prevRdd = stateRdd
+        stateRdd = nextRdd
         state = next
       }
     }
-    if (state ne words) state.unpersist(blocking = false)
-    if (prevGen != null) prevGen.unpersist(blocking = false)
+    if (stateRdd != null) stateRdd.unpersist(blocking = false)
+    if (prevRdd != null) prevRdd.unpersist(blocking = false)
     words.unpersist(blocking = false)
     import spark.implicits._
     merges.toSeq.toDF("step", "lsym", "rsym", "c")

@@ -59,6 +59,34 @@ object Bridge {
       .foreach(_.onSuccess(name, qe, durationNs))
   }
 
+  /** Cut a DataFrame's lineage at BOTH layers for iterative operators
+    * (BPE training's one-plan-per-generation loop): without the cut,
+    * generation k nests all k prior projections — the ANALYZED plan
+    * grows O(k²) for the analyzer and OOMs AQE's plan-string rendering
+    * near 64 generations, and even with the logical plan cut the
+    * PHYSICAL RDD chain still deepens until task deserialization
+    * StackOverflows (both found by TuneBpe at 64 merges; a Dataset
+    * persist truncates neither — it only short-circuits execution).
+    *
+    * Mechanism: compile the frame once, COPY each InternalRow (toRdd
+    * reuses row buffers — caching them raw is the classic corruption),
+    * and `localCheckpoint` the copied RDD: Spark materializes it with
+    * the next job that computes it and then DROPS its dependencies, so
+    * every generation is a flat LogicalRDD leaf over a truncated,
+    * MEMORY_AND_DISK-cached RDD. Returns the wrapped frame plus the
+    * RDD handle — the caller unpersists the handle once the NEXT
+    * generation has materialized (same free-after-child discipline as
+    * a Dataset persist chain). */
+  def cutLineageCached(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    val out = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, df.schema, isStreaming = false)
+    (out, rdd)
+  }
+
   /** Broadcast ids with live blocks in the local block store. Driver-GC
     * -driven ContextCleaner cleanup is nondeterministic in a tight query
     * loop (the round-5 p27 lesson: broadcast relations + per-stage task
