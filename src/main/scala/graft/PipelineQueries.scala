@@ -1205,8 +1205,14 @@ object PipelineQueries {
             .otherwise(col("doc_id")).as("cap_src"))
         .join(d.select(col("doc_id").as("cap_src"), col("text")), "cap_src")
         .select(col("doc_id").as("asset_id"), col("text").as("caption"))
+      // round-12: same hash-group evidence as m14 — the sf10 decade
+      // stress measures m15's growth to ITS OWN root cause (dhash
+      // entropy of the synthetic frames), not just m08's precedent
+      val obs15 = org.apache.spark.sql.Observation()
+      graft.ObsRegistry.register("m15_crossmodal_dup", obs15)
       val pairs = MultimodalOps.imageNearDupPairs(
-        MultimodalOps.imageDHash(assets).toDF(), maxDist = 3)
+        MultimodalOps.imageDHash(assets).toDF(), maxDist = 3,
+        skewObs = Some(obs15))
       MultimodalOps.crossModalDupClass(pairs, captions, tau = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),

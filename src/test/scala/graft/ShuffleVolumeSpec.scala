@@ -125,4 +125,31 @@ class ShuffleVolumeSpec extends AnyFunSuite {
     assert(afterDedup <= 280L,
       s"p83 post-dedup candidate count regressed: $afterDedup > 280")
   }
+
+  // p85: 4,596 recs / 50,359 B / 4 exchanges; 9,012 candidate pairs
+  // after the length filter, 228 past the m>=8 screen (measured
+  // 2026-08-15 at sf0.01). Note the shape vs p83: the screen explores
+  // MORE distinct pairs (uniform-random argmin winners hit common
+  // shingles more often than rare-first prefixes) but ships ~4x fewer
+  // shuffle records and ~12x fewer bytes — k probe rows per doc and a
+  // broadcast-joined probe side; false positives die at verification.
+  test("p85_containment_screen shuffle volume stays pinned") {
+    ObsRegistry.drain()
+    pin("p85_containment_screen", maxRecords = 7000L, maxBytes = 110000L,
+      maxExchanges = 6)
+    val obs = ObsRegistry.drain().collect {
+      case ("p85_containment_screen", m) => m
+    }
+    assert(obs.nonEmpty, "p85 gate no longer registers its Observation")
+    val m = obs.head
+    val afterLen = m("cands_after_length").toString.toLong
+    val afterScreen = m("cands_after_screen").toString.toLong
+    info(s"p85 candidates: $afterLen pairs after length filter, " +
+      s"$afterScreen past the m>=8 screen")
+    assert(afterScreen > 0 && afterScreen <= afterLen)
+    assert(afterLen <= 13500L,
+      s"p85 candidate-pair volume regressed: $afterLen > 13500")
+    assert(afterScreen <= 350L,
+      s"p85 screened pair count regressed: $afterScreen > 350")
+  }
 }
