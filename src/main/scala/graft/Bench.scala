@@ -75,7 +75,8 @@ object Bench {
     "p78_unseen_mass", "p79_threshold_sweep", "m18_video_letterbox",
     "p80_quality_mixture", "p81_bpe_train", "p82_bpe_segment",
     "p83_containment_join", "p84_bpe_fertility",
-    "p85_containment_screen", "p86_bpe_batched")
+    "p85_containment_screen", "p86_bpe_batched",
+    "p87_containment_incremental")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above
@@ -141,8 +142,10 @@ object Bench {
     "p83_containment_join", "p84_bpe_fertility",
     // round-12: the containment SCREEN shuffles candidate pairs too
     // (permanent citizen — it exists to be compared against p83 at
-    // scale); batched BPE is iterative, one round of history
+    // scale); batched BPE is iterative, one round of history; the
+    // incremental screen shuffles candidate pairs (permanent)
     "p85_containment_screen", "p86_bpe_batched",
+    "p87_containment_incremental",
     // round-10 protocol change: these two were count()-ELIMINATED in
     // every prior round's bench (their numbers measured a parquet
     // count); now that the action executes the full plan they get

@@ -505,6 +505,27 @@ object PipelineQueries {
         .orderBy(col("contained"), col("container"))
     }),
 
+    // INCREMENTAL containment screen (p87, round 12): today's batch —
+    // planted first-half excerpts (+2000000) and re-crawl full copies
+    // (+4000000, containment 1.0 both ways but only new→index emits) —
+    // probed against the existing corpus as the index. Δ-proportional:
+    // new×new and index×index pairs are never formed; the excerpt
+    // question is asked only of the increment.
+    "p87_containment_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = split(col("text"), " ")
+      val newBatch = d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest(ceil(size(toks).cast("double") / 2.0), lit(3))
+              .cast("int")), " ").as("text"))
+        .unionAll(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      DedupOps.containmentScreenNewVsIndex(newBatch, d, "doc_id", "text",
+          tau = 0.9)
+        .orderBy(col("id_new"), col("id_idx"))
+    }),
+
     // BATCHED BPE training (p86, round 12): same 8 merges as p81 but
     // learned in ~2 rounds of 4 via the non-conflicting-prefix batch —
     // the scheduling-floor fix for production merge counts. The oracle
@@ -2128,6 +2149,64 @@ object PipelineQueries {
         | AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
         |   >= 0.9
         |ORDER BY contained, container""".stripMargin,
+
+    // incremental variant: the same screen replay with the probe side
+    // restricted to the new batch (excerpt derivatives + re-crawl
+    // copies) and the index side the base corpus
+    "p87_containment_incremental" ->
+      """WITH nb AS (
+        | SELECT doc_id + 2000000 AS doc_id,
+        |  array_to_string(s[1:greatest(CAST(ceil(len(s)/2.0) AS INT), 3)],
+        |    ' ') AS text
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+        | WHERE doc_id < 40
+        | UNION ALL
+        | SELECT doc_id + 4000000 AS doc_id, text FROM documents
+        | WHERE doc_id % 11 = 0),
+        |tn AS (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM nb)),
+        |ti AS (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)),
+        |fn AS (SELECT * FROM tn WHERE len(sh) >= 5),
+        |fi AS (SELECT * FROM ti WHERE len(sh) >= 5),
+        |un AS (SELECT doc_id, unnest(sh) AS s FROM fn),
+        |ui AS (SELECT doc_id, unnest(sh) AS s FROM fi),
+        |ph AS (
+        | SELECT doc_id, s,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+        | FROM un),
+        |wn AS (
+        | SELECT doc_id, i, s FROM (
+        |  SELECT doc_id, r.i AS i, s,
+        |   row_number() OVER (PARTITION BY doc_id, r.i
+        |    ORDER BY ((2*r.i + 1) * h + 40503*r.i) % 2147483647, s) AS rn
+        |  FROM ph, range(0, 16) r(i))
+        | WHERE rn = 1),
+        |szn AS (SELECT doc_id, least(len(sh), 4095) AS z FROM fn),
+        |szi AS (SELECT doc_id, least(len(sh), 4095) AS z FROM fi),
+        |m AS (
+        | SELECT w.doc_id AS id_new, x.doc_id AS id_idx, count(*) AS nm
+        | FROM wn w JOIN ui x ON w.s = x.s AND w.doc_id != x.doc_id
+        | JOIN szn za ON za.doc_id = w.doc_id
+        | JOIN szi zb ON zb.doc_id = x.doc_id
+        | WHERE CAST(zb.z AS DOUBLE) >= za.z * 0.9 - 0.000001
+        | GROUP BY 1, 2
+        | HAVING count(*) >= 8)
+        |SELECT m.id_new, m.id_idx,
+        | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |   AS containment
+        |FROM m JOIN fn a ON a.doc_id = m.id_new
+        | JOIN fi b ON b.doc_id = m.id_idx
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |   >= 0.9
+        |ORDER BY id_new, id_idx""".stripMargin,
 
     // full replay of the minhash containment SCREEN: per-shingle poly
     // base hash (31 mod 2³¹−1 over code points), 16 affine seed

@@ -557,6 +557,66 @@ object DedupOps {
       .select(col("contained"), col("container"), col("containment"))
   }
 
+  /** INCREMENTAL containment screen: today's batch probed against an
+    * EXISTING corpus index only — the Δ-proportional production shape
+    * of [[containmentScreen]] (the p30/p32/p35 pattern applied to
+    * excerpt detection). "Is this new document an excerpt of something
+    * the corpus already has?" costs k argmin probe rows per NEW doc
+    * against the index's shingle postings; the 100 TB historical side
+    * is touched only through the (prebuilt, reusable) exploded index
+    * and the per-candidate verification join — new×new and index×index
+    * pairs are never formed. Same hashing, admission, and recall
+    * contract as [[containmentScreen]]; returns directed
+    * (id_new, id_idx, containment ≥ tau). */
+  def containmentScreenNewVsIndex(newDf: DataFrame, indexDf: DataFrame,
+      idCol: String, textCol: String, tau: Double, ngram: Int = 3,
+      minShingles: Int = 5, k: Int = 16, minMatch: Int = 8,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    require(minMatch >= 1 && minMatch <= k,
+      s"minMatch in [1,k=$k]: $minMatch")
+    def sets(df: DataFrame) = CacheRegistry.register(
+      df.select(col(idCol).as("id"),
+          graft.functions.native.shingle_set(
+            split(col(textCol), " "), ngram).as("sh"))
+        .filter(size(col("sh")) >= minShingles)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val newSets = sets(newDf)
+    val idxSets = sets(indexDf)
+    def packed(c: Column): Column =
+      c * 4096 + least(size(col("sh")), lit(4095)).cast("long")
+    val probe = newSets.select(packed(col("id")).as("ida"),
+      explode(graft.functions.native.containment_minhash(col("sh"), k))
+        .as("t"))
+    val indexAll = idxSets.select(packed(col("id")).as("idb"),
+      explode(col("sh")).as("t"))
+    val index =
+      if (maxBucket == Long.MaxValue) indexAll
+      else indexAll.join(
+        indexAll.groupBy(col("t")).agg(count(lit(1)).as("dfb"))
+          .filter(col("dfb") > maxBucket).select(col("t")),
+        Seq("t"), "left_anti")
+    val cand = probe.join(index, "t")
+      .select(shiftright(col("ida"), 12).as("id_new"),
+        (col("ida") % 4096).as("sz_a"),
+        shiftright(col("idb"), 12).as("id_idx"),
+        (col("idb") % 4096).as("sz_b"))
+      .filter(col("id_new") =!= col("id_idx"))
+      .filter(col("sz_b").cast("double") >= col("sz_a") * tau - 1e-6)
+      .groupBy(col("id_new"), col("id_idx"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= minMatch)
+      .select(col("id_new"), col("id_idx"))
+    val a = newSets.select(col("id").as("id_new"), col("sh").as("sh_a"))
+    val b = idxSets.select(col("id").as("id_idx"), col("sh").as("sh_b"))
+    cand.join(a, "id_new").join(b, "id_idx")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")))
+      .filter(col("containment") >= tau)
+      .select(col("id_new"), col("id_idx"), col("containment"))
+  }
+
   /** 64-bit SimHash of a token array via the native
     * [[graft.functions.SimHash64]] expression (sign of per-bit ±1 sums
     * of token hashes) — one JVM loop per row, no shuffle, no UDF. */

@@ -117,6 +117,24 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(df2.as[Seq[String]].collect().head == Seq("aa", "a"))
   }
 
+  test("containmentScreenNewVsIndex finds cross-side excerpts and " +
+      "NEVER forms new-new or index-index pairs (delta-proportional)") {
+    val srcA = (1 to 60).map(i => s"w$i").mkString(" ")
+    val srcB = (200 to 260).map(i => s"u$i").mkString(" ")
+    val excA = (1 to 8).map(i => s"w$i").mkString(" ")
+    val excB = (200 to 208).map(i => s"u$i").mkString(" ")
+    val index = Seq(1L -> srcA, 2L -> srcB).toDF("doc_id", "text")
+    // 11 and 12 are mutual near-dups WITHIN the new batch — an
+    // incremental screen must not pair them with each other
+    val newB = Seq(11L -> excA, 12L -> excA, 13L -> excB)
+      .toDF("doc_id", "text")
+    val got = DedupOps.containmentScreenNewVsIndex(newB, index,
+      "doc_id", "text", tau = 0.9).as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((11L, 1L, 1.0), (12L, 1L, 1.0), (13L, 2L, 1.0)),
+      s"got $got")
+    CacheRegistry.releaseAll()
+  }
+
   test("containmentJoin keeps directed pairs with ids beyond the " +
       "double mantissa (integral unpack of id*4096+sz)") {
     val long = (1 to 80).map(i => s"w$i").mkString(" ")
