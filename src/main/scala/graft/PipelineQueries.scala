@@ -537,6 +537,14 @@ object PipelineQueries {
           nMerges = 8, batch = 4)
         .orderBy(col("step"))),
 
+    // DEEP BPE training (p88, round 12): 3x p81's merge depth through
+    // the lineage-cut generation loop (Bridge.cutLineageCached) — the
+    // gate-level proof that depth scaling is exact, not just
+    // TuneBpe-measured; the oracle unrolls all 24 stages.
+    "p88_bpe_deep" -> ((s, dir) =>
+      graft.operators.LmOps.bpeTrain(docs(s, dir), "text", nMerges = 24)
+        .orderBy(col("step"))),
+
     "p80_quality_mixture" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.select(col("doc_id"), col("source"),
@@ -2072,15 +2080,19 @@ object PipelineQueries {
   /** The shared WITH-clause: w0/s0 seeding + `nMerges` unrolled
     * pair-count → argmax → greedy-fold stages. */
   private def bpeStagesSql(nMerges: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB re-inlines plain CTEs per
+    // reference, and each stage references s_{k-1} twice — the
+    // evaluation tree doubles per stage (2^24 documents scans at p88's
+    // depth, "too many open files" long before any timeout)
     def stage(k: Int): String =
-      s"""p$k AS (SELECT struct_extract(z, 1) AS l,
+      s"""p$k AS MATERIALIZED (SELECT struct_extract(z, 1) AS l,
          |    struct_extract(z, 2) AS r, sum(freq) AS c
          |  FROM (SELECT freq,
          |      unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z
          |    FROM s${k - 1} WHERE len(syms) > 1)
          |  GROUP BY 1, 2),
-         |b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
-         |s$k AS (SELECT word, freq,
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |s$k AS MATERIALIZED (SELECT word, freq,
          |  string_split(substr(list_reduce(list_prepend('', syms),
          |    (acc, x) -> CASE WHEN x = b.r AND acc != ''
          |        AND regexp_extract(acc, '[^\\x01]*$$') = b.l
@@ -2091,12 +2103,12 @@ object PipelineQueries {
     // Spark loop just stops merging. With b NULL the fold's CASE
     // predicate is NULL → ELSE on every element, reproducing syms
     // unchanged, which is exactly LmOps' exhausted-loop behavior.
-    """WITH w0 AS (
+    """WITH w0 AS MATERIALIZED (
       |  SELECT word, count(*) AS freq FROM (
       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |  WHERE word != '' AND regexp_matches(word, '^[a-z0-9]+$')
       |  GROUP BY word),
-      |s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM w0),
+      |s0 AS MATERIALIZED (SELECT word, freq, string_split(word, '') AS syms FROM w0),
       |""".stripMargin +
       (1 to nMerges).map(stage).mkString(",\n")
   }
@@ -2107,6 +2119,7 @@ object PipelineQueries {
     // batched training must equal SEQUENTIAL training on the fixture —
     // same oracle as p81, by design
     "p86_bpe_batched" -> bpeOracleSql(8),
+    "p88_bpe_deep" -> bpeOracleSql(24),
     "p82_bpe_segment" -> bpeSegmentOracleSql(8),
 
     // per-source word counts joined against the unrolled stages' final
