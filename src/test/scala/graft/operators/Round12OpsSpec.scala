@@ -117,6 +117,24 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(df2.as[Seq[String]].collect().head == Seq("aa", "a"))
   }
 
+  test("bpeTrain survives 40+ generations (lineage cut at both plan " +
+      "layers — the TuneBpe OOM/StackOverflow regression)") {
+    // a corpus with deep merge structure: a 36-distinct-char word
+    // keeps exactly one mergeable pair family alive per round, so the
+    // loop runs ~35 generations before exhausting
+    val word = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val docs = (1 to 50).map(i =>
+      i.toLong -> Seq.fill(6)(word).mkString(" "))
+      .toDF("doc_id", "text")
+    val merged = LmOps.bpeTrain(docs, "text", nMerges = 40)
+      .as[(Int, String, String, Long)].collect()
+    // depth reached (or corpus exhausted) without analyzer/serializer
+    // blowup; merge table is well-formed and strictly step-ordered
+    assert(merged.nonEmpty && merged.map(_._1).toSeq == (1 to merged.length))
+    assert(merged.forall(m => m._4 > 0 && m._2.nonEmpty && m._3.nonEmpty))
+    assert(merged.length >= 30, s"only ${merged.length} merges learned")
+  }
+
   test("containmentScreenNewVsIndex finds cross-side excerpts and " +
       "NEVER forms new-new or index-index pairs (delta-proportional)") {
     val srcA = (1 to 60).map(i => s"w$i").mkString(" ")
