@@ -152,4 +152,12 @@ class ShuffleVolumeSpec extends AnyFunSuite {
     assert(afterScreen <= 350L,
       s"p85 screened pair count regressed: $afterScreen > 350")
   }
+
+  // p87: 937 recs / 11,618 B / 4 exchanges (measured 2026-08-15) —
+  // the Δ-proportional variant ships ~1/5 of p85's already-light
+  // volume (probe side = new batch only)
+  test("p87_containment_incremental shuffle volume stays pinned") {
+    pin("p87_containment_incremental", maxRecords = 1500L,
+      maxBytes = 25000L, maxExchanges = 6)
+  }
 }
