@@ -498,22 +498,31 @@ object LmOps {
     * applies the whole batch in one native fold. Rounds shrink by ~the
     * batch factor; driver traffic stays O(batch) rows per round.
     *
-    * Faithfulness: pairs in a non-conflicting prefix keep their exact
-    * counts under each other's application (merging (a,b) only touches
-    * pairs containing a or b), so the admitted sequence and its counts
-    * match sequential training UNLESS a merge-CREATED pair overtakes a
-    * later admission between rounds: a pair involving a just-merged
-    * symbol does not exist in the round's stale ranking at all, and no
-    * admission rule can rank what it cannot see (its count is bounded
-    * by the creating pair's, not the next admission's, so no sound
-    * cut-off exists either — this is the standard greedy-batch
-    * approximation). Measured on the sf0.1 fixture (TuneBpe): batch 16
-    * first diverges at merge 23 of 64, where sequential's (c,o)→co
-    * enabled (co,lu) mid-batch; batch 4 over 8 merges — the p86 gate
-    * config — is exact, and the gate proves it against the SEQUENTIAL
-    * oracle every round. Callers who need guaranteed sequential
-    * semantics at production merge counts use batch = 1 ==
-    * [[bpeTrain]] and pay the per-round floor. */
+    * EXACTNESS — the rewind guard (round 12, second pass). Pairs in a
+    * non-conflicting prefix keep their exact counts under each other's
+    * application (merging (a,b) only touches pairs containing a or b),
+    * so the admitted sequence matches sequential training unless a
+    * pair CONTAINING a batch output overtakes a later admission — a
+    * merge-created pair invisible to the round's stale ranking, or a
+    * pre-existing pair whose count ROSE as new output-symbol
+    * occurrences appeared (TuneBpe first measured the divergence at
+    * merge 23 of 64: sequential's (c,o)→co enabled (co,lu) mid-batch).
+    * The guard exploits an invariance: once admission j applies, any
+    * pair containing output l_j‖r_j has a FIXED count for the rest of
+    * the batch (outputs are admission-blocked, so no later batch merge
+    * can consume or extend them) — therefore the POST-batch count of
+    * every output-containing pair equals the count sequential would
+    * have seen mid-batch. One extra job per round ranks the best such
+    * pair; if it outranks admission i under the (count desc, l, r)
+    * total order, the batch REWINDS to the first i−1 admissions (one
+    * re-fold from the still-cached pre-batch state — admission 1 is
+    * immune, being the true round-start argmax). Kept prefixes are
+    * provably sequential-exact; the trim is conservative only in WHEN
+    * it fires (the best pair's creator index is not tracked), never in
+    * what it keeps. TuneBpe confirms merge-for-merge equality with
+    * [[bpeTrain]] at every tested config after the guard (64/16,
+    * 512/64 — the fixture exhausts at 89 merges); the p86 gate proves
+    * it against the SEQUENTIAL oracle every round. */
   def bpeTrainBatched(df: DataFrame, textCol: String, nMerges: Int,
       batch: Int = 4): DataFrame = {
     require(nMerges >= 1 && nMerges <= 65536,
@@ -533,17 +542,23 @@ object LmOps {
     var prevRdd: org.apache.spark.rdd.RDD[_] = null
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var exhausted = false
-    while (merges.size < nMerges && !exhausted) {
-      val want = math.min(batch, nMerges - merges.size)
-      // over-collect: conflicts consume ranking slots before the stop
-      val top = state.filter(size(col("syms")) > 1)
+    def pairCounts(d: DataFrame): DataFrame =
+      d.filter(size(col("syms")) > 1)
         .select(col("freq"), posexplode(slice(col("syms"), lit(1),
           size(col("syms")) - 1)).as(Seq("p", "l")),
           col("syms"))
         .select(col("l"), element_at(col("syms"), col("p") + 2).as("r"),
           col("freq"))
         .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
+    def fold(merges: Seq[(String, String)]) =
+      org.apache.spark.sql.graftbridge.Bridge.cutLineageCached(
+        state.withColumn("syms",
+          graft.functions.native.bpe_apply(col("syms"), merges)))
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val want = math.min(batch, nMerges - merges.size)
+      // over-collect: conflicts consume ranking slots before the stop
+      val top = pairCounts(state)
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(want * 4 + 8).collect()
       if (prevRdd != null) { prevRdd.unpersist(blocking = false); prevRdd = null }
@@ -563,13 +578,41 @@ object LmOps {
               used += l; used += r; used += (l + r)
             }
           }
-        admitted.foreach { case (l, r, c) =>
+        var applied = admitted.toSeq
+        var (next, nextRdd) = fold(applied.map { case (l, r, _) => (l, r) })
+        if (applied.size > 1) {
+          // REWIND GUARD (see scaladoc): the best post-batch pair
+          // containing any batch OUTPUT has, by the disjointness
+          // invariance, exactly the count sequential would have seen
+          // mid-batch. If it outranks admission i (> count, or equal
+          // count with smaller (l, r)), sequential would have picked
+          // it there — trim to the first i−1 admissions and re-fold
+          // from the still-cached pre-batch state. Admission 0 is the
+          // true round-start argmax and immune.
+          val outs = applied.map { case (l, r, _) => l + r }
+          val best = pairCounts(next)
+            .filter(col("l").isin(outs: _*) || col("r").isin(outs: _*))
+            .orderBy(col("c").desc, col("l"), col("r"))
+            .limit(1).collect()
+          if (best.nonEmpty) {
+            val (bl, br, bc) = (best.head.getString(0),
+              best.head.getString(1), best.head.getLong(2))
+            val cut = applied.indexWhere { case (l, r, c) =>
+              bc > c || (bc == c && (bl < l || (bl == l && br < r)))
+            }
+            if (cut >= 0) {
+              val keep = math.max(cut, 1)
+              nextRdd.unpersist(blocking = false)
+              applied = applied.take(keep)
+              val (n2, r2) = fold(applied.map { case (l, r, _) => (l, r) })
+              next = n2
+              nextRdd = r2
+            }
+          }
+        }
+        applied.foreach { case (l, r, c) =>
           merges += ((merges.size + 1, l, r, c))
         }
-        val (next, nextRdd) = org.apache.spark.sql.graftbridge.Bridge
-          .cutLineageCached(state.withColumn("syms",
-            graft.functions.native.bpe_apply(col("syms"),
-              admitted.toSeq.map { case (l, r, _) => (l, r) })))
         prevRdd = stateRdd
         stateRdd = nextRdd
         state = next
