@@ -526,15 +526,16 @@ object PipelineQueries {
         .orderBy(col("id_new"), col("id_idx"))
     }),
 
-    // BATCHED BPE training (p86, round 12): same 8 merges as p81 but
-    // learned in ~2 rounds of 4 via the non-conflicting-prefix batch —
-    // the scheduling-floor fix for production merge counts. The oracle
-    // is the SEQUENTIAL unrolled replay (bpeOracleSql, identical to
-    // p81's): the gate IS the proof that batching reproduced
-    // sequential training on this corpus, merge order, counts and all.
+    // BATCHED BPE training (p86, round 12): 24 merges in batches of
+    // 16 — deliberately PAST the measured divergence point of the
+    // unguarded batching (merge 23 at sf0.1), so the rewind guard must
+    // actually fire for the gate to stay green. The oracle is the
+    // SEQUENTIAL unrolled replay (bpeOracleSql(24), the same stages
+    // p88 uses): the gate IS the proof that guarded batching
+    // reproduces sequential training — merge order, counts and all.
     "p86_bpe_batched" -> ((s, dir) =>
       graft.operators.LmOps.bpeTrainBatched(docs(s, dir), "text",
-          nMerges = 8, batch = 4)
+          nMerges = 24, batch = 16)
         .orderBy(col("step"))),
 
     // DEEP BPE training (p88, round 12): 3x p81's merge depth through
@@ -2116,9 +2117,10 @@ object PipelineQueries {
   /** DuckDB equivalents — every pipeline gate carries one. */
   val oracle: Map[String, String] = Map(
     "p81_bpe_train" -> bpeOracleSql(8),
-    // batched training must equal SEQUENTIAL training on the fixture —
-    // same oracle as p81, by design
-    "p86_bpe_batched" -> bpeOracleSql(8),
+    // guarded batched training must equal SEQUENTIAL training — the
+    // oracle is the sequential replay at the same depth (shared with
+    // p88), run at a batch size past the unguarded divergence point
+    "p86_bpe_batched" -> bpeOracleSql(24),
     "p88_bpe_deep" -> bpeOracleSql(24),
     "p82_bpe_segment" -> bpeSegmentOracleSql(8),
 

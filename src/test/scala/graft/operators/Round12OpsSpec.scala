@@ -86,9 +86,11 @@ class Round12OpsSpec extends AnyFunSuite {
       .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(batHand == seqHand, s"hand corpus:\n$seqHand\n$batHand")
     val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
-    val seqT = LmOps.bpeTrain(docs, "text", nMerges = 8)
+    // 24/16 sits PAST the unguarded divergence point (measured merge
+    // 23 at sf0.1) — equality here exercises the rewind guard
+    val seqT = LmOps.bpeTrain(docs, "text", nMerges = 24)
       .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
-    val batT = LmOps.bpeTrainBatched(docs, "text", nMerges = 8, batch = 4)
+    val batT = LmOps.bpeTrainBatched(docs, "text", nMerges = 24, batch = 16)
       .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
     assert(batT == seqT, s"fixture corpus:\n$seqT\n$batT")
     // batch=1 degenerates to sequential BY CONSTRUCTION
