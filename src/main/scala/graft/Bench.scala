@@ -572,6 +572,18 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact file write failed: $e") }
     println(line)
+    // Round-13 (VERDICT r12 item 5): BENCH_r12.json carried
+    // "parsed": null — the driver could not pick the artifact line out
+    // of the sbt-wrapped log even though the JSON was emitted intact.
+    // Emit a COMPACT duplicate (headline fields only, no "times"/"sf1"
+    // diagnostic payloads, so the line stays short enough to survive
+    // any line-length capture limit) on one marker-prefixed stdout
+    // line a parser can grep unambiguously.
+    if (!isChild) {
+      val compact = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"failed":$failedJson,"queries":${queriesJson(ok)},"value":${fmtJsonNum(total)}}"""
+      println(s"GRAFT_BENCH_JSON $compact")
+      System.out.flush()
+    }
     spark.stop()
     // A query whose reps ALL failed must fail the run's exit code too:
     // round 6's BENCH artifact recorded rc:0 with three q29 errors, and

@@ -526,13 +526,14 @@ object PipelineQueries {
         .orderBy(col("id_new"), col("id_idx"))
     }),
 
-    // BATCHED BPE training (p86, round 12): 24 merges in batches of
-    // 16 — deliberately PAST the measured divergence point of the
-    // unguarded batching (merge 23 at sf0.1), so the rewind guard must
-    // actually fire for the gate to stay green. The oracle is the
-    // SEQUENTIAL unrolled replay (bpeOracleSql(24), the same stages
-    // p88 uses): the gate IS the proof that guarded batching
-    // reproduces sequential training — merge order, counts and all.
+    // BATCHED BPE training (p86, round 12; round-13 trim): 24 merges
+    // in batches of 16 — deliberately PAST the measured divergence
+    // point of the unguarded batching (merge 23 at sf0.1), so the
+    // strict-dominance trim must actually fire for the gate to stay
+    // green. The oracle is the SEQUENTIAL unrolled replay
+    // (bpeOracleSql(24), the same stages p88 uses): the gate IS the
+    // proof that exact batching reproduces sequential training —
+    // merge order, counts and all.
     "p86_bpe_batched" -> ((s, dir) =>
       graft.operators.LmOps.bpeTrainBatched(docs(s, dir), "text",
           nMerges = 24, batch = 16)

@@ -571,9 +571,16 @@ case class BpeApply(child: Expression, merges: Seq[(String, String)])
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    var syms = new Array[String](n)
+    // null elements are skipped (dropped symbols), like the sibling
+    // expressions' isNullAt guards — getUTF8String would NPE
+    val buf = new Array[String](n)
+    var len = 0
     var i = 0
-    while (i < n) { syms(i) = arr.getUTF8String(i).toString; i += 1 }
+    while (i < n) {
+      if (!arr.isNullAt(i)) { buf(len) = arr.getUTF8String(i).toString; len += 1 }
+      i += 1
+    }
+    var syms = java.util.Arrays.copyOf(buf, len)
     merges.foreach { case (l, r) =>
       if (syms.length > 1) {
         val out = new Array[String](syms.length)
@@ -651,20 +658,26 @@ case class ContainmentMinHash(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    if (m == 0) return new GenericArrayData(Array.empty[Any])
-    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](m)
-    val base = new Array[Long](m)
+    val n0 = arr.numElements()
+    // skip null elements (sibling-expression convention) — getUTF8String NPEs
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n0)
+    val base = new Array[Long](n0)
+    var m = 0
     var i = 0
-    while (i < m) {
-      toks(i) = arr.getUTF8String(i)
-      base(i) = polyHash(toks(i))
+    while (i < n0) {
+      if (!arr.isNullAt(i)) {
+        toks(m) = arr.getUTF8String(i)
+        base(m) = polyHash(toks(m))
+        m += 1
+      }
       i += 1
     }
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[AnyRef](k)
     var s = 0
     while (s < k) {
-      // (2s+1)·base + 40503·s stays far below 2⁶³ (≤ 33·2³¹ + 40503·512)
+      // (2s+1)·base + 40503·s stays far below 2⁶³ for all k ≤ 512
+      // (≤ 1023·2³¹ + 40503·511 ≈ 2.2·10¹²)
       val a = 2L * s + 1L
       val b = 40503L * s
       var bi = 0

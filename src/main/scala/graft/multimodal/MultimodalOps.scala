@@ -1138,13 +1138,24 @@ object MultimodalOps {
               ((p(off + i + 1) & 0xFF) << 8) |
               ((p(off + i + 2) & 0xFF) << 16) |
               ((p(off + i + 3) & 0xFF) << 24)
+            require(off + 34 <= p.length,
+              s"asset ${a.asset_id}: frame at byte $off: bfSize 0 and " +
+                "payload too short for a DIB header fallback")
             val offBits = le32(10)
             val w = le32(18)
             val h = math.abs(le32(22))
             val bpp = (p(off + 28) & 0xFF) | ((p(off + 29) & 0xFF) << 8)
+            val compression = le32(30)
             require(offBits > 0 && w > 0 && h > 0 && bpp > 0,
               s"asset ${a.asset_id}: frame at byte $off: bfSize 0 and " +
                 s"implausible DIB header (offBits=$offBits w=$w h=$h bpp=$bpp)")
+            // stride×h is only the payload size for uncompressed BI_RGB;
+            // an RLE frame with bfSize 0 would silently shift every
+            // later frame boundary — refuse loudly instead
+            require(compression == 0,
+              s"asset ${a.asset_id}: frame at byte $off: bfSize 0 and " +
+                s"biCompression=$compression — the DIB fallback supports " +
+                "only BI_RGB (0)")
             offBits + ((w.toLong * bpp + 31) / 32).toInt * 4 * h
           }
           require(sz > 0 && off + sz <= p.length,

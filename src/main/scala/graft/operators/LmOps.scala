@@ -498,33 +498,53 @@ object LmOps {
     * applies the whole batch in one native fold. Rounds shrink by ~the
     * batch factor; driver traffic stays O(batch) rows per round.
     *
-    * EXACTNESS — the rewind guard (round 12, second pass). Pairs in a
-    * non-conflicting prefix keep their exact counts under each other's
-    * application (merging (a,b) only touches pairs containing a or b),
-    * so the admitted sequence matches sequential training unless a
-    * pair CONTAINING a batch output overtakes a later admission — a
-    * merge-created pair invisible to the round's stale ranking, or a
-    * pre-existing pair whose count ROSE as new output-symbol
-    * occurrences appeared (TuneBpe first measured the divergence at
-    * merge 23 of 64: sequential's (c,o)→co enabled (co,lu) mid-batch).
-    * The guard exploits an invariance: once admission j applies, any
-    * pair containing output l_j‖r_j has a FIXED count for the rest of
-    * the batch (outputs are admission-blocked, so no later batch merge
-    * can consume or extend them) — therefore the POST-batch count of
-    * every output-containing pair equals the count sequential would
-    * have seen mid-batch. One extra job per round ranks the best such
-    * pair; if it outranks admission i under the (count desc, l, r)
-    * total order, the batch REWINDS to the first i−1 admissions (one
-    * re-fold from the still-cached pre-batch state — admission 1 is
-    * immune, being the true round-start argmax). Kept prefixes are
-    * provably sequential-exact; the trim is conservative only in WHEN
-    * it fires (the best pair's creator index is not tracked), never in
-    * what it keeps. TuneBpe confirms merge-for-merge equality with
-    * [[bpeTrain]] at every tested config after the guard (64/16,
-    * 512/64 — the fixture exhausts at 89 merges); the p86 gate proves
-    * it against the SEQUENTIAL oracle every round. */
+    * EXACTNESS — the strict-dominance trim (round 13; replaces the
+    * round-12 post-batch rewind guard, whose "output-containing pair
+    * counts are post-batch-invariant" premise had a tie-case hole: a
+    * later admission (l_i,r_i) can consume occurrences ADJACENT to an
+    * earlier output — "out_j l_i r_i" turns (out_j,l_i) into
+    * (out_j,out_i), splitting its count across two pairs, so a
+    * sequential mid-batch tie could hide below both fragments). The
+    * round-13 rule needs NO extra job. Let c_conflict be the count of
+    * the first NON-admitted ranking row (the stop row; −1 if the
+    * exhaustive collect was fully admitted). Keep only the admissions
+    * i ≥ 1 with c_i > c_conflict (admission 0 — the true round-start
+    * argmax — is always kept). Proof this is sequential-exact, by
+    * induction on steps: at step i sequential ranks (count desc, l, r)
+    * over (a) admission i, whose count is still c_i (admitted pairs
+    * are symbol-disjoint from each other and from outputs, so earlier
+    * admissions never touch its occurrences); (b) non-output pairs,
+    * whose counts only DECREASE under merges (a merge destroys
+    * adjacent pairs and creates only output-containing ones) and which
+    * rank below admission i at round start — later admissions and
+    * trimmed rows lose even count-ties to it by the ranking's own lex
+    * order, non-collected pairs have count ≤ c_conflict < c_i; and
+    * (c) output-containing pairs P, each of whose occurrences at step
+    * i spans a junction "… l_j r_j X …" that at ROUND START was an
+    * occurrence of the unique BRIDGE pair (r_j, s) / (s, l_j) /
+    * (r_j, l_m) — a pair sharing a symbol with admission j, hence
+    * non-admitted (a conflicting row inside the prefix would have
+    * stopped admission), hence count_start(bridge) ≤ c_conflict. So
+    * c_P(step i) ≤ c_conflict < c_i and P cannot win even a lex
+    * tiebreak, because ties cannot occur. Sequential's argmax at step
+    * i is exactly admission i. ∎ (TuneBpe had measured the unguarded
+    * divergence at merge 23 of 64: sequential's (c,o)→co enabled
+    * (co,lu) mid-batch; c_(co,lu) ≤ c_conflict, so the trim cuts that
+    * round at the boundary and re-ranks next round.) Count ties are
+    * common in BPE tails, so the trim costs batch width there — but it
+    * removes round 12's second job per round entirely, and the Zipf
+    * head (where batching pays) is mostly strict. TuneBpe confirms
+    * merge-for-merge equality with [[bpeTrain]] at 64/16 and 512/64;
+    * the p86 gate proves it against the SEQUENTIAL oracle every round.
+    *
+    * `exact = false` admits the full non-conflicting prefix with no
+    * trim (round 12's measured ~3× unguarded rate): output is a VALID
+    * greedy-BPE variant but can diverge from sequential order once a
+    * merge-created pair overtakes a stale-ranked admission (first
+    * measured at merge 23 on the fixture); use only where bit-exact
+    * vocabulary reproducibility does not matter. */
   def bpeTrainBatched(df: DataFrame, textCol: String, nMerges: Int,
-      batch: Int = 4): DataFrame = {
+      batch: Int = 4, exact: Boolean = true): DataFrame = {
     require(nMerges >= 1 && nMerges <= 65536,
       s"nMerges in [1,65536]: $nMerges")
     require(batch >= 1 && batch <= 256, s"batch in [1,256]: $batch")
@@ -578,38 +598,28 @@ object LmOps {
               used += l; used += r; used += (l + r)
             }
           }
-        var applied = admitted.toSeq
-        var (next, nextRdd) = fold(applied.map { case (l, r, _) => (l, r) })
-        if (applied.size > 1) {
-          // REWIND GUARD (see scaladoc): the best post-batch pair
-          // containing any batch OUTPUT has, by the disjointness
-          // invariance, exactly the count sequential would have seen
-          // mid-batch. If it outranks admission i (> count, or equal
-          // count with smaller (l, r)), sequential would have picked
-          // it there — trim to the first i−1 admissions and re-fold
-          // from the still-cached pre-batch state. Admission 0 is the
-          // true round-start argmax and immune.
-          val outs = applied.map { case (l, r, _) => l + r }
-          val best = pairCounts(next)
-            .filter(col("l").isin(outs: _*) || col("r").isin(outs: _*))
-            .orderBy(col("c").desc, col("l"), col("r"))
-            .limit(1).collect()
-          if (best.nonEmpty) {
-            val (bl, br, bc) = (best.head.getString(0),
-              best.head.getString(1), best.head.getLong(2))
-            val cut = applied.indexWhere { case (l, r, c) =>
-              bc > c || (bc == c && (bl < l || (bl == l && br < r)))
-            }
-            if (cut >= 0) {
-              val keep = math.max(cut, 1)
-              nextRdd.unpersist(blocking = false)
-              applied = applied.take(keep)
-              val (n2, r2) = fold(applied.map { case (l, r, _) => (l, r) })
-              next = n2
-              nextRdd = r2
-            }
+        // STRICT-DOMINANCE TRIM (see scaladoc): every mid-batch
+        // challenger — a pair containing a batch output, or any
+        // non-collected pair — has count ≤ the first non-admitted
+        // ranking row's count, and only output-containing challengers
+        // can win a lex tiebreak. Keeping admissions that STRICTLY
+        // dominate that bound (index 0, the true round-start argmax,
+        // is immune) makes the kept prefix provably sequential-exact
+        // with no extra job. If the exhaustive collect was fully
+        // admitted, no conflicting pair exists at round start, so no
+        // output-containing pair can ever form this round: no bound.
+        val cConflict =
+          if (admitted.size < top.length) top(admitted.size).getLong(2)
+          else -1L
+        val keep =
+          if (!exact) admitted.size
+          else {
+            val t = admitted.indexWhere({ case (_, _, c) =>
+              c <= cConflict }, 1)
+            if (t >= 1) t else admitted.size
           }
-        }
+        val applied = admitted.take(math.max(keep, 1)).toSeq
+        val (next, nextRdd) = fold(applied.map { case (l, r, _) => (l, r) })
         applied.foreach { case (l, r, c) =>
           merges += ((merges.size + 1, l, r, c))
         }

@@ -39,21 +39,36 @@ object TuneBpe {
     val (batT, tBat) = time(
       operators.LmOps.bpeTrainBatched(docs, "text", nMerges, batch)
         .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1))
+    val (rawT, tRaw) = time(
+      operators.LmOps.bpeTrainBatched(docs, "text", nMerges, batch,
+          exact = false)
+        .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1))
     println(f"TUNEBPE sequential: $tSeq%7.2fs for ${seqT.size} merges " +
       f"(${seqT.size / tSeq}%5.2f merges/s, 1 job/round)")
     // batched rounds ≈ ceil-walk of admitted prefixes; report merges/s
-    println(f"TUNEBPE batched($batch): $tBat%7.2fs for ${batT.size} merges " +
-      f"(${batT.size / tBat}%5.2f merges/s, speedup ${tSeq / tBat}%4.2fx)")
+    println(f"TUNEBPE batched($batch) exact: $tBat%7.2fs for " +
+      f"${batT.size} merges (${batT.size / tBat}%5.2f merges/s, " +
+      f"speedup ${tSeq / tBat}%4.2fx)")
+    println(f"TUNEBPE batched($batch) unguarded: $tRaw%7.2fs for " +
+      f"${rawT.size} merges (${rawT.size / tRaw}%5.2f merges/s, " +
+      f"speedup ${tSeq / tRaw}%4.2fx)")
     val same = seqT == batT
-    println(s"TUNEBPE equality: $same")
+    println(s"TUNEBPE equality (exact mode): $same")
     if (!same) {
-      // expected above the gate config: a merge-created pair can
-      // overtake a stale-ranked candidate between rounds (see
-      // bpeTrainBatched scaladoc) — report the fidelity horizon
       val i = seqT.zip(batT).indexWhere { case (a, b) => a != b }
-      println(s"TUNEBPE first divergence at merge ${i + 1} " +
+      println(s"TUNEBPE EXACT-MODE DIVERGENCE (a bug) at merge ${i + 1}" +
+        s":\n  seq=${seqT.lift(i)}\n  bat=${batT.lift(i)}")
+    }
+    val sameRaw = seqT == rawT
+    println(s"TUNEBPE equality (unguarded): $sameRaw")
+    if (!sameRaw) {
+      // expected for unguarded mode: a merge-created pair can overtake
+      // a stale-ranked admission mid-batch (see bpeTrainBatched
+      // scaladoc) — report the fidelity horizon
+      val i = seqT.zip(rawT).indexWhere { case (a, b) => a != b }
+      println(s"TUNEBPE unguarded first divergence at merge ${i + 1} " +
         s"(exact prefix: $i merges):\n  seq=${seqT.lift(i)}" +
-        s"\n  bat=${batT.lift(i)}")
+        s"\n  raw=${rawT.lift(i)}")
     }
     spark.stop()
   }
