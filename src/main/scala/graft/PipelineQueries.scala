@@ -2196,20 +2196,35 @@ object PipelineQueries {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split(s, ''),
         |      c -> CAST(unicode(c) AS BIGINT))),
-        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS h,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 37 + x) % 2147483629) AS h2
         | FROM un),
         |wn AS (
-        | SELECT doc_id, i, s FROM (
-        |  SELECT doc_id, r.i AS i, s,
+        | SELECT doc_id, i, kk FROM (
+        |  SELECT doc_id, r.i AS i, h * 2147483648 + h2 AS kk,
         |   row_number() OVER (PARTITION BY doc_id, r.i
         |    ORDER BY ((2*r.i + 1) * h + 40503*r.i) % 2147483647, s) AS rn
         |  FROM ph, range(0, 16) r(i))
         | WHERE rn = 1),
+        |ux AS (
+        | SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) * 2147483648 +
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 37 + x) % 2147483629) AS kk
+        | FROM ui),
         |szn AS (SELECT doc_id, least(len(sh), 4095) AS z FROM fn),
         |szi AS (SELECT doc_id, least(len(sh), 4095) AS z FROM fi),
         |m AS (
         | SELECT w.doc_id AS id_new, x.doc_id AS id_idx, count(*) AS nm
-        | FROM wn w JOIN ui x ON w.s = x.s AND w.doc_id != x.doc_id
+        | FROM wn w JOIN ux x ON w.kk = x.kk AND w.doc_id != x.doc_id
         | JOIN szn za ON za.doc_id = w.doc_id
         | JOIN szi zb ON zb.doc_id = x.doc_id
         | WHERE CAST(zb.z AS DOUBLE) >= za.z * 0.9 - 0.000001
@@ -2227,9 +2242,12 @@ object PipelineQueries {
     // full replay of the minhash containment SCREEN: per-shingle poly
     // base hash (31 mod 2³¹−1 over code points), 16 affine seed
     // rehashes, argmin winner per (doc, seed) with binary string
-    // tie-break, winner⋈index membership count m, length filter,
-    // m ≥ 8 screen, then exact containment on survivors — the same
-    // five stages the Spark operator runs, misses and all
+    // tie-break, winner⋈index membership count m on the 62-bit
+    // dual-poly shingle key (round-13 shuffle diet: h₁·2³¹ + h₂ with
+    // the second base 37 mod 2147483629 — the operator exchanges keys,
+    // not strings), length filter, m ≥ 8 screen, then exact
+    // containment on survivors — the same five stages the Spark
+    // operator runs, misses and all
     "p85_containment_screen" ->
       """WITH base AS (
         | SELECT doc_id, text FROM documents
@@ -2250,20 +2268,25 @@ object PipelineQueries {
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    list_transform(string_split(s, ''),
         |      c -> CAST(unicode(c) AS BIGINT))),
-        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS h
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS h,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 37 + x) % 2147483629) AS h2
         | FROM u),
         |wn AS (
-        | SELECT doc_id, i, s FROM (
-        |  SELECT doc_id, r.i AS i, s,
+        | SELECT doc_id, i, kk FROM (
+        |  SELECT doc_id, r.i AS i, h * 2147483648 + h2 AS kk,
         |   row_number() OVER (PARTITION BY doc_id, r.i
         |    ORDER BY ((2*r.i + 1) * h + 40503*r.i) % 2147483647, s) AS rn
         |  FROM ph, range(0, 16) r(i))
         | WHERE rn = 1),
+        |ux AS (SELECT doc_id, h * 2147483648 + h2 AS kk FROM ph),
         |sz AS (SELECT doc_id, least(len(sh), 4095) AS z FROM f),
         |m AS (
         | SELECT w.doc_id AS contained, x.doc_id AS container,
         |  count(*) AS nm
-        | FROM wn w JOIN u x ON w.s = x.s AND w.doc_id != x.doc_id
+        | FROM wn w JOIN ux x ON w.kk = x.kk AND w.doc_id != x.doc_id
         | JOIN sz za ON za.doc_id = w.doc_id
         | JOIN sz zb ON zb.doc_id = x.doc_id
         | WHERE CAST(zb.z AS DOUBLE) >= za.z * 0.9 - 0.000001

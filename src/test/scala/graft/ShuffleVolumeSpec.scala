@@ -160,4 +160,95 @@ class ShuffleVolumeSpec extends AnyFunSuite {
     pin("p87_containment_incremental", maxRecords = 1500L,
       maxBytes = 25000L, maxExchanges = 6)
   }
+
+  // Round-13 shuffle-byte diet (VERDICT r12 item 2): at sf0.01 the
+  // gate's probe side BROADCASTS, so the gate pins above can't see the
+  // key representation at all. This pin forces the at-scale shape
+  // (broadcast off → shuffle join, both sides exchange) on the screen's
+  // probe⋈index stage and bounds its bytes at the 62-bit-key level:
+  // measured 2026-08-15 via TuneScreen bytes-mode, 42,291 records both
+  // ways, 518,490 B keyed vs 751,649 B with raw shingle strings
+  // (1.45x; 1.26x at sf0.1 — synthetic shingles are short and compress
+  // well; real-text shingles widen the gap). A regression back to
+  // string keys fails the byte bound.
+  test("containment screen probe⋈index exchanges 62-bit keys, " +
+      "not shingle strings (no-broadcast byte pin)") {
+    SparkEntry.resetSessionConfs(spark)
+    val prevA = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevB = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.filter(_ != null)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions._
+      val recs = new AtomicLong
+      val bytes = new AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      }
+      val d = Tables.table(spark, dir, "documents")
+      val obs = org.apache.spark.sql.Observation()
+      val out = graft.operators.DedupOps.containmentScreen(
+        d, "doc_id", "text", tau = 0.9, candObs = Some(obs))
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        out.queryExecution.toRdd.count()
+        var last = -1L
+        var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          val cur = recs.get + bytes.get
+          if (cur == last) same += 1 else { same = 0; last = cur }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      info(f"no-broadcast screen: ${recs.get}%,d records, " +
+        f"${bytes.get}%,d bytes")
+      // STRUCTURAL pin (volume is too compression-dependent to
+      // discriminate: whole-op measured 1,267,942 B keyed vs
+      // 1,418,441 B string-keyed at sf0.01): no exchange in the final
+      // plan may hash-partition on a StringType expression — the
+      // string-keyed probe⋈index partitions on the raw shingle, the
+      // 62-bit version and every other stage key on longs
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+        case s: QueryStageExec => p +: walk(s.plan)
+        case _ => p +: p.children.flatMap(walk)
+      }
+      val stringKeyed = walk(out.queryExecution.executedPlan).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if (e.outputPartitioning match {
+              case h: org.apache.spark.sql.catalyst.plans.physical
+                    .HashPartitioning =>
+                h.expressions.exists(_.dataType ==
+                  org.apache.spark.sql.types.StringType)
+              case _ => false
+            }) => e
+      }
+      assert(stringKeyed.isEmpty,
+        s"screen exchange partitions on a STRING key — did the " +
+          s"probe⋈index key revert to shingle strings?\n" +
+          stringKeyed.map(_.outputPartitioning).mkString("\n"))
+      // coarse whole-op volume backstop (2x keyed measurement)
+      assert(bytes.get <= 2600000L,
+        s"screen no-broadcast shuffle bytes regressed: ${bytes.get}")
+      graft.operators.CacheRegistry.releaseAll()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevA)
+      prevB match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }

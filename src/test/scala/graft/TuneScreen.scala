@@ -11,11 +11,21 @@ import org.apache.spark.sql.functions._
   * run vs the uncapped (which pairs the cap loses, if any).
   *
   * Run: `sbt "Test/runMain graft.TuneScreen [sfDir] [maxBucket]"`.
+  *
+  * BYTES mode (round 13, VERDICT r12 item 2):
+  * `sbt "Test/runMain graft.TuneScreen bytes [sfDir]"` measures the
+  * probe⋈index exchange under a FORCED shuffle join (broadcast off —
+  * the at-scale shape where the probe side no longer fits in a
+  * broadcast), spelled both ways: raw shingle STRINGS as the join key
+  * (round 12) vs the 62-bit dual-poly key (round 13). Reports shuffle
+  * records/bytes for each — the evidence behind the hash-key diet.
   */
 object TuneScreen {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.length > 0) args(0) else "/root/repo/sf10"
-    val cap = if (args.length > 1) args(1).toLong else 1000L
+    val bytesMode = args.headOption.contains("bytes")
+    val rest = if (bytesMode) args.drop(1) else args
+    val dir = if (rest.length > 0) rest(0) else "/root/repo/sf10"
+    val cap = if (rest.length > 1) rest(1).toLong else 1000L
     val spark = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -33,6 +43,66 @@ object TuneScreen {
             greatest(ceil(size(toks).cast("double") / 2.0), lit(3))
               .cast("int")), " ").as("text")))
     base.count() // warm the scan
+
+    if (bytesMode) {
+      import java.util.concurrent.atomic.AtomicLong
+      val sets = base.select(col("doc_id").as("id"),
+          graft.functions.native.shingle_set(toks, 3).as("sh"))
+        .filter(size(col("sh")) >= 5)
+        .persist()
+      sets.count()
+      def key(s: org.apache.spark.sql.Column) =
+        graft.functions.native.poly_fingerprint(s, 31L, 2147483647L) *
+          2147483648L +
+          graft.functions.native.poly_fingerprint(s, 37L, 2147483629L)
+      def measure(tag: String, keyed: Boolean): Unit = {
+        val recs = new AtomicLong; val bts = new AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) {
+              recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+              bts.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            }
+          }
+        }
+        val probe0 = sets.select(col("id").as("ida"),
+          explode(graft.functions.native.containment_minhash(col("sh"), 16))
+            .as("s"))
+        val index0 = sets.select(col("id").as("idb"),
+          explode(col("sh")).as("s"))
+        val probe = if (keyed)
+          probe0.select(col("ida"), key(col("s")).as("t"))
+          else probe0.withColumnRenamed("s", "t")
+        val index = if (keyed)
+          index0.select(col("idb"), key(col("s")).as("t"))
+          else index0.withColumnRenamed("s", "t")
+        val joined = probe.join(index, "t")
+          .filter(col("ida") =!= col("idb"))
+          .groupBy(col("ida"), col("idb")).agg(count(lit(1)).as("m"))
+        spark.sparkContext.addSparkListener(l)
+        val t0 = System.nanoTime()
+        try {
+          joined.queryExecution.toRdd.count()
+          var last = -1L; var same = 0
+          while (same < 3) {
+            Thread.sleep(100)
+            val cur = recs.get + bts.get
+            if (cur == last) same += 1 else { same = 0; last = cur }
+          }
+        } finally spark.sparkContext.removeSparkListener(l)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"TUNESCREEN bytes[$tag]: ${recs.get}%,d shuffle records, " +
+          f"${bts.get}%,d shuffle bytes, $secs%6.2fs wall")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      measure("string-key (round 12)", keyed = false)
+      measure("62-bit-key (round 13)", keyed = true)
+      spark.stop()
+      return
+    }
 
     def run(tag: String, maxBucket: Long): Set[(Long, Long)] = {
       operators.CacheRegistry.releaseAll()
