@@ -590,21 +590,39 @@ object DedupOps {
     * pairs are never formed. Same hashing, admission, and recall
     * contract as [[containmentScreen]]; returns directed
     * (id_new, id_idx, containment ≥ tau). */
-  def containmentScreenNewVsIndex(newDf: DataFrame, indexDf: DataFrame,
-      idCol: String, textCol: String, tau: Double, ngram: Int = 3,
-      minShingles: Int = 5, k: Int = 16, minMatch: Int = 8,
-      maxBucket: Long = Long.MaxValue): DataFrame = {
-    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
-    require(minMatch >= 1 && minMatch <= k,
-      s"minMatch in [1,k=$k]: $minMatch")
-    def sets(df: DataFrame) = CacheRegistry.register(
+  /** The (id, sh) shingle-set side of the containment screens, cached:
+    * build ONCE per corpus side and reuse across probes — the
+    * streaming runner ([[graft.streaming.StreamingOps
+    * .screenStreamAgainstIndex]]) holds the index side across every
+    * micro-batch. */
+  def containmentSets(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, minShingles: Int = 5): DataFrame =
+    CacheRegistry.register(
       df.select(col(idCol).as("id"),
           graft.functions.native.shingle_set(
             split(col(textCol), " "), ngram).as("sh"))
         .filter(size(col("sh")) >= minShingles)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val newSets = sets(newDf)
-    val idxSets = sets(indexDf)
+
+  def containmentScreenNewVsIndex(newDf: DataFrame, indexDf: DataFrame,
+      idCol: String, textCol: String, tau: Double, ngram: Int = 3,
+      minShingles: Int = 5, k: Int = 16, minMatch: Int = 8,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    val newSets = containmentSets(newDf, idCol, textCol, ngram, minShingles)
+    val idxSets = containmentSets(indexDf, idCol, textCol, ngram, minShingles)
+    containmentScreenSetsVsIndex(newSets, idxSets, tau, k, minMatch,
+      maxBucket)
+  }
+
+  /** Core of [[containmentScreenNewVsIndex]] over PREBUILT
+    * [[containmentSets]] sides — the streaming entry point (the index
+    * side is built once, each micro-batch brings its own new side). */
+  def containmentScreenSetsVsIndex(newSets: DataFrame, idxSets: DataFrame,
+      tau: Double, k: Int = 16, minMatch: Int = 8,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    require(minMatch >= 1 && minMatch <= k,
+      s"minMatch in [1,k=$k]: $minMatch")
     def packed(c: Column): Column =
       c * 4096 + least(size(col("sh")), lit(4095)).cast("long")
     // same 62-bit shingle-key exchange as [[containmentScreen]]

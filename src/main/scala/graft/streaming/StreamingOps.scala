@@ -209,6 +209,60 @@ object StreamingOps {
     definitelyNew.unionByName(confirmed).drop("fp")
   }
 
+  /** STREAMING containment screen (round 13, VERDICT r12 item 3):
+    * [[graft.operators.DedupOps.containmentScreenNewVsIndex]]'s
+    * new-vs-index shape is the natural Structured Streaming operator —
+    * "is this arriving document an excerpt of something the corpus
+    * already holds?" The container-side shingle sets are built ONCE
+    * ([[graft.operators.DedupOps.containmentSets]], cached) and every
+    * micro-batch probes them via `foreachBatch`.
+    *
+    * Why foreachBatch rather than an incremental plan: the screen ends
+    * in TWO aggregations (per-pair match count, then verification) —
+    * more than one stateful aggregate is unsupported in a single
+    * incremental query — and, decisively, every output key contains
+    * `id_new`, a document that arrives in EXACTLY ONE micro-batch, so
+    * per-batch evaluation needs no cross-batch state at all: the union
+    * of per-batch outputs is bit-identical to one batch run over the
+    * union of batches (the StreamingSpec parity case; the p87 gate is
+    * the batch twin). Per batch: k argmin probe rows per new doc
+    * against the static postings, Δ-proportional — the 100 TB
+    * historical side is touched only through the cached index.
+    *
+    * The per-batch new-side cache is released synchronously after
+    * `sink` returns — a week-long stream leaks nothing. */
+  def screenStreamAgainstIndex(stream: DataFrame, indexDf: DataFrame,
+      idCol: String, textCol: String, tau: Double, ngram: Int = 3,
+      minShingles: Int = 5, k: Int = 16, minMatch: Int = 8,
+      maxBucket: Long = Long.MaxValue,
+      checkpointDir: Option[String] = None)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.DedupOps
+    // build + materialize the reusable index side once, up front —
+    // not lazily inside the first micro-batch
+    val idxSets = DedupOps.containmentSets(
+      indexDf, idCol, textCol, ngram, minShingles)
+    idxSets.count()
+    val writer = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val newSets = batch
+          .select(col(idCol).as("id"),
+            graft.functions.native.shingle_set(
+              split(col(textCol), " "), ngram).as("sh"))
+          .filter(size(col("sh")) >= minShingles)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          sink(DedupOps.containmentScreenSetsVsIndex(
+            newSets, idxSets, tau, k, minMatch, maxBucket), epoch)
+        } finally newSets.unpersist(blocking = false)
+        ()
+      }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
+
   /** Streaming sink into a remote table: each micro-batch appends
     * through the `graft-remote` connector (the same batched
     * PreparedStatement write path the batch sink uses), via

@@ -21,19 +21,64 @@ import org.apache.spark.sql.functions._
   * /root/repo/sf10"` builds the 100× fixture (≈sf10) with the same
   * cross-copy-dissimilar construction — copy suffixes/sign-flips are
   * per-k, so 100 copies stay pairwise dissimilar exactly like 10 do.
+  *
+  * HOT variant (round 13, VERDICT r12 item 1): `sbt "Test/runMain
+  * graft.MakeSf1 10 /root/repo/sf1h hot"` writes a DOCUMENTS-ONLY
+  * fixture where ~30% of docs (doc_id % 10 < 3) carry a fixed,
+  * UN-suffixed 40-token boilerplate prefix shared across all copies —
+  * the license-header/nav-chrome shape real corpora have. Its ~40
+  * shingles reach df ≈ 0.3·N (corpus-hot), so the containment
+  * screen's `maxBucket` cap finally BINDS on realistically-shaped
+  * data; the default cross-copy-dissimilar fixtures top out at df 25
+  * (TuneScreen round-12 negative result). Documents-only on purpose:
+  * the ~57 SCALE.md measurements keep their unchanged sf1/sf10
+  * fixtures.
   */
 object MakeSf1 {
   var copies = 10
   val src = "/root/testdata/sf0.1"
   var out = "/root/repo/sf1"
+  var hot = false
+
+  /** 8 tokens (≈8 hot shingles incl. the bridge into the doc),
+    * lowercase+digits so p86-family filters keep them; stable across
+    * copies BY DESIGN (the point is corpus-hot df ≈ 0.3·N). Sized
+    * against the fixture's short docs (avg 54 tokens): a planted
+    * first-half excerpt of a hot doc keeps E[non-boiler argmin
+    * winners] ≈ 11.6 of 16 — above the m ≥ 8 screen — so the cap can
+    * bind without destroying excerpt recall. */
+  val boiler: String = (1 to 8).map(i => s"boilerplate$i").mkString(" ")
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 1) copies = args(0).toInt
     if (args.length >= 2) out = args(1)
+    if (args.length >= 3) hot = args(2) == "hot"
     val spark = SparkTestSession.spark
     def t(n: String): DataFrame = Tables.table(spark, src, n)
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).collect().head.getLong(0) + 1
+
+    if (hot) {
+      val docN = maxOf(t("documents")
+        .select(col("doc_id").cast("long").as("doc_id")), "doc_id")
+      val base = t("documents")
+      val all = (0 until copies).map { k =>
+        base
+          .withColumn("doc_id", col("doc_id") + lit(k * docN))
+          .withColumn("text",
+            if (k == 0) col("text")
+            else array_join(transform(split(col("text"), " "),
+              tok => concat(tok, lit(s"_$k"))), " "))
+          .withColumn("text",
+            when(col("doc_id") % 10 < 3,
+              concat(lit(boiler), lit(" "), col("text")))
+              .otherwise(col("text")))
+      }.reduce(_ union _)
+      all.write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"documents(hot): ${all.count()} rows")
+      spark.stop()
+      return
+    }
 
     // dims: single copy
     Seq("region", "nation").foreach(n =>

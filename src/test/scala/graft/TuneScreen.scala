@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
 object TuneScreen {
   def main(args: Array[String]): Unit = {
     val bytesMode = args.headOption.contains("bytes")
-    val rest = if (bytesMode) args.drop(1) else args
+    val capOnly = args.contains("caponly") // hot fixtures: uncapped is
+    // quadratic in the boiler df and infeasible at sf10h — measure the
+    // capped run against PLANTED ground truth instead
+    val rest = (if (bytesMode) args.drop(1) else args)
+      .filterNot(_ == "caponly")
     val dir = if (rest.length > 0) rest(0) else "/root/repo/sf10"
     val cap = if (rest.length > 1) rest(1).toLong else 1000L
     val spark = SparkSession.builder()
@@ -114,17 +118,25 @@ object TuneScreen {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val secs = (System.nanoTime() - t0) / 1e9
       val m = org.apache.spark.sql.graftbridge.Bridge.observationMetrics(obs)
-      println(f"TUNESCREEN $tag: $secs%6.2fs, ${out.size} pairs, obs=" +
+      // planted ground truth: excerpt 2000000+i ⊂ source i for the
+      // first 40 docs (minus any that fall below the shingle floor)
+      val planted = out.count { case (a, b) => a == b + 2000000L }
+      println(f"TUNESCREEN $tag: $secs%6.2fs, ${out.size} pairs " +
+        f"($planted planted-excerpt hits), obs=" +
         m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", "))
       out
     }
-    val full = run("uncapped", Long.MaxValue)
-    val capped = run(s"cap=$cap", cap)
-    val lost = full -- capped
-    println(f"TUNESCREEN recall: ${capped.size}/${full.size} " +
-      f"(${if (full.isEmpty) 1.0 else capped.size.toDouble / full.size}%.4f); " +
-      s"lost=${lost.size}" +
-      (if (lost.nonEmpty && lost.size <= 10) s" $lost" else ""))
+    if (capOnly) {
+      run(s"cap=$cap", cap)
+    } else {
+      val full = run("uncapped", Long.MaxValue)
+      val capped = run(s"cap=$cap", cap)
+      val lost = full -- capped
+      println(f"TUNESCREEN recall: ${capped.size}/${full.size} " +
+        f"(${if (full.isEmpty) 1.0 else capped.size.toDouble / full.size}%.4f); " +
+        s"lost=${lost.size}" +
+        (if (lost.nonEmpty && lost.size <= 10) s" $lost" else ""))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Round-13 operator additions and fixes. */
+class Round13OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("capped containment screen keeps 100% planted-excerpt recall " +
+      "on the HOT-boilerplate corpus shape (MakeSf1 `hot` family) " +
+      "while the cap is binding") {
+    // the sf1h/sf10h construction in miniature: 200 cross-dissimilar
+    // docs, 30% sharing MakeSf1.boiler as an UN-suffixed prefix
+    // (corpus-hot shingles, df ~ 66 here), plus 20 planted first-half
+    // excerpts. cap=30 binds on every boiler shingle but no per-doc
+    // shingle (df <= 2), reproducing the 100-TB license-header shape
+    // the cross-copy-dissimilar fixtures cannot (TuneScreen round-12
+    // measured their max df at 25).
+    val boiler = graft.MakeSf1.boiler
+    val full = (0 until 200).map { i =>
+      val own = (1 to 50).map(j => s"d${i}x$j").mkString(" ")
+      val text = if (i % 10 < 3) s"$boiler $own" else own
+      i.toLong -> text
+    }
+    val excerpts = (0 until 20).map { i =>
+      val toks = full(i)._2.split(" ")
+      (2000L + i) -> toks.take(math.max(toks.length / 2, 3)).mkString(" ")
+    }
+    val docs = (full ++ excerpts).toDF("doc_id", "text")
+    val obsCap = org.apache.spark.sql.Observation()
+    val capped = DedupOps.containmentScreen(docs, "doc_id", "text",
+        tau = 0.9, maxBucket = 30L, candObs = Some(obsCap))
+      .as[(Long, Long, Double)].collect()
+    val obsFull = org.apache.spark.sql.Observation()
+    val uncapped = DedupOps.containmentScreen(docs, "doc_id", "text",
+        tau = 0.9, candObs = Some(obsFull))
+      .as[(Long, Long, Double)].collect()
+    val planted = (0 until 20).map(i => (2000L + i, i.toLong)).toSet
+    val cappedPairs = capped.map(r => (r._1, r._2)).toSet
+    val uncappedPairs = uncapped.map(r => (r._1, r._2)).toSet
+    assert(planted.subsetOf(uncappedPairs),
+      s"uncapped lost planted pairs: ${planted -- uncappedPairs}")
+    assert(planted.subsetOf(cappedPairs),
+      s"capped screen lost planted pairs: ${planted -- cappedPairs}")
+    // .collect() fires listeners asynchronously; settle like the
+    // Round12 cap test does
+    def metrics(o: org.apache.spark.sql.Observation): Map[String, Any] = {
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var m = org.apache.spark.sql.graftbridge.Bridge.observationMetrics(o)
+      while (m.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        m = org.apache.spark.sql.graftbridge.Bridge.observationMetrics(o)
+      }
+      m
+    }
+    val mc = metrics(obsCap)
+    val mf = metrics(obsFull)
+    assert(mc.nonEmpty && mf.nonEmpty, "screen observations never completed")
+    val candCap = mc("cands_after_length").toString.toLong
+    val candFull = mf("cands_after_length").toString.toLong
+    info(s"hot-corpus candidates: uncapped=$candFull capped=$candCap " +
+      s"(${if (candCap == 0) "-" else f"${candFull.toDouble / candCap}%.1f"}x)")
+    // the cap must actually BIND: the boiler postings dominate the
+    // uncapped candidate volume on this shape
+    assert(candCap * 2 <= candFull,
+      s"cap did not bind: $candCap vs uncapped $candFull")
+    CacheRegistry.releaseAll()
+  }
+}

@@ -254,6 +254,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming containment screen: micro-batched stream output == " +
+      "the p87 batch operator on the union (batch-twin parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    // corpus index: 30 docs; stream: 3 micro-batches of new docs, each
+    // with planted excerpts (first-half prefixes) + genuinely new docs
+    val corpus = (0 until 30).map { i =>
+      i.toLong -> (1 to 40).map(j => s"c${i}w$j").mkString(" ")
+    }.toDF("doc_id", "text")
+    val newDocs = (0 until 12).map { i =>
+      val t =
+        if (i % 2 == 0) (1 to 20).map(j => s"c${i}w$j").mkString(" ")
+        else (1 to 30).map(j => s"n${i}x$j").mkString(" ")
+      (1000L + i) -> t
+    }
+    val mem = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]
+    val q = StreamingOps.screenStreamAgainstIndex(
+      mem.toDF().toDF("doc_id", "text"), corpus,
+      "doc_id", "text", tau = 0.9) { (out, _) =>
+      out.as[(Long, Long, Double)].collect().foreach(got.add)
+    }
+    try {
+      newDocs.grouped(4).foreach { g =>
+        mem.addData(g: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batchTwin = DedupOps.containmentScreenNewVsIndex(
+        newDocs.toDF("doc_id", "text"), corpus, "doc_id", "text",
+        tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == batchTwin,
+      s"stream=${got.asScala.toSet}\nbatch=$batchTwin")
+    // the planted excerpts (even i) must be found, the novel docs not
+    val found = got.asScala.map(_._1).toSet
+    assert(found == (0 until 12 by 2).map(1000L + _).toSet, s"$found")
+    graft.operators.CacheRegistry.releaseAll()
+  }
+
   test("upsert streaming sink: re-delivered records deduplicate by key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
