@@ -76,7 +76,8 @@ object Bench {
     "p80_quality_mixture", "p81_bpe_train", "p82_bpe_segment",
     "p83_containment_join", "p84_bpe_fertility",
     "p85_containment_screen", "p86_bpe_batched",
-    "p87_containment_incremental", "p88_bpe_deep")
+    "p87_containment_incremental", "p88_bpe_deep",
+    "p89_screen_pipeline")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above
@@ -146,6 +147,7 @@ object Bench {
     // incremental screen shuffles candidate pairs (permanent)
     "p85_containment_screen", "p86_bpe_batched",
     "p87_containment_incremental", "p88_bpe_deep",
+    "p89_screen_pipeline",
     // round-10 protocol change: these two were count()-ELIMINATED in
     // every prior round's bench (their numbers measured a parquet
     // count); now that the action executes the full plan they get

@@ -547,6 +547,49 @@ object PipelineQueries {
       graft.operators.LmOps.bpeTrain(docs(s, dir), "text", nMerges = 24)
         .orderBy(col("step"))),
 
+    // SCREEN-PATH curation composition (p89, round 13 — VERDICT r12
+    // item 8): the p58-style production pipeline with its excerpt-
+    // removal stage routed through p85's APPROXIMATE screen instead of
+    // p83's exact join — the cheap 2.3×/decade path, composed end to
+    // end and still fully oracle-replayed. Same planted re-crawl
+    // excerpts as p85; a doc ≥90%-contained in another is dropped,
+    // with mutual containments (25 near-identical fixture doc pairs)
+    // resolved keeper-style (smaller doc_id survives); survivors flow
+    // through the p58 language/quality/token gates. Shuffle inventory:
+    // the screen's keyed probe⋈index + two pair aggregates, one
+    // self-join of the TINY pair set — every curation signal stays
+    // per-row codegen.
+    "p89_screen_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = split(col("text"), " ")
+      val base = d.select(col("doc_id"), col("source"), col("text"))
+        .unionAll(d.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+            array_join(slice(toks, lit(1),
+              greatest(ceil(size(toks).cast("double") / 2.0), lit(3))
+                .cast("int")), " ").as("text")))
+      val pairs = DedupOps.containmentScreen(base, "doc_id", "text",
+        tau = 0.9).select(col("contained"), col("container"))
+      val drops = pairs.join(
+          pairs.select(col("contained").as("r_container"),
+            col("container").as("r_contained")),
+          col("contained") === col("r_contained") &&
+            col("container") === col("r_container"), "left_outer")
+        .filter(col("r_contained").isNull ||
+          col("contained") > col("container"))
+        .select(col("contained").as("doc_id")).distinct()
+      base.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          TextOps.langId(col("text")).as("lang_pred"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5 &&
+          col("n_tokens").between(20, 500))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p80_quality_mixture" -> ((s, dir) => {
       val d = docs(s, dir)
       val base = d.select(col("doc_id"), col("source"),
@@ -2123,6 +2166,100 @@ object PipelineQueries {
     // p88), run at a batch size past the unguarded divergence point
     "p86_bpe_batched" -> bpeOracleSql(24),
     "p88_bpe_deep" -> bpeOracleSql(24),
+
+    // p89: the p85 screen replay (same keyed join), a keeper-style
+    // drop of contained docs (mutual pairs keep the smaller id), then
+    // the p58 language/quality/token gates on the survivors. Heavy
+    // CTEs are MATERIALIZED — DuckDB re-inlines plain CTEs per use
+    // (the p88 lesson) and `pairs`/`ph` are each used twice.
+    "p89_screen_pipeline" ->
+      """WITH base AS MATERIALIZED (
+        | SELECT doc_id, source, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 2000000 AS doc_id, source,
+        |  array_to_string(s[1:greatest(CAST(ceil(len(s)/2.0) AS INT), 3)],
+        |    ' ') AS text
+        | FROM (SELECT doc_id, source, string_split(text, ' ') AS s
+        |       FROM documents)
+        | WHERE doc_id < 40),
+        |t AS (
+        | SELECT doc_id, list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |   for i in range(1, len(s) - 1)]) AS sh
+        | FROM (SELECT doc_id, string_split(text, ' ') AS s FROM base)),
+        |f AS MATERIALIZED (SELECT * FROM t WHERE len(sh) >= 5),
+        |u AS (SELECT doc_id, unnest(sh) AS s FROM f),
+        |ph AS MATERIALIZED (
+        | SELECT doc_id, s,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS h,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(s, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 37 + x) % 2147483629) AS h2
+        | FROM u),
+        |wn AS (
+        | SELECT doc_id, i, kk FROM (
+        |  SELECT doc_id, r.i AS i, h * 2147483648 + h2 AS kk,
+        |   row_number() OVER (PARTITION BY doc_id, r.i
+        |    ORDER BY ((2*r.i + 1) * h + 40503*r.i) % 2147483647, s) AS rn
+        |  FROM ph, range(0, 16) r(i))
+        | WHERE rn = 1),
+        |ux AS (SELECT doc_id, h * 2147483648 + h2 AS kk FROM ph),
+        |sz AS (SELECT doc_id, least(len(sh), 4095) AS z FROM f),
+        |m AS MATERIALIZED (
+        | SELECT w.doc_id AS contained, x.doc_id AS container,
+        |  count(*) AS nm
+        | FROM wn w JOIN ux x ON w.kk = x.kk AND w.doc_id != x.doc_id
+        | JOIN sz za ON za.doc_id = w.doc_id
+        | JOIN sz zb ON zb.doc_id = x.doc_id
+        | WHERE CAST(zb.z AS DOUBLE) >= za.z * 0.9 - 0.000001
+        | GROUP BY 1, 2
+        | HAVING count(*) >= 8),
+        |pairs AS MATERIALIZED (
+        | SELECT m.contained, m.container
+        | FROM m JOIN f a ON a.doc_id = m.contained
+        |  JOIN f b ON b.doc_id = m.container
+        | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+        |   >= 0.9),
+        |drops AS MATERIALIZED (
+        | SELECT DISTINCT p.contained AS doc_id
+        | FROM pairs p LEFT JOIN pairs r
+        |  ON r.contained = p.container AND r.container = p.contained
+        | WHERE r.contained IS NULL OR p.contained > p.container),
+        |tt AS (
+        | SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |  len(string_split(text, ' ')) AS n_tok
+        | FROM base
+        | WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        |sc AS (
+        | SELECT doc_id, source, toks, n_tok,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','nicht','das'))) AS s_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+        |  len(list_filter(toks, x -> x IN ('el','los','que','una','por'))) AS s_es,
+        |  len(list_filter(toks, x -> x IN
+        |    ('the','a','and','of','to','in','is'))) AS n_stop
+        | FROM tt),
+        |q AS (
+        | SELECT doc_id, source, n_tok,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |       ELSE 'es' END AS lang_pred,
+        |  ((CASE WHEN n_tok BETWEEN 20 AND 200 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tok
+        |        BETWEEN 0.01 AND 0.5 THEN 1.0 ELSE 0.0 END)
+        |   + CAST(len(list_distinct(toks)) AS DOUBLE) / n_tok) / 3.0
+        |    AS quality
+        | FROM sc)
+        |SELECT doc_id, source, n_tok AS n_tokens, quality
+        |FROM q
+        |WHERE lang_pred = 'en' AND quality >= 0.5
+        | AND n_tok BETWEEN 20 AND 500
+        |ORDER BY doc_id""".stripMargin,
     "p82_bpe_segment" -> bpeSegmentOracleSql(8),
 
     // per-source word counts joined against the unrolled stages' final

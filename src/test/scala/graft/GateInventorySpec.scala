@@ -21,9 +21,9 @@ class GateInventorySpec extends AnyFunSuite {
   // re-vendors from the coursier cache, so they are present wherever
   // the build itself runs).
   // 196 = round-11 inventory (60 q + 34 r + 84 p + 18 m)
-  // 200 = round-12 inventory (60 q + 34 r + 88 p + 18 m)
+  // 201 = round-13 inventory (60 q + 34 r + 89 p + 18 m)
   private val floor =
-    if (DuckQueries.available) 200 else 188
+    if (DuckQueries.available) 201 else 189
 
   // The self-disable exists for a CLEAN checkout on a machine with no
   // coursier cache; it must NOT mask a vendoring regression where the

@@ -70,4 +70,36 @@ class Round13OpsSpec extends AnyFunSuite {
       s"cap did not bind: $candCap vs uncapped $candFull")
     CacheRegistry.releaseAll()
   }
+
+  test("p89 screen-path pipeline drops every planted re-crawl excerpt " +
+      "and keeps a keeper for mutual containments") {
+    val out = graft.SparkEntry.queries("p89_screen_pipeline")(
+      spark, "/root/testdata/sf0.001")
+    val ids = out.select(col("doc_id")).as[Long].collect().toSet
+    // the derived corpus plants excerpts at doc_id+2000000 for
+    // doc_id < 40 — a pipeline that routes excerpt removal through the
+    // screen must admit NONE of them
+    assert(!ids.exists(_ >= 2000000L),
+      s"planted excerpts survived: ${ids.filter(_ >= 2000000L)}")
+    assert(ids.nonEmpty, "pipeline dropped the whole corpus")
+    // keeper rule: of a mutual containment pair (near-identical docs,
+    // both directions screened) only the SMALLER id may survive the
+    // pipeline — the larger is always dropped; one-directional
+    // containment drops the contained side unconditionally
+    val d = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = DedupOps.containmentScreen(d.select(col("doc_id"),
+        col("text")), "doc_id", "text", tau = 0.9)
+      .select(col("contained"), col("container"))
+      .as[(Long, Long)].collect().toSet
+    val mutual = pairs.filter { case (a, b) => pairs((b, a)) && a < b }
+    val oneWay = pairs.filter { case (a, b) => !pairs((b, a)) }
+    info(s"sf0.001 screen: ${pairs.size} pairs, ${mutual.size} mutual")
+    mutual.foreach { case (a, b) =>
+      assert(!ids(b), s"mutual pair ($a,$b): larger id $b survived")
+    }
+    oneWay.foreach { case (a, _) =>
+      assert(!ids(a), s"contained doc $a survived its container")
+    }
+    CacheRegistry.releaseAll()
+  }
 }
