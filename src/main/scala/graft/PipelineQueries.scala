@@ -568,8 +568,14 @@ object PipelineQueries {
             array_join(slice(toks, lit(1),
               greatest(ceil(size(toks).cast("double") / 2.0), lit(3))
                 .cast("int")), " ").as("text")))
-      val pairs = DedupOps.containmentScreen(base, "doc_id", "text",
-        tau = 0.9).select(col("contained"), col("container"))
+      // the pair set is TINY (90 rows at sf0.01) but its subtree is
+      // the whole screen — persist it or the self-join + the final
+      // anti-join re-run the screen three times (measured 43.5 s vs
+      // 14.5 s at sf10)
+      val pairs = graft.operators.CacheRegistry.register(
+        DedupOps.containmentScreen(base, "doc_id", "text", tau = 0.9)
+          .select(col("contained"), col("container"))
+          .persist())
       val drops = pairs.join(
           pairs.select(col("contained").as("r_container"),
             col("container").as("r_contained")),

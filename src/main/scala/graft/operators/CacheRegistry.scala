@@ -17,7 +17,10 @@ object CacheRegistry {
   private val live =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private[operators] def register(df: DataFrame): DataFrame = {
+  // private[graft] since round 13: gate COMPOSITIONS (p89 persists the
+  // screen's tiny pair set before self-joining it) need the same
+  // lifecycle as operator-internal persists
+  private[graft] def register(df: DataFrame): DataFrame = {
     live.add(df)
     df
   }
