@@ -414,6 +414,20 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Round-13 (guide §2.2/§2.4): let AQE re-coalesce CACHED plan
+      // output. Spark's default (false) freezes every `.persist()`ed
+      // build at the raw shuffle partition count, so iterative
+      // operators over cached state (BPE's word table, the containment
+      // sets, banded hash groups) schedule `shuffle.partitions` tiny
+      // tasks per round regardless of data size — measured sf0.1:
+      // p88 875→100 tasks (6.3→3.1 s), p86 743→92, m13 671→49
+      // (5.1→2.8 s), m14 360→18, m15 363→21, with zero result change
+      // (all gates are partition-invariant by construction; the full
+      // oracle sweep re-verifies). Scale-independent: at 100 TB the
+      // same conf sizes cached partitions to the actual bytes instead
+      // of whatever the session's shuffle.partitions happened to be.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -16,6 +16,11 @@ object Verify {
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // same cached-plan AQE coalescing as graft.Bench (round 13) so
+      // the correctness artifact verifies the exact session shape the
+      // bench times
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -274,6 +274,91 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** JL random ±1 projection of a numeric array to `outDim` dims — the
+  * native spelling of [[graft.operators.VectorOps.randomProject]]'s
+  * HOF fold (round 13: the transform/aggregate lambdas were evaluated
+  * INTERPRETED per element — outDim·dim Catalyst tree walks per row,
+  * measured as ~all of p73's per-row cost; this is one tight JVM loop,
+  * the DotProduct treatment).
+  *
+  * Bit-exactness contract (the p73 oracle replays the fold): the sign
+  * matrix is regenerated from the SAME integer arithmetic —
+  * h1 = (i·1000003 + j·7919 + seed) mod (2³¹−1),
+  * h2 = (h1² + h1) mod (2³¹−1), sign = +1 if h2 even else −1 — and the
+  * accumulation is the same left-to-right IEEE double sequence
+  * acc += vec[i]·sign(i,j) for i = 0..dim−1, then one division by
+  * sqrt(outDim). Floats widen to double BEFORE the product, exactly
+  * like the HOF's element_at(...).cast("double").
+  *
+  * Null ELEMENTS reproduce the fold's algebra: any null element makes
+  * every output element null (acc + null = null for each j's fold). */
+case class RandomProject(child: Expression, outDim: Int, seed: Long)
+  extends UnaryExpression {
+
+  require(outDim >= 1, "outDim >= 1")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("randomProject", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"RandomProject needs array<float|double>, got $other")
+    }
+
+  private lazy val elemFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = v.numElements()
+    val sq = math.sqrt(outDim.toDouble)
+    // a null element poisons every fold — emit all-null, the HOF result
+    var i = 0
+    while (i < m) {
+      if (v.isNullAt(i)) return new GenericArrayData(
+        Array.fill[Any](outDim)(null))
+      i += 1
+    }
+    val x = new Array[Double](m)
+    i = 0
+    while (i < m) {
+      x(i) = if (elemFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      i = 0
+      while (i < m) {
+        val h1 = (i.toLong * 1000003L + j.toLong * 7919L + seed) % 2147483647L
+        val h2 = (h1 * h1 + h1) % 2147483647L
+        val s = if (h2 % 2 == 0) 1.0 else -1.0
+        acc += x(i) * s
+        i += 1
+      }
+      out(j) = acc / sq
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RandomProject =
+    copy(child = c)
+}
+
 /** Nearest eval-set member by cosine — the scale spelling of the p56
   * semantic-decontamination screen. The first cut folded one cosine
   * COLUMN per eval vector into a single projection; at ~500 evals that
@@ -1677,6 +1762,8 @@ object native {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(
       Bridge.expression(a), Bridge.expression(b)))
+  def random_project(vec: Column, outDim: Int, seed: Long): Column =
+    Bridge.column(RandomProject(Bridge.expression(vec), outDim, seed))
   def nearest_eval(vec: Column, ids: Seq[Long],
       evals: Seq[Seq[Float]]): Column =
     Bridge.column(NearestEval(Bridge.expression(vec), ids, evals))

@@ -121,6 +121,24 @@ object MultimodalOps {
       .as[MediaAsset]
   }
 
+  /** Spread a SMALL asset scan across the cluster before a
+    * compute-dense encode/decode stage (round-13, guide §2.5 "input
+    * skew: repartition immediately after the read"): a fixture-sized
+    * corpus is one parquet split, so multi-frame video encode+decode
+    * serialized on a single task while 31 cores idled (measured sf0.1:
+    * m02 2.1→0.9 s, m07 1.5→0.9 s, m18 2.2→1.0 s, m08 2.8→1.4 s).
+    * Applied ONLY to the video builders — for the single-image/audio
+    * paths the per-row work is too small to repay the extra exchange
+    * (measured: +0.3-0.5 s on m01/m04/m05/m11). No-op when the scan
+    * already carries >= defaultParallelism partitions (any real-scale
+    * corpus): nothing extra shuffles at 100 TB. Round-robin
+    * repartition is deterministic (sort-before-repartition) and every
+    * consumer is per-row + ordered, so results are unchanged. */
+  private def spreadAssets(assets: Dataset[MediaAsset]): Dataset[MediaAsset] = {
+    val par = assets.sparkSession.sparkContext.defaultParallelism
+    if (assets.rdd.getNumPartitions < par) assets.repartition(par) else assets
+  }
+
   // ---- REAL image decode (javax.imageio) -------------------------------
 
   /** Deterministic 24-bit uncompressed BMP (BI_RGB): bottom-up rows,
@@ -289,7 +307,7 @@ object MultimodalOps {
     * f·w·h·3 (so downstream verification needs only the text). */
   def videoAssets(spark: SparkSession, dir: String, nFrames: Int): Dataset[MediaAsset] = {
     import spark.implicits._
-    documentsAsAssets(spark, dir).mapPartitions(_.map { a =>
+    spreadAssets(documentsAsAssets(spark, dir)).mapPartitions(_.map { a =>
       val (w, h) = imageDims(a.asset_id)
       val frameLen = w * h * 3
       val bos = new java.io.ByteArrayOutputStream()
@@ -513,7 +531,7 @@ object MultimodalOps {
   def videoAssetsUniform(spark: SparkSession, dir: String,
       nFrames: Int, w: Int, h: Int): Dataset[MediaAsset] = {
     import spark.implicits._
-    documentsAsAssets(spark, dir).mapPartitions(_.map { a =>
+    spreadAssets(documentsAsAssets(spark, dir)).mapPartitions(_.map { a =>
       val frameLen = w * h * 3
       val bos = new java.io.ByteArrayOutputStream()
       var f = 0

@@ -71,6 +71,32 @@ object ClusterOps {
     (out, pinned)
   }
 
+  /** [[checkpointTracked]] that ALSO returns sum(comp) over the
+    * checkpointed rows, computed by an `observe` metric riding the
+    * checkpoint's own materialization job (round-13, guide §1.2/§2:
+    * the separate `labelSum` action per round doubled the loop's job
+    * count — the fixpoint check is a fold over rows the checkpoint
+    * job already streams, so CollectMetrics accumulates it for free).
+    * `localCheckpoint(eager)` runs through `Dataset.withAction`, which
+    * fires QueryExecutionListeners — the ObservationManager among them
+    * — so `obs.get` returns without scheduling anything; the explicit
+    * [[org.apache.spark.sql.graftbridge.Bridge.fireObservations]] is
+    * belt-and-braces for a future Spark that materializes checkpoints
+    * outside withAction (completion is idempotent). None = zero rows
+    * (sum over an empty frame is SQL NULL), same contract as the old
+    * `labelSum`. */
+  private def checkpointTrackedSum(df: DataFrame)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]], Option[Long]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val watched = df.observe(obs, sum(col("comp")).as("s"))
+    val (out, pinned) = checkpointTracked(watched)
+    org.apache.spark.sql.graftbridge.Bridge
+      .fireObservations(watched, "ccRoundSum", 0L)
+    val s = obs.get.get("s").flatMap(Option(_))
+      .map(_.asInstanceOf[Long])
+    (out, pinned, s)
+  }
+
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -82,15 +108,15 @@ object ClusterOps {
           col(srcCol).cast("long").as("dst")))
         .distinct())
 
-    var (labels, labelBlocks) = checkpointTracked(
-      sym.select(col("src").as("node")).distinct()
-        .withColumn("comp", col("node")))
     // sum over ZERO rows is SQL NULL — an empty edge set (a normal
     // input for incremental pipelines on a quiet day) means the empty
-    // label frame is already the fixpoint
-    def labelSum(df: DataFrame): Option[Long] =
-      Option(df.agg(sum("comp")).head.getAs[java.lang.Long](0)).map(_.toLong)
-    val firstSum = labelSum(labels)
+    // label frame is already the fixpoint. The sum rides the
+    // checkpoint job itself (checkpointTrackedSum): one job per round,
+    // not two — at any scale the fixpoint check is a fold over rows
+    // the materialization already streams.
+    var (labels, labelBlocks, firstSum) = checkpointTrackedSum(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("comp", col("node")))
     if (firstSum.isEmpty) {
       symBlocks.foreach(_.unpersist(blocking = false))
       return labels
@@ -103,10 +129,10 @@ object ClusterOps {
       // (own label, best neighbor label)
       val viaEdges = sym.join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), col("comp"))
-      val (next, nextBlocks) = checkpointTracked(
+      val (next, nextBlocks, sumOpt) = checkpointTrackedSum(
         labels.union(viaEdges)
           .groupBy("node").agg(min("comp").as("comp")))
-      val s = labelSum(next).get // non-empty from here (guarded above)
+      val s = sumOpt.get // non-empty from here (guarded above)
       converged = s == lastSum // labels are monotone non-increasing
       lastSum = s
       // `next` is materialized (eager checkpoint), so the previous

@@ -510,19 +510,17 @@ object VectorOps {
     * complement). */
   def randomProject(vec: Column, outDim: Int, seed: Long = 0L): Column = {
     require(outDim >= 1, "outDim >= 1")
-    def sign(i: Column, j: Column): Column = {
-      val h1 = (i.cast("long") * lit(1000003L) + j.cast("long") * lit(7919L)
-        + lit(seed)) % lit(2147483647L)
-      // squaring makes the parity NONLINEAR in (i, j) — a linear mix's
-      // parity alternates with i (odd stride), which degenerates the
-      // matrix to ± alternation; h1² + h1 stays < 2^63 (h1 < 2^31)
-      val h2 = (h1 * h1 + h1) % lit(2147483647L)
-      when(h2 % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-    }
-    transform(sequence(lit(0), lit(outDim - 1)), j =>
-      aggregate(sequence(lit(0), size(vec) - 1), lit(0.0),
-        (acc, i) => acc + element_at(vec, i + 1).cast("double") * sign(i, j))
-        / sqrt(lit(outDim.toDouble)))
+    // Round-13: native tight-loop spelling ([[graft.functions
+    // .RandomProject]]). The original HOF form — transform(sequence,
+    // j => aggregate(sequence, 0.0, (acc,i) => acc + vec[i]·sign(i,j)))
+    // with sign(i,j) = parity of ((i·1000003+j·7919+seed) mod 2³¹−1)
+    // squared-plus-itself mod 2³¹−1 — paid per-ELEMENT interpreted
+    // Catalyst lambda evaluation (outDim·dim tree walks per row; the
+    // whole of p73's per-row cost). The native expression runs the
+    // identical integer arithmetic and the identical left-to-right
+    // IEEE double fold, so results are bit-equal (spec-pinned) and the
+    // p73 oracle is unchanged.
+    graft.functions.native.random_project(vec, outDim, seed)
   }
 
   /** SemDeDup proper (Abbas et al. 2023): k-means clusters the

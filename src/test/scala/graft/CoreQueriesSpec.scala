@@ -10,6 +10,9 @@ object SparkTestSession {
       .appName("graft-test")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
+      // match graft.Bench/Verify (round 13): cached-plan AQE coalescing
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

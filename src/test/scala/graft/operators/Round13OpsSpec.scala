@@ -102,4 +102,46 @@ class Round13OpsSpec extends AnyFunSuite {
     }
     CacheRegistry.releaseAll()
   }
+
+  test("native RandomProject is BIT-equal to the HOF fold it replaced " +
+      "(r13 optimization: p73's per-element interpreted lambdas)") {
+    // the exact HOF spelling VectorOps.randomProject used through
+    // round 12 — kept here as the equality oracle for the native
+    // expression (same sign arithmetic, same left-to-right IEEE fold)
+    def hofProject(vec: org.apache.spark.sql.Column, outDim: Int,
+        seed: Long): org.apache.spark.sql.Column = {
+      def sign(i: org.apache.spark.sql.Column,
+          j: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val h1 = (i.cast("long") * lit(1000003L) + j.cast("long") * lit(7919L)
+          + lit(seed)) % lit(2147483647L)
+        val h2 = (h1 * h1 + h1) % lit(2147483647L)
+        when(h2 % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+      }
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        aggregate(sequence(lit(0), size(vec) - 1), lit(0.0),
+          (acc, i) => acc + element_at(vec, i + 1).cast("double") * sign(i, j))
+          / sqrt(lit(outDim.toDouble)))
+    }
+    val vecs = (0 until 64).map { r =>
+      (r.toLong, (0 until 64).map(d =>
+        ((r * 131 + d * 17) % 97 - 48) / 7.0f).toArray)
+    }.toDF("id", "vec")
+    for (seed <- Seq(0L, 42L, -7L); outDim <- Seq(1, 8, 16)) {
+      val rows = vecs.select(col("id"),
+          VectorOps.randomProject(col("vec"), outDim, seed).as("nat"),
+          hofProject(col("vec"), outDim, seed).as("hof"))
+        .collect()
+      rows.foreach { row =>
+        val nat = row.getSeq[Double](1)
+        val hof = row.getSeq[Double](2)
+        assert(nat.length == outDim && hof.length == outDim)
+        nat.zip(hof).zipWithIndex.foreach { case ((a, b), d) =>
+          assert(java.lang.Double.doubleToRawLongBits(a) ==
+            java.lang.Double.doubleToRawLongBits(b),
+            s"id=${row.getLong(0)} seed=$seed outDim=$outDim dim=$d: " +
+              s"native $a != hof $b")
+        }
+      }
+    }
+  }
 }
