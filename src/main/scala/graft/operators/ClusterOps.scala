@@ -124,6 +124,15 @@ object ClusterOps {
     var lastSum = firstSum.get
     var converged = false
     var iter = 0
+    // Round-13 note (negative result, kept for the record): running
+    // this loop AQE-free with derived shuffle partitions — the
+    // treatment that pays off in LmOps' BPE argmax loop — was measured
+    // SLOWER here (m13 2.8→4.6 s at sf0.1) despite dropping ~2 jobs
+    // per round: without AQE the per-round sym⋈labels join loses its
+    // runtime BROADCAST (LogicalRDD leaves carry no stats, so the
+    // planner falls back to sort-merge) and the added per-round sort
+    // outweighs the scheduling saved. AQE stays on; the convergence
+    // sum still rides the checkpoint job (checkpointTrackedSum).
     while (!converged && iter < maxIter) {
       // neighbor's label flows across each edge; keep the min of
       // (own label, best neighbor label)

@@ -439,7 +439,20 @@ object LmOps {
     var stateRdd: org.apache.spark.rdd.RDD[_] = null
     var prevRdd: org.apache.spark.rdd.RDD[_] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    locally {
+    // Round-13 loop-floor cut (same treatment as ClusterOps' fixpoint
+    // loop): under AQE each argmax round decomposes into one job per
+    // exchange (~2 jobs/merge of scheduling). Round 1 runs under the
+    // session confs — its action materializes `words`' cache, and AQE
+    // sizes that cache's partitions to the actual word-table bytes —
+    // then the remaining rounds run AQE-free with shuffle partitions
+    // DERIVED from that materialized layout (scale-adaptive: a 100 TB
+    // corpus's ~10⁷-row word table keeps its size-appropriate count).
+    // Counts are exact integer sums with a total tie order —
+    // partitioning cannot change the argmax.
+    val bpeSpark = df.sparkSession
+    val prevAqe = bpeSpark.conf.getOption("spark.sql.adaptive.enabled")
+    val prevParts = bpeSpark.conf.getOption("spark.sql.shuffle.partitions")
+    try {
       var step = 1
       var exhausted = false
       while (step <= nMerges && !exhausted) {
@@ -456,6 +469,12 @@ object LmOps {
           .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
           .orderBy(col("c").desc, col("l"), col("r"))
           .limit(1).collect()
+        if (step == 1) {
+          // `words` is materialized now — derive the loop layout
+          val parts = math.max(1, words.rdd.getNumPartitions)
+          bpeSpark.conf.set("spark.sql.adaptive.enabled", "false")
+          bpeSpark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        }
         // `state` is now cached: its parent generation can go
         if (prevRdd != null) { prevRdd.unpersist(blocking = false); prevRdd = null }
         if (best.isEmpty) exhausted = true
@@ -471,6 +490,11 @@ object LmOps {
           step += 1
         }
       }
+    } finally {
+      prevAqe.fold(bpeSpark.conf.unset("spark.sql.adaptive.enabled"))(v =>
+        bpeSpark.conf.set("spark.sql.adaptive.enabled", v))
+      prevParts.fold(bpeSpark.conf.unset("spark.sql.shuffle.partitions"))(v =>
+        bpeSpark.conf.set("spark.sql.shuffle.partitions", v))
     }
     // the loop's generations are no longer needed: the final
     // segmentation rebuilds as ONE native BpeApply projection over the
@@ -574,13 +598,26 @@ object LmOps {
       org.apache.spark.sql.graftbridge.Bridge.cutLineageCached(
         state.withColumn("syms",
           graft.functions.native.bpe_apply(col("syms"), merges)))
+    // same AQE-free derived-layout loop as [[bpeRun]] (round 13): round
+    // 1 materializes `words` under the session confs (AQE sizes the
+    // cache), later rounds run one job each
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+    try {
     var exhausted = false
+    var firstRound = true
     while (merges.size < nMerges && !exhausted) {
       val want = math.min(batch, nMerges - merges.size)
       // over-collect: conflicts consume ranking slots before the stop
       val top = pairCounts(state)
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(want * 4 + 8).collect()
+      if (firstRound) {
+        firstRound = false
+        val parts = math.max(1, words.rdd.getNumPartitions)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      }
       if (prevRdd != null) { prevRdd.unpersist(blocking = false); prevRdd = null }
       if (top.isEmpty) exhausted = true
       else {
@@ -627,6 +664,12 @@ object LmOps {
         stateRdd = nextRdd
         state = next
       }
+    }
+    } finally {
+      prevAqe.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(v =>
+        spark.conf.set("spark.sql.adaptive.enabled", v))
+      prevParts.fold(spark.conf.unset("spark.sql.shuffle.partitions"))(v =>
+        spark.conf.set("spark.sql.shuffle.partitions", v))
     }
     if (stateRdd != null) stateRdd.unpersist(blocking = false)
     if (prevRdd != null) prevRdd.unpersist(blocking = false)
