@@ -92,9 +92,22 @@ object GraphOps {
     require(checkpointEvery >= 1,
       "pageRank: checkpointEvery must be >= 1 (0 divides by zero; " +
         "negatives silently disable lineage cutting)")
+    // Round-13 (guide §2.4 / §3.3 "materialise an intermediate to
+    // truncate the plan"): the edge list, out-degree table and teleport
+    // prior are LOOP-STATIC, but as lazy subplans every iteration (and
+    // every reference inside one iteration) re-derived them inline —
+    // the p65 gate's 3-iteration plan carried 88 parquet scans and 400
+    // operators, zero reuse. Eagerly localCheckpoint each once: the
+    // loop's plan then grows over three flat LogicalRDD leaves, and
+    // the gate's own edge derivation (a cross-join + generate) runs
+    // once instead of ~30 times. Blocks are swept between queries by
+    // SparkEntry.resetSessionConfs (the ClusterOps final-labels
+    // pattern); integer rank arithmetic is unchanged by
+    // materialization, so results are identical.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -116,8 +129,10 @@ object GraphOps {
       .select(col("node"),
         when(col("in_scope"), lit(base)).otherwise(lit(0L)).as("base"),
         when(col("in_scope"), lit(init)).otherwise(lit(0L)).as("init"))
+      .localCheckpoint(true)
 
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(true)
 
     var ranks = prior.select(col("node"), col("init").as("rank_units"))
     var pinned: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
