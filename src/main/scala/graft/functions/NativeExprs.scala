@@ -274,6 +274,71 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Space-join the tokens whose 1-BASED positions are NOT in `cut` —
+  * the native spelling of p42's reassembly tail (round 13). The HOF
+  * chain it replaces — filter(zip_with(toks, sequence(1, n), struct),
+  * s => !array_contains(cut, s.p)) then transform + array_join — paid
+  * O(tokens·|cut|) INTERPRETED Catalyst evaluations per row (every
+  * token probed the cut list linearly). One tight loop with a hash
+  * probe per token produces the IDENTICAL string (same token order,
+  * same single-space separator, empty string when everything is cut),
+  * so md5(cleaned) is unchanged. */
+case class RemovePositions(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("removePositions", this)
+    nullSafeCodeGen(ctx, ev, (t, c) =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($t, $c);")
+  }
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"RemovePositions needs (array<string>, array<int>), got $other")
+    }
+
+  override def nullSafeEval(toksAny: Any, cutAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val cut = cutAny.asInstanceOf[ArrayData]
+    val nCut = cut.numElements()
+    val cutSet = new java.util.HashSet[Int](math.max(16, nCut * 2))
+    var i = 0
+    while (i < nCut) {
+      if (!cut.isNullAt(i)) cutSet.add(cut.getInt(i))
+      i += 1
+    }
+    val n = toks.numElements()
+    val sb = new java.lang.StringBuilder
+    var first = true
+    i = 0
+    while (i < n) {
+      if (!cutSet.contains(i + 1)) {
+        if (!first) sb.append(' ')
+        first = false
+        // a null token element would have made the HOF's struct field
+        // null and the joined string drop it with its separator —
+        // split() never emits nulls, so fail loudly instead of
+        // guessing at that corner
+        sb.append(toks.getUTF8String(i).toString)
+      }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemovePositions =
+    copy(left = newLeft, right = newRight)
+}
+
 /** JL random ±1 projection of a numeric array to `outDim` dims — the
   * native spelling of [[graft.operators.VectorOps.randomProject]]'s
   * HOF fold (round 13: the transform/aggregate lambdas were evaluated
@@ -1764,6 +1829,9 @@ object native {
       Bridge.expression(a), Bridge.expression(b)))
   def random_project(vec: Column, outDim: Int, seed: Long): Column =
     Bridge.column(RandomProject(Bridge.expression(vec), outDim, seed))
+  def remove_positions(toks: Column, cut: Column): Column =
+    Bridge.column(RemovePositions(
+      Bridge.expression(toks), Bridge.expression(cut)))
   def nearest_eval(vec: Column, ids: Seq[Long],
       evals: Seq[Seq[Float]]): Column =
     Bridge.column(NearestEval(Bridge.expression(vec), ids, evals))

@@ -792,12 +792,14 @@ object DedupOps {
       .select(col("doc_id"),
         size(col("toks")).as("n_tok"),
         size(cutArr).as("n_removed"),
-        md5(array_join(transform(
-          filter(zip_with(col("toks"),
-              sequence(lit(1), size(col("toks"))),
-              (t, p) => struct(t.as("t"), p.as("p"))),
-            s => !array_contains(cutArr, s("p"))),
-          s => s("t")), " ")).as("cleaned_fp"))
+        // round-13: native reassembly ([[graft.functions
+        // .RemovePositions]]) — the HOF spelling (filter ∘ zip_with ∘
+        // array_contains, then transform + array_join) evaluated
+        // O(tokens·|cut|) interpreted lambdas per row; the native loop
+        // builds the IDENTICAL space-joined string (same order, same
+        // separator), so cleaned_fp's md5 is unchanged
+        md5(graft.functions.native.remove_positions(col("toks"), cutArr))
+          .as("cleaned_fp"))
   }
 
   /** Per-document repeated-span statistics over
