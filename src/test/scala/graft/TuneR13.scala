@@ -54,7 +54,8 @@ object TuneR13 {
       .master("local[32]")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1")
       // A/B toggle for the round-13 experiment: let AQE re-coalesce
       // CACHED plan output (default false in Spark — cached builds keep
       // the raw shuffle partition count, which is where the iterative
