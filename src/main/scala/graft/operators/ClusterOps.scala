@@ -135,7 +135,19 @@ object ClusterOps {
     // sum still rides the checkpoint job (checkpointTrackedSum).
     while (!converged && iter < maxIter) {
       // neighbor's label flows across each edge; keep the min of
-      // (own label, best neighbor label)
+      // (own label, best neighbor label).
+      //
+      // Round-13 SECOND negative result, kept for the record: a
+      // two-hop-per-round variant (propagate, aggregate, propagate
+      // again, checkpoint — halving the round count to
+      // ceil(diameter/2)+1) measured strictly WORSE at sf0.1 (p14
+      // 2.0→2.9 s / 26→32 jobs, p66 3.7→5.2 s / 44→63 jobs, m13
+      // 3.0→4.0 s): hop-1's aggregate subtree is NOT deduplicated by
+      // AQE exchange reuse inside one round's plan (it feeds both the
+      // union and the second join, with fresh exprIds after self-join
+      // dedup), so each round paid ~2× the stages while near-dup
+      // diameters are too small (3-5 hops) for the halved round count
+      // to amortize it. One hop per round stays.
       val viaEdges = sym.join(labels, sym("src") === labels("node"))
         .select(sym("dst").as("node"), col("comp"))
       val (next, nextBlocks, sumOpt) = checkpointTrackedSum(
