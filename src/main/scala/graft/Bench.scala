@@ -588,16 +588,42 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact file write failed: $e") }
     println(line)
-    // Round-13 (VERDICT r12 item 5): BENCH_r12.json carried
-    // "parsed": null — the driver could not pick the artifact line out
-    // of the sbt-wrapped log even though the JSON was emitted intact.
-    // Emit a COMPACT duplicate (headline fields only, no "times"/"sf1"
-    // diagnostic payloads, so the line stays short enough to survive
-    // any line-length capture limit) on one marker-prefixed stdout
-    // line a parser can grep unambiguously.
+    // Round-14 (VERDICT r13 item 1): every BENCH_r*.json since round 1
+    // carries "parsed": null — the driver's artifact keeps only the
+    // LAST ~2000 chars of the log, and the round-13 compact marker
+    // line still inlined the full per-query map (~5 KB for 143 gates),
+    // so its head (the marker prefix included) was clipped out of the
+    // capture window. The fixed contract:
+    //   - GRAFT_BENCH_JSON <headline-only JSON> — value, n, reps,
+    //     failed, chunk count; ~200 bytes, guaranteed to fit whole
+    //     inside ANY tail window. Printed BEFORE and AFTER the chunk
+    //     lines (identical bytes): a head-anchored grep finds the
+    //     first, a tail-window capture always retains the last.
+    //   - GRAFT_BENCH_Q<i> {…} — the per-query medians in numbered
+    //     ≤1.4 KB chunks a parser can reassemble in any order; the
+    //     headline's "chunks" count makes a partial capture
+    //     detectable.
     if (!isChild) {
-      val compact = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"failed":$failedJson,"queries":${queriesJson(ok)},"value":${fmtJsonNum(total)}}"""
-      println(s"GRAFT_BENCH_JSON $compact")
+      val entries = ok.collect { case (k, ts) if ts.nonEmpty =>
+        "\"" + k + "\":" + fmtJsonNum(median(ts)) }
+      val chunks = {
+        val buf = collection.mutable.ListBuffer.empty[String]
+        val cur = new StringBuilder
+        entries.foreach { e =>
+          if (cur.nonEmpty && cur.length + e.length + 1 > 1400) {
+            buf += cur.toString; cur.clear()
+          }
+          if (cur.nonEmpty) cur.append(',')
+          cur.append(e)
+        }
+        if (cur.nonEmpty) buf += cur.toString
+        buf.toList
+      }
+      val headlineJson = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"n":${entries.size},"chunks":${chunks.size},"failed":$failedJson,"value":${fmtJsonNum(total)}}"""
+      println(s"GRAFT_BENCH_JSON $headlineJson")
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        println(s"GRAFT_BENCH_Q${i + 1} {$c}") }
+      println(s"GRAFT_BENCH_JSON $headlineJson")
       System.out.flush()
     }
     spark.stop()

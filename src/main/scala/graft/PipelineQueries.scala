@@ -29,7 +29,14 @@ object PipelineQueries {
     * real-scale input) — nothing extra shuffles at 100 TB. Partition
     * count comes from the file-split layout (no job); round-robin
     * repartition is deterministic (sort-before-repartition) and the
-    * consumers are per-row + ordered, so results are unchanged. */
+    * consumers are per-row + ordered, so results are unchanged.
+    *
+    * CONTRACT (round-14, ADVICE r13): pass SCAN-ONLY inputs. The
+    * probe reads `df.rdd.getNumPartitions`, which for a plan holding
+    * exchanges under AQE would EXECUTE the upstream stages (real jobs)
+    * just to count partitions — free only because every caller hands
+    * it a bare parquet scan, where the count comes straight off the
+    * file-split layout. */
   private def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df

@@ -326,8 +326,14 @@ case class RemovePositions(left: Expression, right: Expression)
         // a null token element would have made the HOF's struct field
         // null and the joined string drop it with its separator —
         // split() never emits nulls, so fail loudly instead of
-        // guessing at that corner
-        sb.append(toks.getUTF8String(i).toString)
+        // guessing at that corner (round-14, ADVICE r13: a DESCRIPTIVE
+        // error, not the opaque NPE the raw .toString produced)
+        val t = toks.getUTF8String(i)
+        if (t == null) throw new IllegalStateException(
+          s"RemovePositions: null token element at position ${i + 1} — " +
+            "inputs are expected to come from split(), which never " +
+            "emits null elements")
+        sb.append(t.toString)
       }
       i += 1
     }

@@ -62,7 +62,7 @@ object ClusterOps {
     * lineage-truncated checkpoint blocks, not just slow). */
   private def checkpointTracked(df: DataFrame)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-    val out = df.localCheckpoint(true)
+    val out = Checkpoints.cut(df)
     val pinned = org.apache.spark.sql.graftbridge.Bridge.analyzed(out) match {
       case r: org.apache.spark.sql.execution.LogicalRDD => Seq(r.rdd)
       case _ => Seq.empty // future Spark plan-shape change: fall back to
@@ -84,7 +84,16 @@ object ClusterOps {
     * belt-and-braces for a future Spark that materializes checkpoints
     * outside withAction (completion is idempotent). None = zero rows
     * (sum over an empty frame is SQL NULL), same contract as the old
-    * `labelSum`. */
+    * `labelSum`.
+    *
+    * The metric is read with the NON-blocking
+    * [[org.apache.spark.sql.graftbridge.Bridge.observationMetrics]]
+    * (round-14, ADVICE r13): AQE can prune the CollectMetrics node
+    * with an empty-relation subtree, in which case the observation
+    * never completes — the blocking `obs.get` would then hang the
+    * driver forever on the explicitly-supported empty-edge-set path.
+    * A missing/empty metric row means zero observed rows, the same
+    * empty-frame answer as SQL's NULL sum. */
   private def checkpointTrackedSum(df: DataFrame)
       : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]], Option[Long]) = {
     val obs = org.apache.spark.sql.Observation()
@@ -92,8 +101,8 @@ object ClusterOps {
     val (out, pinned) = checkpointTracked(watched)
     org.apache.spark.sql.graftbridge.Bridge
       .fireObservations(watched, "ccRoundSum", 0L)
-    val s = obs.get.get("s").flatMap(Option(_))
-      .map(_.asInstanceOf[Long])
+    val s = org.apache.spark.sql.graftbridge.Bridge.observationMetrics(obs)
+      .get("s").flatMap(Option(_)).map(_.asInstanceOf[Long])
     (out, pinned, s)
   }
 
@@ -153,7 +162,13 @@ object ClusterOps {
       val (next, nextBlocks, sumOpt) = checkpointTrackedSum(
         labels.union(viaEdges)
           .groupBy("node").agg(min("comp").as("comp")))
-      val s = sumOpt.get // non-empty from here (guarded above)
+      // non-empty from here (guarded above): the union keeps at least
+      // the label rows, so a missing metric is a completion-mechanism
+      // failure, not an empty frame — fail loudly, never silently
+      // converge on it
+      val s = sumOpt.getOrElse(throw new IllegalStateException(
+        "connectedComponents: convergence-sum observation did not " +
+          "complete on a non-empty label frame"))
       converged = s == lastSum // labels are monotone non-increasing
       lastSum = s
       // `next` is materialized (eager checkpoint), so the previous

@@ -97,17 +97,27 @@ object GraphOps {
     // prior are LOOP-STATIC, but as lazy subplans every iteration (and
     // every reference inside one iteration) re-derived them inline —
     // the p65 gate's 3-iteration plan carried 88 parquet scans and 400
-    // operators, zero reuse. Eagerly localCheckpoint each once: the
-    // loop's plan then grows over three flat LogicalRDD leaves, and
-    // the gate's own edge derivation (a cross-join + generate) runs
-    // once instead of ~30 times. Blocks are swept between queries by
-    // SparkEntry.resetSessionConfs (the ClusterOps final-labels
-    // pattern); integer rank arithmetic is unchanged by
-    // materialization, so results are identical.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
+    // operators, zero reuse. Eagerly checkpoint each once
+    // (Checkpoints.cut — executor-local by default, reliable under
+    // spark.graft.checkpoint.dir): the loop's plan then grows over
+    // three flat LogicalRDD leaves, and the gate's own edge derivation
+    // (a cross-join + generate) runs once instead of ~30 times.
+    // Integer rank arithmetic is unchanged by materialization, so
+    // results are identical.
+    //
+    // LIFETIME CONTRACT (round-14, ADVICE r13): these three blocks —
+    // and the loop's `pinned` generation — stay persisted when this
+    // method returns, because the RETURNED frame is lazy and its
+    // truncated lineage READS them; unpersisting here would be fatal,
+    // not slow. pageRank therefore requires its caller to sweep
+    // persistent RDDs once the result is consumed — the harness does
+    // it between queries (SparkEntry.resetSessionConfs); library
+    // callers in long-lived sessions must sweep equivalently or run
+    // with the reliable checkpoint dir (files, not storage blocks).
+    val e = Checkpoints.cut(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -124,15 +134,14 @@ object GraphOps {
     val base = unit * (dampDen - dampNum) / dampDen / n
     val init = unit / n
     // (node, base, init) — constants on the teleport scope, zero off it
-    val prior = nodes.join(
+    val prior = Checkpoints.cut(nodes.join(
         teleport.withColumn("in_scope", lit(true)), Seq("node"), "left")
       .select(col("node"),
         when(col("in_scope"), lit(base)).otherwise(lit(0L)).as("base"),
-        when(col("in_scope"), lit(init)).otherwise(lit(0L)).as("init"))
-      .localCheckpoint(true)
+        when(col("in_scope"), lit(init)).otherwise(lit(0L)).as("init")))
 
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint(true)
+    val deg = Checkpoints.cut(
+      e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")))
 
     var ranks = prior.select(col("node"), col("init").as("rank_units"))
     var pinned: Seq[org.apache.spark.rdd.RDD[_]] = Seq.empty
@@ -151,7 +160,7 @@ object GraphOps {
             expr(s"coalesce(insum, 0L) * ${dampNum}L div ${dampDen}L"))
             .as("rank_units"))
       if (i % checkpointEvery == 0 && i < iters) {
-        val out = next.localCheckpoint(true)
+        val out = Checkpoints.cut(next)
         pinned.foreach(_.unpersist(false))
         pinned = org.apache.spark.sql.graftbridge.Bridge.analyzed(out) match {
           case r: org.apache.spark.sql.execution.LogicalRDD => Seq(r.rdd)

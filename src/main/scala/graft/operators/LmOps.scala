@@ -449,6 +449,14 @@ object LmOps {
     // corpus's ~10⁷-row word table keeps its size-appropriate count).
     // Counts are exact integer sums with a total tie order —
     // partitioning cannot change the argmax.
+    //
+    // SINGLE-QUERY-AT-A-TIME assumption (round-14, ADVICE r13): these
+    // are SESSION-wide conf mutations — any concurrent query on the
+    // same SparkSession would silently plan AQE-off with the
+    // BPE-derived partition count until the `finally` restores them.
+    // The harness runs one query at a time; concurrent callers must
+    // run BPE training in a cloned session (SparkSession.cloneSession)
+    // so the overrides cannot leak.
     val bpeSpark = df.sparkSession
     val prevAqe = bpeSpark.conf.getOption("spark.sql.adaptive.enabled")
     val prevParts = bpeSpark.conf.getOption("spark.sql.shuffle.partitions")

@@ -76,11 +76,32 @@ object Bridge {
     * MEMORY_AND_DISK-cached RDD. Returns the wrapped frame plus the
     * RDD handle — the caller unpersists the handle once the NEXT
     * generation has materialized (same free-after-child discipline as
-    * a Dataset persist chain). */
+    * a Dataset persist chain).
+    *
+    * Fault-tolerance trade (round-14, VERDICT r13 item 3): the
+    * executor-local blocks are the ONLY copy of the truncated lineage
+    * — an executor loss mid-loop kills the job. Set
+    * `spark.graft.checkpoint.dir` (graft.operators.Checkpoints.DirConf)
+    * to route the cut to a RELIABLE `checkpoint()` under that
+    * directory: the generation is persisted for the loop's reads AND
+    * written to durable files the scheduler can recover from. */
   def cutLineageCached(df: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame,
          org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
-    val rdd = df.queryExecution.toRdd.map(_.copy()).localCheckpoint()
+    val copied = df.queryExecution.toRdd.map(_.copy())
+    val reliable = df.sparkSession.conf
+      .getOption("spark.graft.checkpoint.dir").map(_.trim).filter(_.nonEmpty)
+    val rdd = reliable match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // persist first: a bare reliable checkpoint() recomputes the
+        // generation once more just to write the files
+        copied.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        copied.checkpoint()
+        copied
+      case None => copied.localCheckpoint()
+    }
     val out = df.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, df.schema, isStreaming = false)
