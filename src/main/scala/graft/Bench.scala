@@ -77,7 +77,19 @@ object Bench {
     "p83_containment_join", "p84_bpe_fertility",
     "p85_containment_screen", "p86_bpe_batched",
     "p87_containment_incremental", "p88_bpe_deep",
-    "p89_screen_pipeline")
+    "p89_screen_pipeline",
+    // Round-14 (VERDICT r13 item 2): the >1 s oracle-only gates were
+    // invisible to the bench — p28 (~7 s, the most expensive declared
+    // path) plus the heavy tail of a full 58-gate probe of everything
+    // declared-but-not-benched (q26 6.7 s, q27 ~5 s, q35 3.5 s, q31
+    // ~3 s, q32 1.7 s, q42 1.3 s, q25 1.1 s steady-state at sf0.1).
+    // Additions only; the O(n²)-by-design oracle baselines (p06 198 s,
+    // p09 7 s) stay excluded exactly as the header documents, and
+    // r23's 23 s first-touch is DuckDB fixture setup (0.24 s steady),
+    // not a Spark path.
+    "p28_semantic_dedup", "q25_cube", "q26_approx", "q27_percentile",
+    "q31_salted_join", "q32_asof_bucketed", "q35_approx_percentile",
+    "q42_setops_all")
 
   /** Fixture-scale exact-oracle configs that are quadratic BY DESIGN
     * (documented in VectorOps/DedupOps) — excluded from any run above
@@ -152,7 +164,13 @@ object Bench {
     // every prior round's bench (their numbers measured a parquet
     // count); now that the action executes the full plan they get
     // their first real scale history (focused sf1: both ~1.0x flat)
-    "p36_repeated_spans", "p42_span_removal")
+    "p36_repeated_spans", "p42_span_removal",
+    // round-14 bench additions: p28 iterates (CC loop — permanent
+    // citizen per the round-9 protocol); the rest get their one round
+    // of scale history
+    "p28_semantic_dedup", "q25_cube", "q26_approx", "q27_percentile",
+    "q31_salted_join", "q32_asof_bucketed", "q35_approx_percentile",
+    "q42_setops_all")
 
   /** Execute a gate's FULL plan (round-10 PROTOCOL CHANGE — the bench
     * action). The previous action, `df.count()`, let Catalyst prove

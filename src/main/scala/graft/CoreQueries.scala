@@ -184,11 +184,25 @@ object CoreQueries {
     // deterministic accuracy assertion: |approx-exact|/exact <= 5%, which the
     // DuckDB oracle emits as a constant TRUE (rsd=0.01 ⇒ ~1% expected error,
     // comfortably inside the 5% bound on these cardinalities).
+    // Round-14 (guide §2.3 "aggregate before you shuffle" /
+    // measurement-first): countDistinct + approx_count_distinct in ONE
+    // aggregate planned through planAggregateWithOneDistinct, which
+    // keys the partial phases by (status, custkey) — so the rsd=0.01
+    // HLL sketch buffer (2¹⁴ registers, ~16 KB) was allocated and
+    // merged PER DISTINCT CUSTKEY (~100 k buffers, ~1.6 GB of churn:
+    // measured 5.4 s, single 5.5 s compute stage). Deduplicate pairs
+    // FIRST, then aggregate: HLL register updates are idempotent per
+    // distinct value, so the estimate over the deduped pairs is
+    // bit-identical to the multiset estimate, count(custkey) over the
+    // deduped pairs IS countDistinct — and only 3 sketch buffers ever
+    // exist.
     "q26_approx" -> ((s, dir) =>
       t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_custkey"))
+        .distinct()
         .groupBy(col("o_orderstatus"))
         .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_cust"),
-          countDistinct(col("o_custkey")).as("exact_cust"))
+          count(col("o_custkey")).as("exact_cust"))
         .select(col("o_orderstatus"), col("exact_cust"),
           (abs(col("approx_cust") - col("exact_cust")).cast(DoubleType) /
             col("exact_cust") <= 0.05).as("within_5pct"))
@@ -421,13 +435,21 @@ object CoreQueries {
     }),
 
     // ---- exact percentiles (linear interpolation, both engines) --------
+    // Round-14: the two l_extendedprice percentiles each built their
+    // own value-counts map (~200 k distinct doubles per group) inside
+    // Spark's TypedImperativeAggregate — the array-percentile form
+    // computes both from ONE shared map with the identical
+    // interpolation arithmetic, so the doubles are bit-equal and one
+    // of the two big buffers (build + serialize + merge) disappears.
     "q27_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
-          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
-          expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
+          expr("percentile(l_extendedprice, array(0.25, 0.75))").as("pp"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("med_qty"),
+          element_at(col("pp"), 1).as("p25_price"),
+          element_at(col("pp"), 2).as("p75_price"), col("n"))
         .orderBy(col("l_returnflag"))),
 
     // ---- semi / anti joins (EXISTS / NOT EXISTS) -----------------------

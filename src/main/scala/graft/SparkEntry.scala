@@ -25,6 +25,11 @@ object SparkEntry {
   def resetSessionConfs(spark: SparkSession): Unit = {
     spark.conf.unset(graft.plans.RangeJoinRewrite.WidthKey)
     spark.conf.unset("spark.sql.optimizer.datasourceV2JoinPushdown")
+    // the exact pair joins set an AQE coalescing floor for their
+    // compute-dense verify stages (DedupOps.verifyStageParallelism,
+    // round-14) — measured HARMFUL to the screens, so it must never
+    // leak past the query that set it
+    spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
     // queries that persist an iteration-reused input (p11 caches its
     // k-means corpus) must not leak that cache into other queries'
     // timings or scans

@@ -304,6 +304,7 @@ object DedupOps {
       tau: Double, ngram: Int = 3,
       candObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(tau > 0 && tau < 1, s"tau must be in (0,1): $tau")
+    verifyStageParallelism(df)
     // shingle IDENTITY only, never text: 8-byte hashed shingles
     // (native ShingleHashSet — no concatenated strings built) make the
     // frequency shuffle, the prefix sort, the banding keys, and the
@@ -428,6 +429,7 @@ object DedupOps {
       tau: Double, ngram: Int = 3, minShingles: Int = 5,
       candObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    verifyStageParallelism(df)
     val sets = CacheRegistry.register(
       df.select(col(idCol).as("id"),
           graft.functions.native.shingle_hash_set(
@@ -512,6 +514,28 @@ object DedupOps {
     * and 37 mod 2147483629, the polySimhash pair) packed as
     * h₁·2³¹ + h₂ ∈ [0, 2⁶²). Replayable in SQL; collisions across
     * distinct shingles are ~n²/2⁶³ and only ever ADD candidates. */
+  /** AQE coalescing floor for the EXACT pair joins (round-14, VERDICT
+    * r13 item 3, guide §2.2): their candidate-pair exchanges carry a
+    * few bytes per row but feed COMPUTE-dense stages (per-pair
+    * positional refutation, shingle-set intersection), so AQE's
+    * default 1 MB `coalescePartitions.minPartitionSize` folded them
+    * to 1–5 tasks on a 32-core host (measured: p83's 718 ms verify
+    * stage ran as ONE task). A 16 KB floor keeps ~task-per-core on
+    * small-byte exchanges and is inert at scale (targets are
+    * max(total/parallelism, floor), so any real total dominates).
+    * Set at BUILD time — optimizer confs are read at execution and
+    * builders cannot set-and-restore (the q28/r06 pattern; harnesses
+    * sweep it between queries via SparkEntry.resetSessionConfs).
+    * Deliberately NOT applied to the SCREENS: back-to-back A/B/C at
+    * sf0.1 (5 reps) measured p83 2.71→1.81 s, p69 2.63→2.21 s, p79
+    * 3.16→2.40 s under the 16 KB floor, but p89 2.60→4.12 s and p85
+    * 1.83→3.06 s — the screens' probe⋈index stages are byte-bound,
+    * not compute-bound, and fragmenting them costs more scheduling
+    * than it buys parallelism. */
+  private def verifyStageParallelism(df: DataFrame): Unit =
+    df.sparkSession.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+
   private def shingleKey(s: Column): Column = {
     val h1 = graft.functions.native.poly_fingerprint(s, 31L, 2147483647L)
     val h2 = graft.functions.native.poly_fingerprint(s, 37L, 2147483629L)

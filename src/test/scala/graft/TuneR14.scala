@@ -77,6 +77,10 @@ object TuneR14 {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "1") == "1")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "1") == "1")
+      // A/B toggle for the round-14 experiment: AQE coalescing floor
+      // for compute-dense small-byte exchanges (verdict r13 item 3)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
