@@ -23,12 +23,24 @@ object CoreQueries {
     Tables.table(s, dir, name)
 
   /** SUM over an exact decimal image of a double column, returned as
-    * double: deterministic under any partitioning / AQE re-ordering. */
+    * double: deterministic under any partitioning / AQE re-ordering.
+    *
+    * Round-14 spelling: [[graft.functions.FixedPointSum]] — the exact
+    * long-backed fixed-point sum, BIT-identical to
+    * `sum(c.cast(DECIMAL(p,s))).cast(DOUBLE)` (Round14OpsSpec pins it
+    * across scales/signs/orders/boundaries) but ~6× cheaper per row:
+    * the wide-decimal buffer (precision p+10 > 18) forced a java
+    * BigDecimal deserialize/add/reserialize per row in the hash-agg
+    * buffer, where the fixed-point buffer is two plain longs. The `p`
+    * parameter remains for the ORACLE spelling (sqlDsum) and as the
+    * documented precision contract; per-row values past DECIMAL(18,s)
+    * throw instead of widening (6 orders above the q01-family range). */
   private def dsum(c: Column, p: Int = 25, s: Int = 6): Column =
-    sum(c.cast(DecimalType(p, s))).cast(DoubleType)
+    graft.functions.native.fixed_point_sum(c.cast(DoubleType), s)
 
   private def davg(c: Column, p: Int = 25, s: Int = 6): Column =
-    sum(c.cast(DecimalType(p, s))).cast(DoubleType) / count(lit(1))
+    graft.functions.native.fixed_point_sum(c.cast(DoubleType), s) /
+      count(lit(1))
 
   // Oracle-side equivalents (DuckDB SQL)
   private def sqlDsum(e: String, p: Int = 25, s: Int = 6): String =

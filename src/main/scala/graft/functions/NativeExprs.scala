@@ -1850,6 +1850,13 @@ object native {
     Bridge.column(PolyFingerprint(Bridge.expression(c), base, mod))
   def sorted_pairs(c: Column): Column =
     Bridge.column(SortedPairs(Bridge.expression(c)))
+  /** Exact long-backed fixed-point SUM of a double column at `scale`
+    * decimals — bit-identical to
+    * `sum(c.cast(DECIMAL(18+,scale))).cast(DOUBLE)` (see
+    * [[FixedPointSum]]); throws on per-row |value| ≥ 10^(18−scale). */
+  def fixed_point_sum(c: Column, scale: Int): Column =
+    Bridge.column(
+      FixedPointSum(Bridge.expression(c), scale).toAggregateExpression())
   def bloom_might_contain(c: Column, bloomBytes: Array[Byte]): Column =
     Bridge.column(BloomMightContain(Bridge.expression(c), bloomBytes))
   def nfc_normalize(c: Column): Column =

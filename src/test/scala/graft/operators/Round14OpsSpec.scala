@@ -49,6 +49,65 @@ class Round14OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed_point_sum is BIT-equal to the decimal-sum spelling " +
+      "across scales, signs, rounding boundaries, sf10 magnitudes, " +
+      "partial-sum orders, and null shapes") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val rnd = new scala.util.Random(14)
+    // value shapes: many-decimal doubles (cast rounds), negatives,
+    // magnitudes up to 1e9 (sf10 sums reach ~1e12 in value units),
+    // exact 2-decimal money values, half-up boundary forms, and nulls
+    val vals: Seq[java.lang.Double] = (1 to 4000).map { i =>
+      val shape = i % 6
+      val v: Double = shape match {
+        case 0 => rnd.nextDouble() * 1e9 - 5e8
+        case 1 => math.round(rnd.nextDouble() * 1e7) / 100.0
+        case 2 => rnd.nextDouble() * 1e-3
+        case 3 => (rnd.nextInt(2000000) - 1000000) + 0.0000005
+        case 4 => rnd.nextDouble() * -9e8
+        case _ => rnd.nextGaussian() * 1e6
+      }
+      if (i % 37 == 0) null else java.lang.Double.valueOf(v)
+    } ++ Seq(null, null) // one all-null group below
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (if (i >= 4000) 99 else i % 7, v) }.toDF("g", "v")
+      .repartition(13) // partial-sum order ≠ input order
+    for (scale <- Seq(6, 8)) {
+      val got = df.groupBy(col("g"))
+        .agg(graft.functions.native.fixed_point_sum(col("v"), scale)
+          .as("s"))
+        .orderBy(col("g")).collect()
+      val want = df.groupBy(col("g"))
+        .agg(sum(col("v").cast(DecimalType(25, scale))).cast(DoubleType)
+          .as("s"))
+        .orderBy(col("g")).collect()
+      assert(got.length === want.length)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.isNullAt(1) === w.isNullAt(1),
+          s"null mismatch at g=${g.get(0)} scale=$scale")
+        if (!g.isNullAt(1))
+          assert(java.lang.Double.doubleToRawLongBits(g.getDouble(1)) ===
+            java.lang.Double.doubleToRawLongBits(w.getDouble(1)),
+            s"bits differ at g=${g.get(0)} scale=$scale: " +
+              s"${g.getDouble(1)} vs ${w.getDouble(1)}")
+      }
+    }
+    // the all-null group is null, not 0
+    val nullRow = df.filter(col("g") === 99)
+      .agg(graft.functions.native.fixed_point_sum(col("v"), 6)).collect()
+    assert(nullRow.head.isNullAt(0))
+    // per-row overflow of DECIMAL(18,6) fails LOUDLY (the decimal
+    // spelling would widen; silently nulling would corrupt the sum)
+    val e = intercept[Exception] {
+      Seq(1e13, 2.0).toDF("v")
+        .agg(graft.functions.native.fixed_point_sum(col("v"), 6)).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(12).toSeq
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("fixed_point_sum")), s"got: $e")
+  }
+
   test("RemovePositions raises a descriptive error on a null token " +
       "element instead of an opaque NPE") {
     val df = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
