@@ -230,13 +230,25 @@ object CoreQueries {
     // real, n_days pins the sketch count that merged.
     "q46_hll_merge" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      // Round-14: hll_sketch_agg + countDistinct in one aggregate is
+      // the q26 pathology — planAggregateWithOneDistinct keys the
+      // partial phases by (day, user_id), building an HLL sketch
+      // buffer PER DISTINCT USER. Deduplicate (day, user) first:
+      // sketch updates are idempotent per distinct value, so the
+      // merged estimate is identical, count over the deduped pairs IS
+      // the per-day countDistinct, and the total exact count rides
+      // the same deduped frame (distinct user_id across days).
+      val dayUser = ev
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val daily = dayUser.groupBy(col("day"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"),
-          countDistinct(col("user_id")).as("exact_day"))
+          count(col("user_id")).as("exact_day"))
       val merged = daily.agg(count(lit(1)).as("n_days"),
         sum(col("exact_day")).as("sum_daily_exact"),
         expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"))
-      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      val exact = dayUser.agg(
+        countDistinct(col("user_id")).as("exact_users"))
       merged.crossJoin(exact)
         .select(col("n_days"), col("sum_daily_exact"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /

