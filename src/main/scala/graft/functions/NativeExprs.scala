@@ -1129,6 +1129,125 @@ case class SortedPairs(child: Expression) extends UnaryExpression {
   * downstream results cannot change (spec-pinned). Saturated sizes
   * (4095) ride the same formula — the filter stays conservative
   * exactly as before. */
+/** ONE greedy BPE step with its SIGNED adjacent-pair count delta
+  * (round-14, VERDICT r13 item 5): applies `merges` to `syms` with
+  * EXACTLY [[BpeApply]]'s greedy left-to-right loop and returns
+  * struct(syms = the merged array, pd = the net non-zero delta
+  * entries (l, r, c = freq·(count_after − count_before)); pd is
+  * empty for an unchanged word). ONE application per row serves BOTH
+  * consumers of a merge round — the next word-state generation and
+  * the incremental count table's delta — so a round costs a single
+  * scan (a separate delta expression measured as a second full
+  * apply-scan per round, which at the word cache's 1–2 coalesced
+  * partitions doubled the round). Because the diff reads the REAL
+  * before/after arrays, any greedy-overlap outcome is handled by
+  * construction, and summing per-word nets equals summing ±explodes.
+  * Null symbol elements are skipped exactly as [[BpeApply]]. */
+case class BpeStep(syms: Expression, freq: Expression,
+    merges: Seq[(String, String)]) extends BinaryExpression {
+
+  override def left: Expression = syms
+  override def right: Expression = freq
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeStep", this)
+    nullSafeCodeGen(ctx, ev, (s, f) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($s, $f);")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("syms", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("pd", ArrayType(StructType(Seq(
+      StructField("l", StringType, nullable = false),
+      StructField("r", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false),
+      nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (syms.dataType, freq.dataType) match {
+      case (ArrayType(StringType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_step needs (array<string>, long), got $other")
+    }
+
+  private def emptyPd = new GenericArrayData(Array.empty[Any])
+
+  override def nullSafeEval(symsIn: Any, freqIn: Any): Any = {
+    val arr = symsIn.asInstanceOf[ArrayData]
+    val f = freqIn.asInstanceOf[Long]
+    val n = arr.numElements()
+    val buf = new Array[String](n)
+    var len = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { buf(len) = arr.getUTF8String(i).toString; len += 1 }
+      i += 1
+    }
+    val old = java.util.Arrays.copyOf(buf, len)
+    // EXACT BpeApply greedy loop — the delta must diff precisely the
+    // arrays the fold produces
+    var cur = old
+    var changed = false
+    merges.foreach { case (l, r) =>
+      if (cur.length > 1) {
+        val out = new Array[String](cur.length)
+        var olen = 0
+        var j = 0
+        while (j < cur.length) {
+          val x = cur(j)
+          if (olen > 0 && out(olen - 1) == l && x == r) {
+            out(olen - 1) = l + r; changed = true
+          } else { out(olen) = x; olen += 1 }
+          j += 1
+        }
+        cur = java.util.Arrays.copyOf(out, olen)
+      }
+    }
+    val symsOut = new GenericArrayData(cur.map(s =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s): AnyRef))
+    val res = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    res.update(0, symsOut)
+    if (!changed) { res.update(1, emptyPd); return res }
+    val net = new java.util.LinkedHashMap[String, Long]()
+    def add(a: Array[String], sign: Long): Unit = {
+      var k = 1
+      while (k < a.length) {
+        // the ' ' separator cannot occur inside a symbol (symbols come
+        // from regex-filtered [a-z0-9]+ words and their concatenations)
+        val key = a(k - 1) + " " + a(k)
+        net.merge(key, sign * f, (x, y) => x + y)
+        k += 1
+      }
+    }
+    add(old, -1L)
+    add(cur, 1L)
+    val out = new java.util.ArrayList[Any](net.size())
+    val it = net.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue != 0L) {
+        val sep = e.getKey.indexOf(' ')
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+        row.update(0, org.apache.spark.unsafe.types.UTF8String
+          .fromString(e.getKey.substring(0, sep)))
+        row.update(1, org.apache.spark.unsafe.types.UTF8String
+          .fromString(e.getKey.substring(sep + 1)))
+        row.update(2, e.getValue)
+        out.add(row)
+      }
+    }
+    res.update(1, new GenericArrayData(out.toArray))
+    res
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeStep =
+    copy(syms = newLeft, freq = newRight)
+}
+
 case class SortedPairsSim(child: Expression, tau: Double)
     extends UnaryExpression {
 
@@ -1889,6 +2008,12 @@ object native {
     Bridge.column(ShingleHashSet(Bridge.expression(tokens), n))
   def containment_minhash(shingles: Column, k: Int): Column =
     Bridge.column(ContainmentMinHash(Bridge.expression(shingles), k))
+  /** One greedy BPE step with its signed pair-count delta —
+    * struct(syms, pd); see [[BpeStep]]. */
+  def bpe_step(syms: Column, freq: Column,
+      merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeStep(Bridge.expression(syms),
+      Bridge.expression(freq), merges))
   def bpe_apply(syms: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeApply(Bridge.expression(syms), merges))
   def max_ngram_freq(tokens: Column, n: Int): Column =

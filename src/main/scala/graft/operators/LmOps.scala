@@ -20,6 +20,41 @@ import org.apache.spark.sql.functions._
   */
 object LmOps {
 
+  /** Round-14 (VERDICT r13 item 5): BPE training switches from
+    * full per-round pair recounts to the incremental delta-maintained
+    * count table once the recount's exploded-row count
+    * (Σ over distinct words of |word|−1, measured once from the
+    * materialized word cache) exceeds this threshold. Either mode
+    * produces bit-identical merge tables (see the proof note in
+    * [[bpeRun]]); the threshold only trades the incremental table's
+    * fixed per-round floor against the recount's data-proportional
+    * shuffle. The 2M default is where a 32-core recount stage clearly
+    * outweighs the ~70 ms/round floor measured at fixture scale;
+    * production corpora (10⁷+ distinct words ⇒ ≥10⁸ recount rows)
+    * sit far above it. */
+  val IncrementalRecountRowsConf = "spark.graft.bpe.incremental.minRecountRows"
+  val IncrementalRecountRowsDefault = 2000000L
+
+  private def incrementalThreshold(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(IncrementalRecountRowsConf)
+      .map(_.trim.toLong).getOrElse(IncrementalRecountRowsDefault)
+
+  /** Full pair recount of a word-state frame: (l, r, c). */
+  private def recount(d: DataFrame): DataFrame =
+    pairRowsOf(d, "syms", 1)
+      .groupBy(col("l"), col("r")).agg(sum(col("c")).as("c"))
+
+  /** Recount rows observed by [[recount]]'s round-1 run (the exploded
+    * adjacent-pair row count, Σ(|word|−1) over distinct words) — read
+    * NON-blocking after the round-1 argmax action so the measurement
+    * rides that job instead of scheduling its own. A missing metric
+    * (AQE pruned the CollectMetrics over an empty corpus) means zero
+    * rows: recount mode, harmless. */
+  private def observedRows(obs: org.apache.spark.sql.Observation): Long =
+    org.apache.spark.sql.graftbridge.Bridge.observationMetrics(obs)
+      .get("n").flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L)
+
   /** Unigram probabilities (token -> count/total) estimated from the
     * corpus. @param topK keep only the most frequent topK tokens;
     * everything else scores the caller's default. The default cap is
@@ -403,6 +438,21 @@ object LmOps {
         col("n_units").cast("double") / col("n_words"))
   }
 
+  /** Adjacent-pair rows of `symsCol`, frequency-weighted and SIGNED:
+    * (l, r, c = freq·sign). The shared spelling of both the full
+    * round-start pair count (sign=+1 over the whole word table) and
+    * the round-14 incremental count DELTAS (−1 over a changed word's
+    * old syms, +1 over its new syms) — one posexplode, all codegen. */
+  private def pairRowsOf(d: DataFrame, symsCol: String,
+      sign: Int): DataFrame =
+    d.filter(size(col(symsCol)) > 1)
+      .select((col("freq") * lit(sign.toLong)).as("f"),
+        posexplode(slice(col(symsCol), lit(1), size(col(symsCol)) - 1))
+          .as(Seq("p", "l")),
+        col(symsCol).as("ss"))
+      .select(col("l"), element_at(col("ss"), col("p") + 2).as("r"),
+        col("f").as("c"))
+
   /** Shared BPE training loop: (merge table, final segmented word
     * state (word, freq, syms) — persisted; the caller owns release). */
   private def bpeRun(df: DataFrame, textCol: String,
@@ -438,6 +488,54 @@ object LmOps {
     var state = words
     var stateRdd: org.apache.spark.rdd.RDD[_] = null
     var prevRdd: org.apache.spark.rdd.RDD[_] = null
+    // Round-14 (VERDICT r13 item 5, guide §1.3/§2 "shuffle fewer
+    // bytes"): above [[IncrementalRecountRowsConf]] the pair-count
+    // table is maintained INCREMENTALLY. Every round used to
+    // re-explode the ENTIRE word table (Σ|word| rows — ~10⁸ at a
+    // 100 TB corpus's ~10⁷-word table) just to re-rank counts that
+    // mostly did not change. A merge (l,r) only changes the pair
+    // multisets of words whose syms actually contain the adjacent
+    // pair, so each round can fold an exact integer DELTA into the
+    // previous round's table: −freq-weighted pairs of a changed
+    // word's old syms, +freq-weighted pairs of its new syms (diffed
+    // from the REAL before/after arrays, so any greedy-overlap
+    // outcome of BpeApply is handled by construction).
+    // counts_{k+1}(p) = counts_k(p) + Σ_changed[pairs_new − pairs_old]
+    // is the recomputed count exactly, by induction — same longs,
+    // same (c desc, l, r) argmax, bit-identical merge table (pinned
+    // by Round11/12 hand-corpus + partition-invariance specs, TuneBpe
+    // seq==batched, and the p81-p88 oracle gates), so the MODE SWITCH
+    // below cannot change any result. Per-round shuffle drops from
+    // Σ|word| exploded rows to |distinct pairs| + |changed explosion|
+    // — the Zipf tail where most rounds touch few words is exactly
+    // where the recount wasted the most. The table is lineage-cut per
+    // generation like the word state (same O(k²) analyzer blowup
+    // otherwise) and rides the SAME one-job-per-round protocol: the
+    // argmax collect materializes this round's counts checkpoint
+    // (pulling the previous counts cache + the parent state cache),
+    // so no extra job is scheduled.
+    //
+    // WHY A THRESHOLD, not always-on: the maintained table has a
+    // fixed per-round floor — one extra cached generation (the counts
+    // checkpoint) plus two delta scan branches over the state cache —
+    // that the tiny-task scheduler floor cannot amortize when the
+    // full recount is itself a sub-50 ms stage (measured at sf0.1:
+    // sequential 64-merge training 11.7 s → 16.5 s always-on). The
+    // recount work is Σ(|word|−1) exploded rows, OBSERVED on the
+    // round-1 argmax job itself (CollectMetrics on the exploded side
+    // — no extra job, no extra pass); rounds 2+ run incremental iff
+    // it exceeds the threshold, seeding the maintained table with one
+    // recount of generation 1. Scale-adaptive by data size, not core
+    // count; the local default keeps the fixture-scale path on the
+    // recount spelling, byte-identical to round 13's execution.
+    var counts: DataFrame = null // maintained table (incremental mode)
+    var countsRdd: org.apache.spark.rdd.RDD[_] = null
+    var prevCountsRdd: org.apache.spark.rdd.RDD[_] = null
+    var incremental = false
+    val rowsObs = org.apache.spark.sql.Observation()
+    val round1Counts = pairRowsOf(words, "syms", 1)
+      .observe(rowsObs, count(lit(1)).as("n"))
+      .groupBy(col("l"), col("r")).agg(sum(col("c")).as("c"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     // Round-13 loop-floor cut (same treatment as ClusterOps' fixpoint
     // loop): under AQE each argmax round decomposes into one job per
@@ -467,34 +565,80 @@ object LmOps {
         // the argmax collect IS the action that materializes (and
         // truncates) this generation's checkpoint — no separate
         // count() job per round (round 11: the extra materialization
-        // jobs were half of p81/p82's suite cost)
-        val best = state.filter(size(col("syms")) > 1)
-          .select(col("freq"), posexplode(slice(col("syms"), lit(1),
-            size(col("syms")) - 1)).as(Seq("p", "l")),
-            col("syms"))
-          .select(col("l"), element_at(col("syms"), col("p") + 2).as("r"),
-            col("freq"))
-          .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
+        // jobs were half of p81/p82's suite cost). Round 1 ranks the
+        // observed full recount; incremental mode ranks the maintained
+        // table; recount mode re-ranks a fresh full recount of the
+        // state — identical longs in every mode (see the mode-switch
+        // note above).
+        val bestDs = (if (step == 1) round1Counts
+          else if (incremental) counts
+          else recount(state))
           .orderBy(col("c").desc, col("l"), col("r"))
-          .limit(1).collect()
+          .limit(1)
+        val best = bestDs.collect()
         if (step == 1) {
-          // `words` is materialized now — derive the loop layout
+          // `words` is materialized now — derive the loop layout and
+          // the count-maintenance mode (both from the materialized
+          // data, not from core count). The observation is completed
+          // SYNCHRONOUSLY from the executed plan (the collect's own
+          // listener ride is async — the checkpointTrackedSum lesson).
           val parts = math.max(1, words.rdd.getNumPartitions)
           bpeSpark.conf.set("spark.sql.adaptive.enabled", "false")
           bpeSpark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+          org.apache.spark.sql.graftbridge.Bridge
+            .fireObservations(bestDs, "bpeRecountRows", 0L)
+          incremental =
+            observedRows(rowsObs) >= incrementalThreshold(bpeSpark)
         }
-        // `state` is now cached: its parent generation can go
+        // `state`'s parent and `counts`' predecessor are now cached
+        // and past their last read: free them
         if (prevRdd != null) { prevRdd.unpersist(blocking = false); prevRdd = null }
+        if (prevCountsRdd != null) {
+          prevCountsRdd.unpersist(blocking = false); prevCountsRdd = null
+        }
         if (best.isEmpty) exhausted = true
         else {
           val (l, r, c) = (best.head.getString(0), best.head.getString(1),
             best.head.getLong(2))
           merges += ((step, l, r, c))
-          val (next, nextRdd) = org.apache.spark.sql.graftbridge.Bridge
-            .cutLineageCached(mergeFold(state, l, r))
-          prevRdd = stateRdd
-          stateRdd = nextRdd
-          state = next
+          if (incremental) {
+            // ONE scan serves both consumers (BpeStep): the cached
+            // generation carries the merged syms AND the per-word
+            // signed pair delta; the next state and the count update
+            // are projections of it. The maintained table is seeded
+            // with one recount of generation 1; thereafter each round
+            // folds the exact delta. Pairs whose count reaches zero
+            // leave the table (c > 0), so exhaustion is still "no
+            // adjacent pair anywhere".
+            val (gen, genRdd) = org.apache.spark.sql.graftbridge.Bridge
+              .cutLineageCached(state.select(col("word"), col("freq"),
+                graft.functions.native.bpe_step(col("syms"), col("freq"),
+                  Seq((l, r))).as("st")))
+            val next = gen.select(col("word"), col("freq"),
+              col("st.syms").as("syms"))
+            val (nextCounts, nextCountsRdd) =
+              if (counts == null)
+                org.apache.spark.sql.graftbridge.Bridge
+                  .cutLineageCached(recount(next))
+              else
+                org.apache.spark.sql.graftbridge.Bridge.cutLineageCached(
+                  counts.unionAll(gen.select(explode(col("st.pd")).as("d"))
+                    .select(col("d.l"), col("d.r"), col("d.c")))
+                    .groupBy(col("l"), col("r")).agg(sum(col("c")).as("c"))
+                    .filter(col("c") > 0))
+            prevCountsRdd = countsRdd
+            countsRdd = nextCountsRdd
+            counts = nextCounts
+            prevRdd = stateRdd
+            stateRdd = genRdd
+            state = next
+          } else {
+            val (next, nextRdd) = org.apache.spark.sql.graftbridge.Bridge
+              .cutLineageCached(mergeFold(state, l, r))
+            prevRdd = stateRdd
+            stateRdd = nextRdd
+            state = next
+          }
           step += 1
         }
       }
@@ -511,6 +655,8 @@ object LmOps {
     // to manage beyond `words`)
     if (stateRdd != null) stateRdd.unpersist(blocking = false)
     if (prevRdd != null) prevRdd.unpersist(blocking = false)
+    if (countsRdd != null) countsRdd.unpersist(blocking = false)
+    if (prevCountsRdd != null) prevCountsRdd.unpersist(blocking = false)
     val finalState = words.withColumn("syms",
       graft.functions.native.bpe_apply(col("syms"),
         merges.toSeq.map { case (_, l, r, _) => (l, r) }))
@@ -594,14 +740,22 @@ object LmOps {
     var prevRdd: org.apache.spark.rdd.RDD[_] = null
     val merges =
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    def pairCounts(d: DataFrame): DataFrame =
-      d.filter(size(col("syms")) > 1)
-        .select(col("freq"), posexplode(slice(col("syms"), lit(1),
-          size(col("syms")) - 1)).as(Seq("p", "l")),
-          col("syms"))
-        .select(col("l"), element_at(col("syms"), col("p") + 2).as("r"),
-          col("freq"))
-        .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
+    // Round-14: the same threshold-gated INCREMENTAL pair-count table
+    // as [[bpeRun]] (see the mode-switch note there) — above the
+    // recount-rows threshold each round folds the exact delta of the
+    // batch's changed words into the previous table instead of
+    // re-exploding the whole word table; identical longs by induction,
+    // so the over-collect ranking, the conflict prefix, and the
+    // strict-dominance trim see exactly the counts a recount would
+    // produce (TuneBpe pins seq==batched merge-for-merge).
+    var counts: DataFrame = null
+    var countsRdd: org.apache.spark.rdd.RDD[_] = null
+    var prevCountsRdd: org.apache.spark.rdd.RDD[_] = null
+    var incremental = false
+    val rowsObs = org.apache.spark.sql.Observation()
+    val round1Counts = pairRowsOf(words, "syms", 1)
+      .observe(rowsObs, count(lit(1)).as("n"))
+      .groupBy(col("l"), col("r")).agg(sum(col("c")).as("c"))
     def fold(merges: Seq[(String, String)]) =
       org.apache.spark.sql.graftbridge.Bridge.cutLineageCached(
         state.withColumn("syms",
@@ -617,16 +771,25 @@ object LmOps {
     while (merges.size < nMerges && !exhausted) {
       val want = math.min(batch, nMerges - merges.size)
       // over-collect: conflicts consume ranking slots before the stop
-      val top = pairCounts(state)
+      val topDs = (if (firstRound) round1Counts
+        else if (incremental) counts
+        else recount(state))
         .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(want * 4 + 8).collect()
+        .limit(want * 4 + 8)
+      val top = topDs.collect()
       if (firstRound) {
         firstRound = false
         val parts = math.max(1, words.rdd.getNumPartitions)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        org.apache.spark.sql.graftbridge.Bridge
+          .fireObservations(topDs, "bpeRecountRows", 0L)
+        incremental = observedRows(rowsObs) >= incrementalThreshold(spark)
       }
       if (prevRdd != null) { prevRdd.unpersist(blocking = false); prevRdd = null }
+      if (prevCountsRdd != null) {
+        prevCountsRdd.unpersist(blocking = false); prevCountsRdd = null
+      }
       if (top.isEmpty) exhausted = true
       else {
         val used = scala.collection.mutable.Set.empty[String]
@@ -664,13 +827,42 @@ object LmOps {
             if (t >= 1) t else admitted.size
           }
         val applied = admitted.take(math.max(keep, 1)).toSeq
-        val (next, nextRdd) = fold(applied.map { case (l, r, _) => (l, r) })
+        val appliedPairs = applied.map { case (l, r, _) => (l, r) }
+        if (incremental) {
+          // ONE scan serves both consumers (BpeStep; see bpeRun):
+          // seed with one recount of generation 1, then fold the
+          // exact delta of the words each batch actually changed
+          val (gen, genRdd) = org.apache.spark.sql.graftbridge.Bridge
+            .cutLineageCached(state.select(col("word"), col("freq"),
+              graft.functions.native.bpe_step(col("syms"), col("freq"),
+                appliedPairs).as("st")))
+          val next = gen.select(col("word"), col("freq"),
+            col("st.syms").as("syms"))
+          val (nextCounts, nextCountsRdd) =
+            if (counts == null)
+              org.apache.spark.sql.graftbridge.Bridge
+                .cutLineageCached(recount(next))
+            else
+              org.apache.spark.sql.graftbridge.Bridge.cutLineageCached(
+                counts.unionAll(gen.select(explode(col("st.pd")).as("d"))
+                  .select(col("d.l"), col("d.r"), col("d.c")))
+                  .groupBy(col("l"), col("r")).agg(sum(col("c")).as("c"))
+                  .filter(col("c") > 0))
+          prevCountsRdd = countsRdd
+          countsRdd = nextCountsRdd
+          counts = nextCounts
+          prevRdd = stateRdd
+          stateRdd = genRdd
+          state = next
+        } else {
+          val (next, nextRdd) = fold(appliedPairs)
+          prevRdd = stateRdd
+          stateRdd = nextRdd
+          state = next
+        }
         applied.foreach { case (l, r, c) =>
           merges += ((merges.size + 1, l, r, c))
         }
-        prevRdd = stateRdd
-        stateRdd = nextRdd
-        state = next
       }
     }
     } finally {
@@ -681,6 +873,8 @@ object LmOps {
     }
     if (stateRdd != null) stateRdd.unpersist(blocking = false)
     if (prevRdd != null) prevRdd.unpersist(blocking = false)
+    if (countsRdd != null) countsRdd.unpersist(blocking = false)
+    if (prevCountsRdd != null) prevCountsRdd.unpersist(blocking = false)
     words.unpersist(blocking = false)
     import spark.implicits._
     merges.toSeq.toDF("step", "lsym", "rsym", "c")

@@ -141,6 +141,86 @@ class Round14OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BpeStep returns BpeApply's exact merged syms plus the signed " +
+      "pair delta that reconciles the before/after explodes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    val alphabet = "ab0"
+    val words = (1 to 400).map { _ =>
+      (1 to (1 + rnd.nextInt(9))).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val df = words.zipWithIndex
+      .map { case (w, i) => (w, (i % 7 + 1).toLong) }
+      .toDF("word", "freq")
+      .select(col("word"), col("freq"),
+        split(col("word"), "(?=.)").as("syms"))
+    // merge lists that stress greedy overlaps ("aa" on runs of a),
+    // cascades (output participates in the next merge), and no-ops
+    for (merges <- Seq(Seq(("a", "a")), Seq(("a", "b"), ("ab", "0")),
+        Seq(("0", "0"), ("a", "00")), Seq(("z", "z")))) {
+      val stepped = df.select(col("word"), col("freq"),
+        graft.functions.native.bpe_step(col("syms"), col("freq"), merges)
+          .as("st"))
+      // 1) syms == BpeApply exactly, per word
+      val viaApply = df.select(col("word"),
+        graft.functions.native.bpe_apply(col("syms"), merges).as("s"))
+        .as[(String, Seq[String])].collect().toMap
+      val viaStep = stepped.select(col("word"), col("st.syms"))
+        .as[(String, Seq[String])].collect().toMap
+      assert(viaStep === viaApply, s"merged syms diverge for $merges")
+      // 2) counts(old) + Σdelta == counts(new), and unchanged words
+      //    emit an EMPTY delta
+      def explodeCounts(d: org.apache.spark.sql.DataFrame,
+          symsCol: String): Map[(String, String), Long] =
+        d.filter(size(col(symsCol)) > 1)
+          .select(col("freq"), posexplode(slice(col(symsCol), lit(1),
+            size(col(symsCol)) - 1)).as(Seq("p", "l")),
+            col(symsCol).as("ss"))
+          .select(col("l"), element_at(col("ss"), col("p") + 2).as("r"),
+            col("freq"))
+          .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("c"))
+          .as[(String, String, Long)].collect()
+          .map { case (l, r, c) => (l, r) -> c }.toMap
+      val before = explodeCounts(df, "syms")
+      val after = explodeCounts(stepped
+        .select(col("freq"), col("st.syms").as("syms")), "syms")
+      val delta = stepped.select(explode(col("st.pd")).as("d"))
+        .select(col("d.l"), col("d.r"), col("d.c"))
+        .groupBy(col("l"), col("r")).agg(sum(col("c")).as("c"))
+        .as[(String, String, Long)].collect()
+        .map { case (l, r, c) => (l, r) -> c }.toMap
+      val reconciled = (before.keySet ++ delta.keySet).flatMap { k =>
+        val v = before.getOrElse(k, 0L) + delta.getOrElse(k, 0L)
+        if (v != 0L) Some(k -> v) else None
+      }.toMap
+      assert(reconciled === after, s"delta does not reconcile for $merges")
+      val unchangedWithDelta = stepped
+        .filter(col("st.syms") === col("syms") && size(col("st.pd")) > 0)
+        .count()
+      assert(unchangedWithDelta === 0L)
+    }
+  }
+
+  test("BPE incremental mode (threshold forced on) trains the " +
+      "bit-identical merge table, sequential and batched") {
+    import spark.implicits._
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.01",
+      "documents")
+    def merges(f: => org.apache.spark.sql.DataFrame) =
+      f.as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val seqRef = merges(LmOps.bpeTrain(docs, "text", 24))
+    val batRef = merges(LmOps.bpeTrainBatched(docs, "text", 24, batch = 8))
+    spark.conf.set(LmOps.IncrementalRecountRowsConf, "1")
+    try {
+      val seqInc = merges(LmOps.bpeTrain(docs, "text", 24))
+      val batInc = merges(LmOps.bpeTrainBatched(docs, "text", 24, batch = 8))
+      assert(seqInc === seqRef)
+      assert(batInc === batRef)
+      assert(seqRef === batRef)
+    } finally spark.conf.unset(LmOps.IncrementalRecountRowsConf)
+  }
+
   test("RemovePositions raises a descriptive error on a null token " +
       "element instead of an opaque NPE") {
     val df = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
