@@ -38,6 +38,19 @@ import org.apache.spark.sql.functions._
   */
 object ClusterOps {
 
+  /** Round-14: when the label table's exact row count (observed on its
+    * own materialization, zero cost) is at or below this, the CC loop
+    * runs AQE-off with an explicit broadcast hint on the labels side
+    * of the per-round join — one scheduled job per round instead of
+    * one per exchange (~6 under AQE stage materialization), with the
+    * SAME broadcast join shape AQE picks at that size. Above it (a
+    * 100 TB corpus's label table) the loop is unchanged: AQE plans
+    * every round adaptively. 1M (node, comp) rows ≈ tens of MB as a
+    * broadcast relation — comfortably inside executor memory at any
+    * deployment, far above every fixture graph. */
+  val BroadcastNodesConf = "spark.graft.cc.broadcastNodes"
+  val BroadcastNodesDefault = 1000000L
+
   /** Connected components over an undirected edge list.
     *
     * @param edges  DataFrame with two id columns (one row per edge)
@@ -95,15 +108,19 @@ object ClusterOps {
     * A missing/empty metric row means zero observed rows, the same
     * empty-frame answer as SQL's NULL sum. */
   private def checkpointTrackedSum(df: DataFrame)
-      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]], Option[Long]) = {
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]], Option[(Long, Long)]) = {
     val obs = org.apache.spark.sql.Observation()
-    val watched = df.observe(obs, sum(col("comp")).as("s"))
+    // the row count rides the same fold (round-14): it sizes the
+    // label table for the loop's broadcast decision at zero cost
+    val watched = df.observe(obs, sum(col("comp")).as("s"),
+      count(lit(1)).as("n"))
     val (out, pinned) = checkpointTracked(watched)
     org.apache.spark.sql.graftbridge.Bridge
       .fireObservations(watched, "ccRoundSum", 0L)
-    val s = org.apache.spark.sql.graftbridge.Bridge.observationMetrics(obs)
-      .get("s").flatMap(Option(_)).map(_.asInstanceOf[Long])
-    (out, pinned, s)
+    val m = org.apache.spark.sql.graftbridge.Bridge.observationMetrics(obs)
+    val s = m.get("s").flatMap(Option(_)).map(_.asInstanceOf[Long])
+    val n = m.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])
+    (out, pinned, s.map(sv => (sv, n.getOrElse(0L))))
   }
 
   def connectedComponents(
@@ -130,23 +147,53 @@ object ClusterOps {
       symBlocks.foreach(_.unpersist(blocking = false))
       return labels
     }
-    var lastSum = firstSum.get
+    var lastSum = firstSum.get._1
+    // Round-14 (guide §3.1/§2, the p28 find): under AQE every round's
+    // eager checkpoint decomposes into one materialization job per
+    // exchange (~6 jobs/round measured on p28's 14-round loop — 82
+    // jobs, ~5 s of pure scheduling at sf0.1 on 907 edges). The
+    // round's inputs are LogicalRDD leaves with no stats, so AQE-off
+    // alone re-plans the sym⋈labels join as sort-merge (the round-13
+    // negative result). Fix BOTH at once when the label table is
+    // provably broadcast-sized: its exact row count rides the
+    // convergence observation (zero cost), and below the size guard
+    // the loop runs AQE-OFF with an EXPLICIT broadcast hint on the
+    // labels side — one scheduled job per round instead of ~6, same
+    // broadcast join shape AQE picked, bit-identical labels (join
+    // strategy and partitioning cannot change an exact min
+    // aggregation). Above the guard (a 100 TB corpus's label table)
+    // nothing changes. Node count is loop-constant, so the decision
+    // is made once. Same SINGLE-QUERY-AT-A-TIME session-conf
+    // assumption as the BPE loop (documented there); harnesses run
+    // one query at a time and the finally restores the confs.
+    val ccSpark = edges.sparkSession
+    val nodeCount = firstSum.get._2
+    val bcastLabels = nodeCount <= ccSpark.conf
+      .getOption(BroadcastNodesConf).map(_.trim.toLong)
+      .getOrElse(BroadcastNodesDefault)
     var converged = false
     var iter = 0
-    // Round-13 note (negative result, kept for the record): running
-    // this loop AQE-free with derived shuffle partitions — the
-    // treatment that pays off in LmOps' BPE argmax loop — was measured
-    // SLOWER here (m13 2.8→4.6 s at sf0.1) despite dropping ~2 jobs
-    // per round: without AQE the per-round sym⋈labels join loses its
-    // runtime BROADCAST (LogicalRDD leaves carry no stats, so the
-    // planner falls back to sort-merge) and the added per-round sort
-    // outweighs the scheduling saved. AQE stays on; the convergence
-    // sum still rides the checkpoint job (checkpointTrackedSum).
+    // Round-13 note (negative result, superseded by the guarded form
+    // above): running this loop AQE-free with derived shuffle
+    // partitions and NO hint was measured SLOWER (m13 2.8→4.6 s at
+    // sf0.1) because the per-round sym⋈labels join lost its runtime
+    // BROADCAST (LogicalRDD leaves carry no stats ⇒ sort-merge). The
+    // explicit hint under the size guard restores exactly the join
+    // AQE picked; above the guard AQE stays on unchanged.
+    val prevAqe = ccSpark.conf.getOption("spark.sql.adaptive.enabled")
+    val prevParts = ccSpark.conf.getOption("spark.sql.shuffle.partitions")
+    if (bcastLabels) {
+      val parts = math.max(1, labelBlocks.headOption
+        .map(_.getNumPartitions).getOrElse(1))
+      ccSpark.conf.set("spark.sql.adaptive.enabled", "false")
+      ccSpark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    }
+    try {
     while (!converged && iter < maxIter) {
       // neighbor's label flows across each edge; keep the min of
-      // (own label, best neighbor label).
+      // (own label, best neighbor label, own label's label).
       //
-      // Round-13 SECOND negative result, kept for the record: a
+      // Round-13 negative result, kept for the record: a
       // two-hop-per-round variant (propagate, aggregate, propagate
       // again, checkpoint — halving the round count to
       // ceil(diameter/2)+1) measured strictly WORSE at sf0.1 (p14
@@ -156,8 +203,24 @@ object ClusterOps {
       // union and the second join, with fresh exprIds after self-join
       // dedup), so each round paid ~2× the stages while near-dup
       // diameters are too small (3-5 hops) for the halved round count
-      // to amortize it. One hop per round stays.
-      val viaEdges = sym.join(labels, sym("src") === labels("node"))
+      // to amortize it. One EDGE hop per round stays.
+      //
+      // Round-14 THIRD negative result, kept for the record: POINTER
+      // JUMPING on the label table (union a labels⋈labels comp[comp]
+      // branch into the round — each node also adopts its label's
+      // label) is exact (every candidate is a label of a node in the
+      // same component; monotone; same fixpoint) and compresses
+      // label-forward chains at doubling rate — a 64-node PATH
+      // converges in 8 rounds instead of 63. But the near-dup gates'
+      // graphs are not paths: label chains toward the min only form
+      // along already-traversed edge paths, so on p28's near-threshold
+      // random graph (907 edges, the suite's longest-diameter CC
+      // input) it saved just 2 of 14 rounds while paying +2 jobs per
+      // round (82 → 108 jobs, wall flat-to-worse). Edge-hop
+      // propagation IS the binding constraint; one hop per round
+      // stays.
+      val labSide = if (bcastLabels) broadcast(labels) else labels
+      val viaEdges = sym.join(labSide, sym("src") === labSide("node"))
         .select(sym("dst").as("node"), col("comp"))
       val (next, nextBlocks, sumOpt) = checkpointTrackedSum(
         labels.union(viaEdges)
@@ -168,7 +231,7 @@ object ClusterOps {
       // converge on it
       val s = sumOpt.getOrElse(throw new IllegalStateException(
         "connectedComponents: convergence-sum observation did not " +
-          "complete on a non-empty label frame"))
+          "complete on a non-empty label frame"))._1
       converged = s == lastSum // labels are monotone non-increasing
       lastSum = s
       // `next` is materialized (eager checkpoint), so the previous
@@ -179,6 +242,12 @@ object ClusterOps {
       labelBlocks = nextBlocks
       labels = next
       iter += 1
+    }
+    } finally {
+      prevAqe.fold(ccSpark.conf.unset("spark.sql.adaptive.enabled"))(v =>
+        ccSpark.conf.set("spark.sql.adaptive.enabled", v))
+      prevParts.fold(ccSpark.conf.unset("spark.sql.shuffle.partitions"))(v =>
+        ccSpark.conf.set("spark.sql.shuffle.partitions", v))
     }
     // the edge set is dead once the fixpoint is reached; the FINAL
     // label generation must stay pinned (the caller's query reads it —

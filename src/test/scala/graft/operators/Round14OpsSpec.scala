@@ -221,6 +221,30 @@ class Round14OpsSpec extends AnyFunSuite {
     } finally spark.conf.unset(LmOps.IncrementalRecountRowsConf)
   }
 
+  test("CC loop's broadcast-guarded AQE-off mode yields identical " +
+      "labels to the AQE path, and restores the session confs") {
+    import spark.implicits._
+    // near-threshold random graph (the p28 shape: long diameter) plus
+    // an isolated clique and a path
+    val rnd = new scala.util.Random(7)
+    val edges = ((0 until 200).map(i => (i.toLong, i + 1L)) ++
+      (1 to 300).map(_ => (rnd.nextInt(400).toLong, 400L + rnd.nextInt(400))) ++
+      Seq((900L, 901L), (901L, 902L), (900L, 902L))).toDF("a", "b")
+    val aqeBefore = spark.conf.getOption("spark.sql.adaptive.enabled")
+    val partsBefore = spark.conf.getOption("spark.sql.shuffle.partitions")
+    def run() = ClusterOps.connectedComponents(edges, "a", "b", maxIter = 60)
+      .as[(Long, Long)].collect().toMap
+    val guarded = run() // default: node count under the 1M guard
+    spark.conf.set(ClusterOps.BroadcastNodesConf, "0") // force AQE path
+    val viaAqe = try run()
+      finally spark.conf.unset(ClusterOps.BroadcastNodesConf)
+    assert(guarded === viaAqe)
+    assert(spark.conf.getOption("spark.sql.adaptive.enabled") === aqeBefore)
+    assert(spark.conf.getOption("spark.sql.shuffle.partitions") === partsBefore)
+    // spot-check exactness: the 0..200 path is one component rooted at 0
+    assert(guarded(200L) === 0L && guarded(902L) === 900L)
+  }
+
   test("RemovePositions raises a descriptive error on a null token " +
       "element instead of an opaque NPE") {
     val df = Seq(Tuple1(Seq("a", "b"))).toDF("toks")
