@@ -980,6 +980,11 @@ object DedupOps {
     // a real mixing run (the same standing the p38/p43 mixture weights
     // have) — callers that know it skip the discovery job; when
     // omitted, one column-pruned distinct derives it from the data.
+    // Round-14: the (shingle-hash, mask) exchange is byte-small but
+    // its post-shuffle aggregate is the gate's densest stage (measured
+    // 1.15 s as ONE task inside p60's 1.9 s) — same 16 KB floor as
+    // verifyStageParallelism / LshJoin.expansionParallelism
+    verifyStageParallelism(df)
     val srcs = knownSources.map(_.map(String.valueOf(_: Any)).sorted.toArray)
       .getOrElse(df.select(col(srcCol).cast("string").as("s"))
         .distinct().collect().map(_.getString(0)).sorted)

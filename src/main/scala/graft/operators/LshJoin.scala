@@ -18,6 +18,24 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object LshJoin {
 
+  /** Round-14 (guide §2.2, the p10/p28 find generalized): every
+    * banding exchange here carries a few bytes per row (ids + bucket
+    * keys) but feeds a COMPUTE-dense stage — C(bucket,2) pair
+    * expansion plus the dedup's partial aggregate — so AQE's default
+    * 1 MB coalescing floor folds it to one or two tasks (p10's
+    * expansion ran 1.7-2.1 s as ONE task inside a 3.2 s gate). The
+    * 16 KB floor keeps ~task-per-core on small-byte exchanges and is
+    * inert at scale (partition targets are max(total/parallelism,
+    * floor)). Same build-time mechanism and value as
+    * DedupOps.verifyStageParallelism; swept between queries by
+    * SparkEntry.resetSessionConfs. NOT applied to the containment
+    * SCREENS (which do not route through LshJoin): their byte-bound
+    * probe⋈index stages measured slower when fragmented (round-14
+    * inherited A/B: p89 2.60→4.12 s). */
+  private def expansionParallelism(df: DataFrame): Unit =
+    df.sparkSession.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+
   /** banded: (id, key...) -> distinct candidate (id_a, id_b), id_a<id_b.
     *
     * Single pass over `banded`: one shuffle into (bucket -> id list),
@@ -55,6 +73,7 @@ private[graft] object LshJoin {
     * [[candidates]]. */
   def candidatesRaw(banded: DataFrame, keyCols: Seq[String], maxBucket: Int,
       skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    expansionParallelism(banded)
     val sized = banded.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))
     val watched = skewObs.fold(sized)(o => sized.observe(o,
@@ -78,6 +97,7 @@ private[graft] object LshJoin {
   def candidatesRawSim(banded: DataFrame, keyCols: Seq[String],
       maxBucket: Int, tau: Double,
       skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    expansionParallelism(banded)
     val sized = banded.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))
     val watched = skewObs.fold(sized)(o => sized.observe(o,
@@ -111,6 +131,7 @@ private[graft] object LshJoin {
   def candidatesBudgeted(banded: DataFrame, keyCols: Seq[String],
       maxBucket: Int, candidateBudget: Long,
       skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    expansionParallelism(banded)
     val sized = banded.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("ids"))
     val tot = banded.agg(count(lit(1)).as("n_banded"))
@@ -150,6 +171,7 @@ private[graft] object LshJoin {
   def candidatesAcross(bandedNew: DataFrame, bandedIndex: DataFrame,
       keyCols: Seq[String], maxBucket: Int,
       skewObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    expansionParallelism(bandedNew)
     val allSized = bandedIndex.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("id")).as("idx_ids"))
     val watched = skewObs.fold(allSized)(o => allSized.observe(o,

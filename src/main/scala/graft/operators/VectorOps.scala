@@ -289,19 +289,10 @@ object VectorOps {
       maxBucket: Int = 10000,
       skewObs: Option[org.apache.spark.sql.Observation] = None,
       dedupeEarly: Boolean = true): DataFrame = {
-    // Round-14 (guide §2.2, the p10/p28 find): the banding exchange
-    // carries only (id, tbl, bucket) — ~0.5 MB at sf0.1 — but feeds
-    // the COMPUTE-dense pair-expansion stage (explode(sorted_pairs) of
-    // C(bucket,2) pairs + the dedup's partial aggregate). AQE's
-    // default 1 MB coalescing floor folded that stage to ONE task
-    // (measured: 1.7-2.1 s single-task stage inside p10's 3.2 s).
-    // Same 16 KB floor, same build-time mechanism, and same rationale
-    // as DedupOps.verifyStageParallelism (the exact pair joins);
-    // inert at scale because partition targets are
-    // max(total/parallelism, floor). Harnesses sweep the conf between
-    // queries via SparkEntry.resetSessionConfs.
-    vecs.sparkSession.conf.set(
-      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+    // Round-14: the 16 KB AQE coalescing floor for the compute-dense
+    // pair-expansion stage (measured: p10's expansion ran 1.7-2.1 s as
+    // ONE task) is set by LshJoin's candidate builders — see
+    // LshJoin.expansionParallelism.
     // banding carries ONLY (id, tbl, bucket) — vectors never ride it
     val banded = vecs
       .select(col("id"), posexplode(lshBucketKeys(col("vec"), nPlanes, nTables)))
