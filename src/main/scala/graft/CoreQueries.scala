@@ -38,6 +38,22 @@ object CoreQueries {
   private def dsum(c: Column, p: Int = 25, s: Int = 6): Column =
     graft.functions.native.fixed_point_sum(c.cast(DoubleType), s)
 
+  /** PipelineQueries.spread's twin for the q-gates (round-14, guide
+    * §2.5): the fixture's lineitem parquet is ONE row group, so a
+    * compute-dense aggregation's partial phase (the exact-percentile
+    * value-counts map, ~1.5 s of q27's 2 s) serializes on a single
+    * scan task. No-op when the scan already carries
+    * ≥ defaultParallelism partitions (any real-scale input). Same
+    * SCAN-ONLY input contract as PipelineQueries.spread (the
+    * partition probe must come off the file-split layout, not a job);
+    * consumers are partition-invariant exact aggregates, so results
+    * are unchanged. */
+  private def spread(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   private def davg(c: Column, p: Int = 25, s: Int = 6): Column =
     graft.functions.native.fixed_point_sum(c.cast(DoubleType), s) /
       count(lit(1))
@@ -303,9 +319,17 @@ object CoreQueries {
       // Spark's Decimal.toDouble and DuckDB's hugeint cast disagree by
       // 1 ulp on it (both double-round) — magnitude discipline, not a
       // wider type, is the fix.
+      // Round-14 spelling: the exact long-backed fixed-point product
+      // sum ([[graft.functions.FixedPointProductSum]]) — bit-identical
+      // to sum(a.cast(DECIMAL(18,6)) * b.cast(DECIMAL(18,6)))
+      // .cast(DOUBLE) (spec-pinned), but the DECIMAL(37,12) sum
+      // buffer's per-row BigDecimal deserialize/add/reserialize
+      // becomes two plain-long ops (the q01-family dsum fix applied
+      // to co-moments; measured ~2× on this gate). Out-of-range
+      // factors/products throw instead of widening.
       def dprod(a: Column, b: Column): Column =
-        sum(a.cast(DecimalType(18, 6)) * b.cast(DecimalType(18, 6)))
-          .cast(DoubleType)
+        graft.functions.native.fixed_point_product_sum(
+          a.cast(DoubleType), b.cast(DoubleType), 6, 6)
       val base = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(count(lit(1)).cast(DoubleType).as("n"),
           dsum(col("l_quantity")).as("sx"),
@@ -466,7 +490,9 @@ object CoreQueries {
     // interpolation arithmetic, so the doubles are bit-equal and one
     // of the two big buffers (build + serialize + merge) disappears.
     "q27_percentile" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      spread(t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"),
           expr("percentile(l_extendedprice, array(0.25, 0.75))").as("pp"),
@@ -648,8 +674,14 @@ object CoreQueries {
         .orderBy(col("doc_id"), col("pos"))),
 
     // ---- approximate percentile (q26 within-tolerance pattern) ----------
+    // Round-14: spread before the aggregate — the exact-percentile
+    // partial map dominates and is partition-invariant; approx_med is
+    // NOT emitted (only the within_1pct flag, whose rsd margin is
+    // ~100× the bound), so the summary-merge order cannot reach the
+    // verified output.
     "q35_approx_percentile" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      spread(t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice")))
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_med"),
           expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_med"))

@@ -1986,8 +1986,15 @@ object PipelineQueries {
           a.copy(payload = MultimodalOps.syntheticBmp(a.payload, 24, 16))))
       val pairs = MultimodalOps.imageNearDupPairs(
         MultimodalOps.imageDHash(assets).toDF(), maxDist = 3)
+      // Round-14 (guide §4, opaque functions defeat pruning): the docs
+      // side only needs the id column, but projecting it through
+      // `assets` re-runs the typed mapPartitions — the BMP synthesis —
+      // over the whole corpus a second time (measured: two ~4 s-sum
+      // decode stages inside m13). `remapped` IS the asset id set
+      // (the map is 1:1 and asset_id = remapped.doc_id), so project
+      // the ids from the pre-payload frame instead.
       ClusterOps.dedupClusters(
-          assets.toDF().select(col("asset_id")), "asset_id",
+          remapped.select(col("doc_id").as("asset_id")), "asset_id",
           pairs, "id_a", "id_b")
         .select(col("doc_id").as("asset_id"), col("comp"),
           col("cluster_size"), col("keep"))

@@ -174,3 +174,130 @@ case class FixedPointToDouble(left: Expression, right: Expression, scale: Int)
       newLeft: Expression, newRight: Expression): FixedPointToDouble =
     copy(left = newLeft, right = newRight)
 }
+
+/** Round-14: the exact long-backed fixed-point spelling of
+  * `sum(a.cast(DECIMAL(18,sa)) * b.cast(DECIMAL(18,sb))).cast(DOUBLE)`
+  * — q49's co-moment sums (`CoreQueries.dprod`). Same mechanism and
+  * equality argument as [[FixedPointSum]]: each factor is scaled by
+  * Spark's own `Decimal.changePrecision` (identical HALF_UP rounding
+  * to the cast), the PRODUCT of the two scaled longs IS the exact
+  * unscaled value of the decimal product at scale sa+sb (decimal
+  * multiplication is exact at full result scale), integer
+  * accumulation in the hi·10¹⁸+lo two-word buffer is exact in any
+  * partial-sum order, and the final double comes from the same
+  * BigDecimal→double conversion. Per-row |product| ≥ 10¹⁸ (the
+  * single-carry invariant bound — |a·b| ≥ 10^(18−sa−sb) in real
+  * units) THROWS instead of widening: q49's (quantity, discount)
+  * magnitude discipline sits 14 orders below the guard. */
+case class FixedPointProductSum(a: Expression, b: Expression,
+    scaleA: Int, scaleB: Int) extends DeclarativeAggregate {
+
+  require(scaleA >= 0 && scaleA <= 17 && scaleB >= 0 && scaleB <= 17,
+    s"scales in [0,17]: $scaleA, $scaleB")
+
+  override def children: Seq[Expression] = Seq(a, b)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(a = newChildren(0), b = newChildren(1))
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType) match {
+      case (DoubleType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"fixed_point_product_sum needs DOUBLE children, got $other")
+    }
+
+  private val W = 1000000000000000000L // 10^18: one carry normalizes
+
+  private lazy val hi = AttributeReference("hi", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo", LongType, nullable = false)()
+  private lazy val isEmpty =
+    AttributeReference("isEmpty", BooleanType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(hi, lo, isEmpty)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(true))
+
+  private def carried(rawHi: Expression, rawLo: Expression)
+      : (Expression, Expression) = {
+    val carry = If(GreaterThanOrEqual(rawLo, Literal(W)), Literal(1L),
+      If(LessThanOrEqual(rawLo, Literal(-W)), Literal(-1L), Literal(0L)))
+    (Add(rawHi, carry), Subtract(rawLo, Multiply(carry, Literal(W))))
+  }
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val v = ScaledProduct(a, b, scaleA, scaleB)
+    val v0 = Coalesce(Seq(v, Literal(0L)))
+    val (nHi, nLo) = carried(hi, Add(lo, v0))
+    Seq(nHi, nLo, And(isEmpty, IsNull(v)))
+  }
+
+  override lazy val mergeExpressions: Seq[Expression] = {
+    val (nHi, nLo) = carried(Add(hi.left, hi.right), Add(lo.left, lo.right))
+    Seq(nHi, nLo, And(isEmpty.left, isEmpty.right))
+  }
+
+  override lazy val evaluateExpression: Expression =
+    If(isEmpty, Literal(null, DoubleType),
+      FixedPointToDouble(hi, lo, scaleA + scaleB))
+}
+
+/** Exact unscaled long (scale sa+sb) of
+  * `Cast(a, DECIMAL(18,sa)) * Cast(b, DECIMAL(18,sb))` — each factor
+  * scaled via Spark's `Decimal.changePrecision` (bit-identical HALF_UP
+  * per-factor rounding to the casts), the product computed in exact
+  * long arithmetic. Throws on factor overflow of DECIMAL(18) or on a
+  * product ≥ 10¹⁸ (the fixed-point buffer's single-carry bound):
+  * exactness must fail loudly, never silently null or wrap. */
+case class ScaledProduct(a: Expression, b: Expression,
+    scaleA: Int, scaleB: Int) extends BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType) match {
+      case (DoubleType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"scaled_product needs DOUBLE children, got $other")
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scaledProduct", this)
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = (Long) $ref.nullSafeEval($x, $y);")
+  }
+
+  private def scaled(d: Double, scale: Int): Long = {
+    val dec = org.apache.spark.sql.types.Decimal(d)
+    if (!dec.changePrecision(18, scale)) throw new ArithmeticException(
+      s"fixed_point_product_sum(scale=$scale): |$d| exceeds " +
+        "DECIMAL(18,scale) — this value range needs the wide-decimal " +
+        "sum, not the long-backed fixed-point path")
+    dec.toUnscaledLong
+  }
+
+  override def nullSafeEval(aAny: Any, bAny: Any): Any = {
+    val pa = scaled(aAny.asInstanceOf[Double], scaleA)
+    val pb = scaled(bAny.asInstanceOf[Double], scaleB)
+    val prod = try Math.multiplyExact(pa, pb)
+    catch { case _: ArithmeticException => throw new ArithmeticException(
+      s"fixed_point_product_sum: |$pa * $pb| overflows long — this " +
+        "value range needs the wide-decimal sum") }
+    val lim = 1000000000000000000L // 10^18: the accumulator's carry bound
+    if (prod >= lim || prod <= -lim) throw new ArithmeticException(
+      s"fixed_point_product_sum: |$prod| >= 10^18 breaks the " +
+        "single-carry accumulator bound — this value range needs the " +
+        "wide-decimal sum")
+    prod
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScaledProduct =
+    copy(a = newLeft, b = newRight)
+}

@@ -2065,6 +2065,14 @@ object native {
   def fixed_point_sum(c: Column, scale: Int): Column =
     Bridge.column(
       FixedPointSum(Bridge.expression(c), scale).toAggregateExpression())
+  /** Exact long-backed fixed-point SUM OF PRODUCTS — bit-identical to
+    * `sum(a.cast(DECIMAL(18,sa)) * b.cast(DECIMAL(18,sb))).cast(DOUBLE)`
+    * (see [[FixedPointProductSum]]); throws loudly outside the
+    * guarded value range. */
+  def fixed_point_product_sum(a: Column, b: Column,
+      scaleA: Int, scaleB: Int): Column =
+    Bridge.column(FixedPointProductSum(Bridge.expression(a),
+      Bridge.expression(b), scaleA, scaleB).toAggregateExpression())
   def bloom_might_contain(c: Column, bloomBytes: Array[Byte]): Column =
     Bridge.column(BloomMightContain(Bridge.expression(c), bloomBytes))
   def nfc_normalize(c: Column): Column =

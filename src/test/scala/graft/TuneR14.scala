@@ -81,6 +81,12 @@ object TuneR14 {
       // for compute-dense small-byte exchanges (verdict r13 item 3)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1m"))
+      // A/B toggle for the round-14 scan-parallelism experiment: the
+      // 4 MB openCostInBytes default floors split sizes at 4 MB, so a
+      // ~12 MB fixture file scans as 3 tasks even though
+      // minPartitionNum targets defaultParallelism
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

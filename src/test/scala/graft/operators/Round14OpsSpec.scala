@@ -221,6 +221,56 @@ class Round14OpsSpec extends AnyFunSuite {
     } finally spark.conf.unset(LmOps.IncrementalRecountRowsConf)
   }
 
+  test("fixed_point_product_sum is BIT-equal to the decimal " +
+      "product-sum spelling across value shapes, partial-sum orders, " +
+      "and null shapes; out-of-range products throw") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val rnd = new scala.util.Random(49)
+    // q49's magnitude discipline: factors in the tens / sub-1 range
+    // (quantities, rates), many-decimal doubles, negatives, half-up
+    // boundary forms, and nulls on either side
+    val rows: Seq[(Int, java.lang.Double, java.lang.Double)] =
+      (1 to 4000).map { i =>
+        def v(m: Double): java.lang.Double = i % 5 match {
+          case 0 => rnd.nextDouble() * m - m / 2
+          case 1 => math.round(rnd.nextDouble() * m * 100) / 100.0
+          case 2 => rnd.nextDouble() * 1e-3
+          case 3 => (rnd.nextInt(100) - 50) + 0.0000005
+          case _ => rnd.nextGaussian() * m / 3
+        }
+        (i % 7,
+          if (i % 37 == 0) null else v(60.0),
+          if (i % 41 == 0) null else v(0.2))
+      }
+    val df = rows.toDF("g", "a", "b").repartition(13)
+    val got = df.groupBy(col("g"))
+      .agg(graft.functions.native.fixed_point_product_sum(
+        col("a"), col("b"), 6, 6).as("s"))
+      .orderBy(col("g")).collect()
+    val want = df.groupBy(col("g"))
+      .agg(sum(col("a").cast(DecimalType(18, 6)) *
+        col("b").cast(DecimalType(18, 6))).cast(DoubleType).as("s"))
+      .orderBy(col("g")).collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.isNullAt(1) === w.isNullAt(1))
+      if (!g.isNullAt(1))
+        assert(java.lang.Double.doubleToRawLongBits(g.getDouble(1)) ===
+          java.lang.Double.doubleToRawLongBits(w.getDouble(1)),
+          s"bits differ at g=${g.get(0)}: ${g.getDouble(1)} vs " +
+            s"${w.getDouble(1)}")
+    }
+    // |a·b| ≥ 10^(18−12) = 10^6 breaks the carry bound: loud, not null
+    val big = Seq((1, 2000.0, 1000.0)).toDF("g", "a", "b")
+    val e = intercept[Exception] {
+      big.groupBy(col("g")).agg(graft.functions.native
+        .fixed_point_product_sum(col("a"), col("b"), 6, 6)).collect()
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("fixed_point_product_sum")))
+  }
+
   test("CC loop's broadcast-guarded AQE-off mode yields identical " +
       "labels to the AQE path, and restores the session confs") {
     import spark.implicits._
